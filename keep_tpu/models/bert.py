@@ -1,0 +1,134 @@
+"""BERT text encoder, TPU-native.
+
+Matches HF ``BertModel`` semantics as used by the reference
+(quick_start/keep_inference.py:49-50,60-62 and the training text tower
+``PATH_BERT``, training/path_open_clip/model/knowledge_bert.py:17-65):
+
+- word + learned-position + token-type embeddings, LayerNorm(eps=1e-12),
+- 12 post-LN encoder blocks (attn → add&LN → GELU-MLP → add&LN),
+- additive padding mask on attention scores,
+- tanh pooler over the [CLS] position (``pooler_output``).
+
+Per-layer params are stacked on a leading axis and scanned, like the ViT.
+
+Param pytree layout (D=hidden, F=intermediate, L=layers):
+  embeddings: {word [V,D], position [Pmax,D], token_type [T,D],
+               norm {scale,bias [D]}}
+  blocks:     {attn:{qkv:{kernel [L,D,3D], bias [L,3D]},
+               out:{kernel [L,D,D], bias [L,D]}, norm:{scale,bias [L,D]}},
+               mlp:{fc1:{kernel [L,D,F], bias [L,F]},
+               fc2:{kernel [L,F,D], bias [L,D]}}, norm:{scale,bias [L,D]}}
+  pooler:     {kernel [D,D], bias [D]}
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import BertConfig
+from keep_tpu.ops.nn import layer_norm, linear, mha_attention, mlp
+
+Array = jax.Array
+
+# Additive mask value for padded keys. HF adds ``finfo(dtype).min``; any value
+# that zeroes the softmax weight is equivalent at fp32 tolerance, and a finite
+# moderate constant is safer under bf16 arithmetic.
+MASK_VALUE = -1e9
+
+
+def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bool) -> Array:
+    b, s, d = x.shape
+    h, dh = cfg.num_attention_heads, cfg.head_dim
+
+    qkv = linear(p["attn"]["qkv"], x)
+    qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    attn = mha_attention(qkv[0], qkv[1], qkv[2], bias=mask_bias, use_flash=use_flash)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = linear(p["attn"]["out"], attn)
+    x = layer_norm(p["attn"]["norm"], x + attn, cfg.ln_eps)
+
+    y = mlp(p["mlp"], x)
+    return layer_norm(p["norm"], x + y, cfg.ln_eps)
+
+
+def forward(
+    params: dict,
+    input_ids: Array,
+    attention_mask: Array | None = None,
+    token_type_ids: Array | None = None,
+    cfg: BertConfig = BertConfig(),
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    use_flash: bool = False,
+) -> dict:
+    """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}."""
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros((b, s), jnp.int32)
+
+    emb = params["embeddings"]
+    x = (
+        jnp.take(emb["word"], input_ids, axis=0)
+        + emb["position"][None, :s]
+        + jnp.take(emb["token_type"], token_type_ids, axis=0)
+    )
+    x = layer_norm(emb["norm"], x, cfg.ln_eps).astype(dtype)
+
+    # [B, 1, 1, S] additive bias on key positions.
+    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * MASK_VALUE
+
+    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash)
+
+    def scan_body(carry, layer_params):
+        return block_fn(layer_params, carry, mask_bias), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+
+    pooled = jnp.tanh(linear(params["pooler"], x[:, 0]))
+    return {"last_hidden_state": x, "pooler_output": pooled}
+
+
+def init(key: jax.Array, cfg: BertConfig, dtype: jnp.dtype = jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 16))
+    d, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+
+    def normal(key, shape, std=0.02):
+        return (jax.random.normal(key, shape) * std).astype(dtype)
+
+    def lin(key, fan_in, fan_out, layers=None):
+        shape = (fan_in, fan_out) if layers is None else (layers, fan_in, fan_out)
+        bshape = (fan_out,) if layers is None else (layers, fan_out)
+        return {
+            "kernel": normal(key, shape),
+            "bias": jnp.zeros(bshape, dtype),
+        }
+
+    def ln_params(shape):
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    return {
+        "embeddings": {
+            "word": normal(next(keys), (cfg.vocab_size, d)),
+            "position": normal(next(keys), (cfg.max_position_embeddings, d)),
+            "token_type": normal(next(keys), (cfg.type_vocab_size, d)),
+            "norm": ln_params((d,)),
+        },
+        "blocks": {
+            "attn": {
+                "qkv": lin(next(keys), d, 3 * d, layers=l),
+                "out": lin(next(keys), d, d, layers=l),
+                "norm": ln_params((l, d)),
+            },
+            "mlp": {
+                "fc1": lin(next(keys), d, f, layers=l),
+                "fc2": lin(next(keys), f, d, layers=l),
+            },
+            "norm": ln_params((l, d)),
+        },
+        "pooler": lin(next(keys), d, d),
+    }

@@ -1,0 +1,147 @@
+"""The KEEP model facade: the published inference API, TPU-native.
+
+API contract (reference quick_start/keep_inference.py:54-62):
+  encode_image(pixels)        = l2_normalize(visual_head(vit(pixels)))
+  encode_text(ids, mask, tt)  = l2_normalize(bert(...).pooler_output)
+with ``visual_head`` = Linear(1024→768) → GELU → Linear(768→768)
+(keep_inference.py:42-46) and ``logit_scale = ln(1/0.04)`` (:52, unused at
+inference — the quick_start script prints raw ``img @ text.T``).
+
+Params pytree: {'visual': vit params, 'visual_head': {fc1, fc2},
+'text': bert params, 'logit_scale': scalar}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.configs import KEEPConfig
+from keep_tpu.models import bert, vit
+from keep_tpu.ops.nn import gelu, l2_normalize, linear
+
+Array = jax.Array
+
+
+def encode_image(
+    params: dict,
+    pixels: Array,
+    cfg: KEEPConfig,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    use_flash: bool = False,
+) -> Array:
+    """[B, H, W, 3] normalized pixels → [B, projection_dim] unit features."""
+    feats = vit.forward(
+        params["visual"], pixels, cfg.vision, dtype=dtype, use_flash=use_flash
+    )
+    head = params["visual_head"]
+    feats = linear(head["fc2"], gelu(linear(head["fc1"], feats)))
+    return l2_normalize(feats.astype(jnp.float32))
+
+
+def encode_text(
+    params: dict,
+    input_ids: Array,
+    attention_mask: Array | None = None,
+    token_type_ids: Array | None = None,
+    cfg: KEEPConfig = KEEPConfig(),
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    use_flash: bool = False,
+) -> Array:
+    """[B, S] token ids (+mask) → [B, hidden] unit features (BERT pooler)."""
+    out = bert.forward(
+        params["text"],
+        input_ids,
+        attention_mask,
+        token_type_ids,
+        cfg.text,
+        dtype=dtype,
+        use_flash=use_flash,
+    )
+    return l2_normalize(out["pooler_output"].astype(jnp.float32))
+
+
+def forward(params: dict, pixels: Array, input_ids: Array,
+            attention_mask: Array | None, cfg: KEEPConfig, **kw) -> dict:
+    return {
+        "vision_features": encode_image(params, pixels, cfg, **kw),
+        "text_features": encode_text(params, input_ids, attention_mask, cfg=cfg, **kw),
+    }
+
+
+def init(key: jax.Array, cfg: KEEPConfig, dtype: jnp.dtype = jnp.float32) -> dict:
+    kv, kh1, kh2, kt = jax.random.split(key, 4)
+    d_in, d_out = cfg.vision.embed_dim, cfg.projection_dim
+
+    def lin(key, fan_in, fan_out):
+        return {
+            "kernel": (jax.random.normal(key, (fan_in, fan_out)) * fan_in**-0.5).astype(dtype),
+            "bias": jnp.zeros((fan_out,), dtype),
+        }
+
+    return {
+        "visual": vit.init(kv, cfg.vision, dtype),
+        "visual_head": {"fc1": lin(kh1, d_in, d_out), "fc2": lin(kh2, d_out, d_out)},
+        "text": bert.init(kt, cfg.text, dtype),
+        "logit_scale": jnp.asarray(np.log(1.0 / cfg.logit_scale_init), jnp.float32),
+    }
+
+
+@dataclasses.dataclass
+class KEEPModel:
+    """Convenience object wrapper (jitted, cached per shape) around the pure fns.
+
+    ``KEEPModel.from_pretrained(dir)`` mirrors the HF AutoModel entry point
+    (reference quick_start/keep_inference.py:79-83): reads ``config.json`` +
+    ``pytorch_model.bin`` and converts the torch weights to JAX pytrees.
+    """
+
+    params: dict
+    cfg: KEEPConfig
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    def __post_init__(self):
+        static = dict(cfg=self.cfg, dtype=self.dtype, use_flash=self.use_flash)
+        self._encode_image = jax.jit(functools.partial(encode_image, **static))
+        self._encode_text = jax.jit(functools.partial(encode_text, **static))
+
+    def encode_image(self, pixels: Array) -> Array:
+        return self._encode_image(self.params, pixels)
+
+    def encode_text(
+        self,
+        input_ids: Array,
+        attention_mask: Array | None = None,
+        token_type_ids: Array | None = None,
+    ) -> Array:
+        return self._encode_text(self.params, input_ids, attention_mask, token_type_ids)
+
+    @property
+    def logit_scale(self) -> float:
+        return float(jnp.exp(self.params["logit_scale"]))
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        dtype: Any = jnp.float32,
+        use_flash: bool = False,
+        cfg: Optional[KEEPConfig] = None,
+    ) -> "KEEPModel":
+        import os
+
+        from keep_tpu.compat.torch_loader import load_keep_checkpoint
+
+        cfg = cfg or KEEPConfig.from_hf_json(os.path.join(model_dir, "config.json"))
+        params = load_keep_checkpoint(
+            os.path.join(model_dir, "pytorch_model.bin"), cfg
+        )
+        return cls(params=params, cfg=cfg, dtype=dtype, use_flash=use_flash)

@@ -1,0 +1,174 @@
+"""ViT-L/16 image encoder, TPU-native.
+
+Matches timm ``vit_large_patch16_224`` semantics as instantiated by the
+reference (quick_start/keep_inference.py:32-40: ``init_values=1e-5``,
+``num_classes=0``, ``dynamic_img_size=True``):
+
+- patchify conv (implemented as reshape + one big matmul → MXU-friendly),
+- CLS token + learned pos embed (bicubic resample for non-224 sizes,
+  mirroring the reference's pos-embed interpolation,
+  training/path_open_clip/model/model.py:563-594),
+- pre-LN blocks with LayerScale, exact-GELU MLP,
+- final LayerNorm then CLS pooling.
+
+Design: pure functions over a parameter pytree. Per-block params are stacked
+along a leading layer axis and the 24 blocks run under ``jax.lax.scan`` —
+one traced block, fast compiles, remat-friendly.
+
+Param pytree layout (D=embed_dim, F=mlp_dim, L=depth, P=patch_size):
+  patch_embed: {kernel [P*P*3, D], bias [D]}   # flatten order (ph, pw, c)
+  cls_token:   [1, 1, D]
+  pos_embed:   [1, 1+N, D]
+  blocks:      {norm1:{scale,bias [L,D]}, attn:{qkv:{kernel [L,D,3D], bias [L,3D]},
+               proj:{kernel [L,D,D], bias [L,D]}}, ls1 [L,D],
+               norm2:{...}, mlp:{fc1:{kernel [L,D,F], bias [L,F]},
+               fc2:{kernel [L,F,D], bias [L,D]}}, ls2 [L,D]}
+  norm:        {scale [D], bias [D]}
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import ViTConfig
+from keep_tpu.ops.nn import layer_norm, linear, mha_attention, mlp
+
+Array = jax.Array
+
+
+def patchify(p: dict, x: Array, patch_size: int) -> Array:
+    """[B, H, W, 3] → [B, H/P * W/P, D] via reshape + matmul (equivalent to the
+    stride-P conv patch embed, but expressed as a single MXU matmul)."""
+    b, h, w, c = x.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = x.reshape(b, gh, patch_size, gw, patch_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, c]
+    x = x.reshape(b, gh * gw, patch_size * patch_size * c)
+    return linear(p, x)
+
+
+def resample_pos_embed(
+    pos_embed: Array, grid_hw: tuple[int, int], num_prefix: int
+) -> Array:
+    """Bicubic pos-embed resample for dynamic image sizes (timm
+    ``resample_abs_pos_embed`` semantics; reference model.py:563-594)."""
+    n = pos_embed.shape[1] - num_prefix
+    old = int(round(float(n) ** 0.5))
+    gh, gw = grid_hw
+    if (old, old) == (gh, gw):
+        return pos_embed
+    prefix = pos_embed[:, :num_prefix]
+    grid = pos_embed[:, num_prefix:].reshape(1, old, old, -1).astype(jnp.float32)
+    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), method="bicubic")
+    grid = grid.reshape(1, gh * gw, -1).astype(pos_embed.dtype)
+    return jnp.concatenate([prefix, grid], axis=1)
+
+
+def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool) -> Array:
+    b, s, d = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+
+    y = layer_norm(p["norm1"], x, cfg.ln_eps)
+    qkv = linear(p["attn"]["qkv"], y)  # [B, S, 3D]
+    qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3, B, H, S, Dh]
+    attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=use_flash)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = linear(p["attn"]["proj"], attn)
+    if cfg.layerscale_init is not None:
+        attn = attn * p["ls1"].astype(attn.dtype)
+    x = x + attn
+
+    y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps))
+    if cfg.layerscale_init is not None:
+        y = y * p["ls2"].astype(y.dtype)
+    return x + y
+
+
+def forward(
+    params: dict,
+    x: Array,
+    cfg: ViTConfig,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    use_flash: bool = False,
+    remat: bool = False,
+) -> Array:
+    """Image encoder forward: [B, H, W, 3] (normalized pixels) → [B, D] CLS features."""
+    b, h, w, _ = x.shape
+    ps = cfg.patch_size
+    if h % ps or w % ps:
+        raise ValueError(f"image size {(h, w)} not a multiple of patch_size {ps}")
+
+    x = x.astype(dtype)
+    tokens = patchify(params["patch_embed"], x, ps)
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = resample_pos_embed(
+        params["pos_embed"], (h // ps, w // ps), cfg.num_prefix_tokens
+    )
+    tokens = tokens + pos.astype(dtype)
+
+    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def scan_body(carry, layer_params):
+        return block_fn(layer_params, carry), None
+
+    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+    tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
+
+    if cfg.pool == "token":
+        return tokens[:, 0]
+    if cfg.pool == "avg":
+        return jnp.mean(tokens[:, cfg.num_prefix_tokens :], axis=1)
+    return tokens
+
+
+def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict:
+    """Random init mirroring timm's ViT init (trunc-normal .02 pos/cls, xavier-ish
+    linears are fine for from-scratch training; exactness only matters for parity
+    when *converting* weights, not initializing)."""
+    keys = iter(jax.random.split(key, 16))
+    d, f, l = cfg.embed_dim, cfg.mlp_dim, cfg.depth
+    pdim = cfg.patch_size * cfg.patch_size * 3
+
+    def trunc(key, shape, std=0.02):
+        return (jax.random.truncated_normal(key, -2, 2, shape) * std).astype(dtype)
+
+    def lin(key, fan_in, fan_out, layers=None):
+        shape = (fan_in, fan_out) if layers is None else (layers, fan_in, fan_out)
+        bshape = (fan_out,) if layers is None else (layers, fan_out)
+        std = fan_in**-0.5
+        return {
+            "kernel": (jax.random.normal(key, shape) * std).astype(dtype),
+            "bias": jnp.zeros(bshape, dtype),
+        }
+
+    def ln_params(shape):
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    ls_init = cfg.layerscale_init if cfg.layerscale_init is not None else 1.0
+    return {
+        "patch_embed": lin(next(keys), pdim, d),
+        "cls_token": trunc(next(keys), (1, 1, d)),
+        "pos_embed": trunc(next(keys), (1, 1 + cfg.num_patches, d)),
+        "blocks": {
+            "norm1": ln_params((l, d)),
+            "attn": {
+                "qkv": lin(next(keys), d, 3 * d, layers=l),
+                "proj": lin(next(keys), d, d, layers=l),
+            },
+            "ls1": jnp.full((l, d), ls_init, dtype),
+            "norm2": ln_params((l, d)),
+            "mlp": {
+                "fc1": lin(next(keys), d, f, layers=l),
+                "fc2": lin(next(keys), f, d, layers=l),
+            },
+            "ls2": jnp.full((l, d), ls_init, dtype),
+        },
+        "norm": ln_params((d,)),
+    }

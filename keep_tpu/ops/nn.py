@@ -1,0 +1,82 @@
+"""Shared NN ops for the TPU-native encoders.
+
+Conventions:
+- Linear params are ``{'kernel': [in, out], 'bias': [out]}`` (kernel is the
+  transpose of a torch ``nn.Linear.weight``).
+- LayerNorm runs in fp32 regardless of activation dtype (TPU numerics: params
+  fp32, matmul compute bf16 — replaces the reference's AMP/GradScaler,
+  ``training/path_training/precision.py:5-12``).
+- Matmuls go through ``jnp.dot``/``einsum`` with fp32 accumulation
+  (``preferred_element_type``) so the MXU accumulates at full precision.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def gelu(x: Array) -> Array:
+    """Exact (erf) GELU — torch ``nn.GELU()`` default used throughout the
+    reference (e.g. visual head, quick_start/keep_inference.py:44)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def linear(p: dict, x: Array) -> Array:
+    out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    out = out + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def layer_norm(p: dict, x: Array, eps: float) -> Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def mha_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    bias: Array | None = None,
+    use_flash: bool = False,
+) -> Array:
+    """Multi-head attention core over [B, H, S, Dh] tensors.
+
+    Softmax is computed in fp32. ``bias`` is an additive [B, 1|H, S, S] mask
+    (e.g. BERT padding mask). ``use_flash`` routes to the Pallas fused kernel
+    (TPU only); the XLA path below is the reference semantics.
+    """
+    if use_flash:
+        from keep_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(v.dtype)
+
+
+def mlp(p: dict, x: Array) -> Array:
+    """fc1 → GELU → fc2 (timm ``Mlp`` / BERT intermediate+output semantics)."""
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
+    """torch ``F.normalize(x, dim=-1)`` semantics: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)

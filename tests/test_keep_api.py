@@ -1,0 +1,106 @@
+"""KEEP facade API contract: encode_image/encode_text shapes, unit norm,
+logit_scale, end-to-end conversion of a full torch KEEP state dict."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+
+from keep_tpu.compat.torch_loader import convert_keep_state_dict
+from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+from keep_tpu.models import keep
+from tests.test_bert_parity import make_hf_model
+from tests.torch_fixtures import TorchViT
+
+TINY = KEEPConfig(
+    vision=ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4),
+    text=BertConfig(
+        vocab_size=128, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96, max_position_embeddings=64,
+    ),
+    projection_dim=48,  # == text hidden size, as in the real model (768 == 768)
+)
+
+
+def build_torch_keep(cfg: KEEPConfig):
+    """Assemble a torch state dict in the released HF layout
+    (visual.* / visual_head.{0,2}.* / text.* / logit_scale)."""
+    torch.manual_seed(1)
+    visual = TorchViT(cfg.vision)
+    head = nn.Sequential(
+        nn.Linear(cfg.vision.embed_dim, cfg.projection_dim),
+        nn.GELU(),
+        nn.Linear(cfg.projection_dim, cfg.projection_dim),
+    )
+    text = make_hf_model(cfg.text)
+    sd = {}
+    sd.update({f"visual.{k}": v for k, v in visual.state_dict().items()})
+    sd.update({f"visual_head.{k}": v for k, v in head.state_dict().items()})
+    sd.update({f"text.{k}": v for k, v in text.state_dict().items()})
+    sd["logit_scale"] = torch.ones([]) * np.log(1 / 0.04)
+    return visual, head, text, sd
+
+
+def test_encode_image_parity(rng):
+    visual, head, text, sd = build_torch_keep(TINY)
+    params = convert_keep_state_dict(sd, TINY)
+    x = rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+    with torch.no_grad():
+        feats = visual(torch.from_numpy(x).permute(0, 3, 1, 2))
+        ref = torch.nn.functional.normalize(head(feats), dim=-1).numpy()
+    got = np.asarray(keep.encode_image(params, jnp.asarray(x), TINY))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-6)
+
+
+def test_encode_text_parity(rng):
+    visual, head, text, sd = build_torch_keep(TINY)
+    params = convert_keep_state_dict(sd, TINY)
+    ids = rng.integers(1, TINY.text.vocab_size, size=(3, 24))
+    mask = np.ones((3, 24), np.int64)
+    mask[1, 10:] = 0
+    mask[2, 4:] = 0
+    ids = ids * mask
+    with torch.no_grad():
+        pooled = text(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).pooler_output
+        ref = torch.nn.functional.normalize(pooled, dim=-1).numpy()
+    got = np.asarray(
+        keep.encode_text(params, jnp.asarray(ids), jnp.asarray(mask), cfg=TINY)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_similarity_row_parity(rng):
+    """The quick_start end print: img_feature @ text_feature.T
+    (reference keep_inference.py:104)."""
+    visual, head, text, sd = build_torch_keep(TINY)
+    params = convert_keep_state_dict(sd, TINY)
+    x = rng.standard_normal((1, 32, 32, 3), dtype=np.float32)
+    ids = rng.integers(1, TINY.text.vocab_size, size=(3, 16))
+    with torch.no_grad():
+        img = torch.nn.functional.normalize(
+            head(visual(torch.from_numpy(x).permute(0, 3, 1, 2))), dim=-1
+        )
+        txt = torch.nn.functional.normalize(
+            text(input_ids=torch.from_numpy(ids)).pooler_output, dim=-1
+        )
+        ref = (img @ txt.T).numpy()
+    img_j = keep.encode_image(params, jnp.asarray(x), TINY)
+    txt_j = keep.encode_text(params, jnp.asarray(ids), cfg=TINY)
+    got = np.asarray(img_j @ txt_j.T)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_init_and_model_wrapper(rng):
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    model = keep.KEEPModel(params=params, cfg=TINY)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(1, TINY.text.vocab_size, size=(2, 16)))
+    img = model.encode_image(x)
+    txt = model.encode_text(ids)
+    assert img.shape == (2, TINY.projection_dim)
+    assert txt.shape == (2, TINY.text.hidden_size)
+    assert abs(model.logit_scale - 25.0) < 1e-3  # exp(ln(1/0.04)) = 25
