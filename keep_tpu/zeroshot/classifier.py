@@ -1,0 +1,166 @@
+"""Zero-shot classifier construction + prompt-ensemble screening, TPU-first.
+
+Reference semantics (WSI_evaluation/utils.py:64-146):
+- per prompt dict ``{classnames: {label: name}, templates: str|[str]}``:
+  encode each class's template texts, L2-normalize, mean over templates,
+  renormalize, stack → [D, n_classes] classifier.
+- prompt screening: per classifier, logits over all N tiles; score =
+  mean((max − 2nd-max) − |max + 2nd-max − 1|); take top-n classifiers by
+  score, sum their matrices, L2-normalize columns → ensemble classifier.
+
+TPU-first rebuild: the reference runs 1386–1782 *sequential* text-encoder
+calls and a per-classifier Python loop over logits. Here ALL prompt texts are
+encoded in a few fixed-shape batched forwards, classifier assembly is one
+segment-mean, and screening is one ``[P,N,C]`` einsum + vectorized top-k —
+no per-prompt host round-trips.
+
+``first_template_only=True`` reproduces the reference's ``encode_text(...)[0]``
+quirk (utils.py:74: only the first template's embedding survives; identical
+for the shipped single-template prompts, wrong for multi-template — see
+SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.ops.nn import l2_normalize
+
+Array = jax.Array
+
+
+def expand_prompt(
+    prompt: Mapping, label_map: Mapping[str, int], add_normal: bool = False
+) -> list[list[str]]:
+    """One prompt dict → per-class template texts, class order = label index
+    (reference get_zeroshot_classifier, utils.py:86-104)."""
+    classnames = prompt["classnames"]
+    templates = prompt["templates"]
+    idx_to_class = {v: k for k, v in label_map.items()}
+    if add_normal:
+        idx_to_class[len(idx_to_class)] = "Normal"
+    if isinstance(templates, str):
+        templates = [templates]
+    texts = []
+    for idx in range(len(idx_to_class)):
+        name = classnames[idx_to_class[idx]]
+        texts.append([t.replace("CLASSNAME", name) for t in templates])
+    return texts
+
+
+def build_classifier(
+    class_embeddings: Sequence[Array],
+    first_template_only: bool = False,
+) -> Array:
+    """Per-class [T, D] unit-ish embeddings → [D, C] classifier
+    (normalize → template mean → renormalize → stack; utils.py:76-83)."""
+    cols = []
+    for emb in class_embeddings:
+        emb = jnp.atleast_2d(emb)
+        if first_template_only:
+            emb = emb[:1]
+        emb = l2_normalize(emb.astype(jnp.float32))
+        col = emb.mean(axis=0)
+        cols.append(col / jnp.linalg.norm(col))
+    return jnp.stack(cols, axis=1)
+
+
+def build_classifiers_batched(
+    encode_fn: Callable[[np.ndarray, np.ndarray], Array],
+    tokenizer,
+    prompts: Mapping[str, Mapping],
+    label_map: Mapping[str, int],
+    add_normal: bool = False,
+    max_length: int = 256,
+    batch_size: int = 256,
+    first_template_only: bool = False,
+) -> Array:
+    """All prompts → [P, D, C] classifier stack with batched text encoding.
+
+    ``encode_fn(input_ids, attention_mask) -> [B, D]`` is the jitted text
+    tower; all texts across all prompts/classes/templates go through it in
+    fixed-size batches (pad the tail) so one compilation serves everything.
+    """
+    keys = sorted(prompts.keys(), key=lambda k: int(k))
+    all_texts: list[str] = []
+    spans: list[list[tuple[int, int]]] = []  # per prompt, per class: (start, end)
+    for k in keys:
+        per_class = expand_prompt(prompts[k], label_map, add_normal)
+        prompt_spans = []
+        for texts in per_class:
+            start = len(all_texts)
+            all_texts.extend(texts)
+            prompt_spans.append((start, len(all_texts)))
+        spans.append(prompt_spans)
+
+    enc = tokenizer(all_texts, max_length=max_length)
+    ids, mask = enc["input_ids"], enc["attention_mask"]
+    n = len(all_texts)
+    feats = []
+    for i in range(0, n, batch_size):
+        bid = ids[i : i + batch_size]
+        bmask = mask[i : i + batch_size]
+        if bid.shape[0] < batch_size:  # pad tail to keep one compiled shape
+            pad = batch_size - bid.shape[0]
+            bid = np.pad(bid, ((0, pad), (0, 0)))
+            bmask = np.pad(bmask, ((0, pad), (0, 0)))
+        feats.append(np.asarray(encode_fn(bid, bmask)))
+    feats = np.concatenate(feats, axis=0)[:n]
+
+    classifiers = []
+    for prompt_spans in spans:
+        cols = [jnp.asarray(feats[s:e]) for (s, e) in prompt_spans]
+        classifiers.append(build_classifier(cols, first_template_only))
+    return jnp.stack(classifiers, axis=0)  # [P, D, C]
+
+
+def rank_cls_scores(logits: Array) -> Array:
+    """[P, N, C] logits → [P] screening scores (utils.py:107-117)."""
+    top2 = jax.lax.top_k(logits, 2)[0]  # [P, N, 2]
+    largest, second = top2[..., 0], top2[..., 1]
+    diff = largest - second
+    complement = jnp.abs(largest + second - 1.0)
+    return (diff - complement).mean(axis=-1)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("topn",))
+def _prompt_select_jit(classifiers: Array, features: Array, topn: int) -> tuple:
+    feats = l2_normalize(features.astype(jnp.float32))
+    logits = jnp.einsum(
+        "nd,pdc->pnc", feats, classifiers, preferred_element_type=jnp.float32
+    )
+    scores = rank_cls_scores(logits)
+    _, order = jax.lax.top_k(scores, topn)
+    merged = classifiers[order].sum(axis=0)  # [D, C]
+    merged = merged / jnp.linalg.norm(merged, axis=0, keepdims=True)
+    return merged, scores, order
+
+
+def prompt_select(
+    classifiers: Array, features: Array, topn: int = 50
+) -> Array:
+    """Screen [P, D, C] classifiers on [N, D] tile features; return the
+    column-normalized sum of the top-n (utils.py:119-146) as [D, C]."""
+    merged, _, _ = _prompt_select_jit(classifiers, features, topn)
+    return merged
+
+
+def random_ensemble(classifiers: Array, topn: int = 50) -> Array:
+    """The no-screening fallback (zeroshot_detection_WSI.py:60-67): sum of
+    ``topn`` seeded-random classifiers (with replacement), column-normalized."""
+    import random as _random
+
+    total = int(classifiers.shape[0])
+    picks = []
+    for cter in range(topn):
+        _random.seed(cter)
+        picks.append(_random.randint(0, total - 1))
+    merged = classifiers[jnp.asarray(picks)].sum(axis=0)
+    return merged / jnp.linalg.norm(merged, axis=0, keepdims=True)

@@ -1,0 +1,172 @@
+"""WSI grid/refine/pipeline tests against an independent dict-based oracle
+implementing the documented reference semantics (SURVEY.md §2.1 #6-#8)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keep_tpu.wsi.grid import CoordGrid, refine_grid
+from keep_tpu.wsi.pipelines import (
+    dice_at_lowres,
+    patch_labels_from_mask,
+    score_tiles,
+    zero_shot_detection,
+    zero_shot_segment,
+    zero_shot_subtyping,
+)
+
+
+def make_slide(rng, n=400, ps=256, holes=0.3, dup=5):
+    """Random sparse coordinate grid with holes + duplicate coords."""
+    side = int(np.sqrt(n / (1 - holes))) + 2
+    cells = [(r, c) for r in range(side) for c in range(side)]
+    rng.shuffle(cells)
+    cells = cells[:n]
+    coords = np.array([(c * ps, r * ps) for r, c in cells], np.int64)
+    if dup:
+        coords = np.concatenate([coords, coords[:dup]], axis=0)
+    feats = rng.standard_normal((len(coords), 32), dtype=np.float32)
+    return coords, feats
+
+
+def oracle_refine(probs, coords, ps, overlap):
+    """Dict-based neighbor averaging, straight from the documented rules:
+    first-seen dedupe; mean over present {self, (x-ps,y-ps), (x,y-ps), (x-ps,y)}."""
+    order, seen = [], {}
+    for i, (x, y) in enumerate(coords):
+        if (x, y) not in seen:
+            seen[(x, y)] = probs[i]
+            order.append((x, y))
+    if not overlap:
+        return np.array([seen[k] for k in order]), order
+    out = []
+    for x, y in order:
+        neigh = [
+            seen[k]
+            for k in [(x - ps, y - ps), (x, y - ps), (x - ps, y), (x, y)]
+            if k in seen
+        ]
+        out.append(np.mean(neigh, axis=0))
+    return np.array(out), order
+
+
+def test_grid_roundtrip(rng):
+    coords, feats = make_slide(rng)
+    grid = CoordGrid.from_coords(coords, 256)
+    vals = rng.standard_normal((len(coords), 3), dtype=np.float32)
+    g, occ = grid.scatter(vals)
+    back = np.asarray(grid.gather(g))
+    np.testing.assert_allclose(back, vals[grid.keep], atol=0)
+    assert occ.sum() == grid.num_patches
+
+
+def test_refine_matches_oracle(rng):
+    ps = 224
+    coords, feats = make_slide(rng, n=300, ps=ps)
+    probs = rng.random((len(coords), 4), dtype=np.float32)
+    grid = CoordGrid.from_coords(coords, ps)
+    g, occ = grid.scatter(probs)
+    got = np.asarray(grid.gather(refine_grid(g, occ)))
+    ref, order = oracle_refine(probs, [tuple(c) for c in coords], ps, overlap=True)
+    kept_coords = [tuple(c) for c in grid.kept_coords(coords)]
+    assert kept_coords == order
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_misaligned_coords_rejected():
+    with pytest.raises(ValueError, match="uniform patch_size grid"):
+        CoordGrid.from_coords(np.array([[0, 0], [100, 0]]), 256)
+
+
+def test_offset_aligned_coords_ok():
+    g = CoordGrid.from_coords(np.array([[13, 13], [269, 13]]), 256)
+    assert (g.rows, g.cols) == (1, 2)
+
+
+def test_score_tiles_softmax_scale(rng):
+    feats = rng.standard_normal((50, 16), dtype=np.float32)
+    cls = rng.standard_normal((16, 2), dtype=np.float32)
+    cls /= np.linalg.norm(cls, axis=0, keepdims=True)
+    probs = np.asarray(score_tiles(jnp.asarray(cls), jnp.asarray(feats)))
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    logits = f @ cls * 10
+    ref = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    np.testing.assert_allclose(probs, ref, atol=1e-5)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
+
+
+def test_detection_matches_oracle(rng):
+    ps = 256
+    coords, feats = make_slide(rng, n=200, ps=ps)
+    cls = rng.standard_normal((32, 2), dtype=np.float32)
+    prob = zero_shot_detection(jnp.asarray(cls), jnp.asarray(feats), coords,
+                               patch_size=ps, overlap=False)
+    probs = np.asarray(score_tiles(jnp.asarray(cls), jnp.asarray(feats)))
+    refined, _ = oracle_refine(probs, [tuple(c) for c in coords], ps, overlap=False)
+    ref = np.mean(refined[:, 1] > 0.5)
+    assert prob == pytest.approx(ref, abs=1e-6)
+
+
+def test_subtyping_matches_oracle(rng):
+    ps = 256
+    coords, feats = make_slide(rng, n=250, ps=ps)
+    n_classes = 4  # 3 subtypes + appended Normal
+    cls = rng.standard_normal((32, n_classes), dtype=np.float32)
+    label, fractions = zero_shot_subtyping(
+        jnp.asarray(cls), jnp.asarray(feats), coords, patch_size=ps
+    )
+    probs = np.asarray(score_tiles(jnp.asarray(cls), jnp.asarray(feats)))
+    refined, _ = oracle_refine(probs, [tuple(c) for c in coords], ps, overlap=True)
+    preds = refined.argmax(1)
+    ref_frac = np.array([(preds == i).mean() for i in range(n_classes)])
+    np.testing.assert_allclose(fractions, ref_frac, atol=1e-6)
+    assert label == int(np.argmax(ref_frac[:-1]))
+    assert fractions.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_patch_labels_from_mask():
+    ps = 4
+    mask = np.zeros((16, 16), np.uint8)
+    mask[0:4, 0:4] = 1          # patch (0,0) fully tumor
+    mask[0:4, 4:6] = 1          # patch (4,0) half tumor (8/16 → not > 0.5)
+    mask[4:8, 0:3] = 1          # patch (0,4) 12/16 → tumor
+    coords = np.array([[0, 0], [4, 0], [0, 4], [8, 8]])
+    labels = patch_labels_from_mask(mask, coords, ps)
+    np.testing.assert_array_equal(labels, [1, 0, 1, 0])
+
+
+def test_segmentation_end_to_end(rng):
+    """Synthetic slide where class-1 prob correlates with the mask → high AUROC."""
+    ps = 224
+    side = 10
+    coords = np.array(
+        [(c * ps, r * ps) for r in range(side) for c in range(side)], np.int64
+    )
+    tumor = (coords[:, 0] < 5 * ps).astype(np.float32)  # left half tumor
+    # features: direction d0 for tumor, -d0 for normal + noise
+    d = np.zeros(32, np.float32)
+    d[0] = 1.0
+    feats = np.outer(2 * tumor - 1, d) + 0.1 * rng.standard_normal((len(coords), 32))
+    cls = np.stack([-d, d], axis=1)  # class1 aligned with tumor
+    mask = np.zeros((side * ps, side * ps), np.uint8)
+    mask[:, : 5 * ps] = 255
+    auc, dice = zero_shot_segment(
+        jnp.asarray(cls), jnp.asarray(feats.astype(np.float32)), coords,
+        mask=mask, patch_size=ps,
+    )
+    assert auc > 0.99
+    # neighbor refine blurs the tumor boundary column → Dice ~0.89 here
+    assert dice > 0.85
+
+
+def test_dice_painting_counts():
+    ps, mag = 32, 16
+    mask_lowres = np.zeros((8, 8), np.uint8)
+    mask_lowres[0:2, 0:2] = 255  # GT covers the (0,0) patch footprint (2x2 lowres)
+    coords = np.array([[0, 0], [32, 32]])
+    probs = np.array([0.9, 0.1])
+    dice = dice_at_lowres(probs, coords, mask_lowres, mag, ps, threshold=0.5)
+    assert dice == pytest.approx(1.0)  # only the true patch painted
+    probs = np.array([0.9, 0.9])
+    dice = dice_at_lowres(probs, coords, mask_lowres, mag, ps, threshold=0.5)
+    assert dice == pytest.approx(2 * 4 / (4 + 8))

@@ -1,0 +1,127 @@
+"""Zero-shot classifier build + prompt screening vs a torch-style oracle
+implementing the documented reference math (SURVEY.md §2.1 #4-#5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keep_tpu.zeroshot import (
+    build_classifier,
+    build_classifiers_batched,
+    prompt_select,
+    random_ensemble,
+    rank_cls_scores,
+)
+
+
+def normalize(x, axis=-1):
+    return x / np.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def test_build_classifier_single_template(rng):
+    emb = rng.standard_normal((1, 16)).astype(np.float32)
+    cls = np.asarray(build_classifier([jnp.asarray(emb), jnp.asarray(emb * 2)]))
+    ref_col = normalize(normalize(emb).mean(0))
+    np.testing.assert_allclose(cls[:, 0], ref_col[0] if ref_col.ndim > 1 else ref_col, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(cls, axis=0), 1.0, atol=1e-6)
+    assert cls.shape == (16, 2)
+
+
+def test_build_classifier_multi_template(rng):
+    embs = [rng.standard_normal((5, 16)).astype(np.float32) for _ in range(3)]
+    cls = np.asarray(build_classifier([jnp.asarray(e) for e in embs]))
+    for c, e in enumerate(embs):
+        col = normalize(e).mean(0)
+        col = col / np.linalg.norm(col)
+        np.testing.assert_allclose(cls[:, c], col, atol=1e-6)
+    # first_template_only quirk (reference utils.py:74)
+    cls_q = np.asarray(
+        build_classifier([jnp.asarray(e) for e in embs], first_template_only=True)
+    )
+    for c, e in enumerate(embs):
+        np.testing.assert_allclose(cls_q[:, c], normalize(e[0]), atol=1e-6)
+
+
+def test_rank_cls_scores(rng):
+    logits = rng.random((7, 40, 3)).astype(np.float32)
+    got = np.asarray(rank_cls_scores(jnp.asarray(logits)))
+    srt = np.sort(logits, axis=-1)
+    largest, second = srt[..., -1], srt[..., -2]
+    ref = ((largest - second) - np.abs(largest + second - 1)).mean(-1)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_prompt_select_matches_oracle(rng):
+    p, d, c, n, topn = 12, 16, 2, 100, 5
+    classifiers = rng.standard_normal((p, d, c)).astype(np.float32)
+    classifiers = classifiers / np.linalg.norm(classifiers, axis=1, keepdims=True)
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+
+    got = np.asarray(prompt_select(jnp.asarray(classifiers), jnp.asarray(feats), topn))
+
+    fn = normalize(feats)
+    scores = []
+    for k in range(p):
+        logits = fn @ classifiers[k]
+        srt = np.sort(logits, axis=1)
+        largest, second = srt[:, -1], srt[:, -2]
+        scores.append(((largest - second) - np.abs(largest + second - 1)).mean())
+    order = np.argsort(-np.asarray(scores), kind="stable")
+    merged = classifiers[order[:topn]].sum(0)
+    merged = merged / np.linalg.norm(merged, axis=0, keepdims=True)
+    np.testing.assert_allclose(got, merged, atol=1e-5)
+
+
+def test_random_ensemble_seeding(rng):
+    """Seeded picks must be reproducible (zeroshot_detection_WSI.py:60-67)."""
+    classifiers = jnp.asarray(rng.standard_normal((9, 8, 2)).astype(np.float32))
+    a = np.asarray(random_ensemble(classifiers, topn=4))
+    b = np.asarray(random_ensemble(classifiers, topn=4))
+    np.testing.assert_allclose(a, b)
+    np.testing.assert_allclose(np.linalg.norm(a, axis=0), 1.0, atol=1e-6)
+
+
+def test_build_classifiers_batched(rng):
+    """End-to-end prompt stack via a fake encoder + real tokenizer path."""
+    d = 8
+
+    class FakeTok:
+        def __call__(self, texts, max_length=256):
+            n = len(texts)
+            ids = np.zeros((n, 4), np.int32)
+            for i, t in enumerate(texts):
+                ids[i, 0] = (hash(t) % 1000) + 1
+            return {
+                "input_ids": ids,
+                "attention_mask": np.ones((n, 4), np.int32),
+                "token_type_ids": np.zeros((n, 4), np.int32),
+            }
+
+    def fake_encode(ids, mask):
+        # deterministic unit feature per text id
+        g = np.random.default_rng(ids[:, 0].astype(np.int64))
+        feats = g.standard_normal((ids.shape[0], d)).astype(np.float32)
+        return jnp.asarray(normalize(feats))
+
+    prompts = {
+        "0": {"classnames": {"Normal": "normal tissue", "Tumor": "melanoma"},
+              "templates": "CLASSNAME."},
+        "1": {"classnames": {"Normal": "benign", "Tumor": "cancer"},
+              "templates": ["an image of CLASSNAME.", "CLASSNAME"]},
+    }
+    label_map = {"Normal": 0, "Tumor": 1}
+    stack = build_classifiers_batched(
+        fake_encode, FakeTok(), prompts, label_map, batch_size=3
+    )
+    assert stack.shape == (2, d, 2)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(stack), axis=1), 1.0, atol=1e-5
+    )
+    # add_normal appends a class column
+    stack3 = build_classifiers_batched(
+        fake_encode, FakeTok(),
+        {"0": {"classnames": {"A": "a", "B": "b", "Normal": "normal"},
+               "templates": "CLASSNAME."}},
+        {"A": 0, "B": 1}, add_normal=True, batch_size=2,
+    )
+    assert stack3.shape == (1, d, 3)
