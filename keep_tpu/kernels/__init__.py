@@ -1,0 +1,1 @@
+from keep_tpu.kernels.flash_attention import flash_attention  # noqa: F401

@@ -1,0 +1,140 @@
+"""Fused multi-head attention Pallas kernels for short sequences.
+
+The encoder workload (ViT-L: S=197, BERT: S=256 — reference
+quick_start/keep_inference.py towers) has tiny sequences but huge batch×head
+counts. XLA's attention materializes the fp32 score tensor in HBM
+(B·H·S² ≈ 600 MB/layer at B=256) and the [B,S,H,D]→[B,H,S,D] transposes
+copy another ~225 MB/layer. This kernel computes ``softmax(q kᵀ·scale +
+bias) v`` for a GROUP of heads per program with scores living only in VMEM,
+and consumes q/k/v in their natural post-projection layout ``[B, S, H*Dh]``
+(heads = 64-lane slices) — no transposes, no padding copies: Mosaic masks
+non-aligned S internally.
+
+Not a streaming (online-softmax) flash variant: S ≤ a few hundred means the
+whole [S, S] score block fits VMEM, so the single-pass softmax is exact and
+cheaper. For long sequences a blocked variant would be needed — out of scope
+for the KEEP encoder family.
+
+Entry points:
+- ``attention_qkv_heads(q, k, v, key_bias)`` — fast path, [B, S, H*Dh] layout.
+- ``flash_attention(q, k, v, bias)``        — generic [B, H, S, Dh] API.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _make_kernel(scale: float, group: int, dh: int, with_bias: bool):
+    def kernel(*refs):
+        if with_bias:
+            q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+            bias_row = bias_ref[0][None, :]  # [1, S]
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+            bias_row = None
+        qs, ks, vs = q_ref[0], k_ref[0], v_ref[0]  # [S, G*Dh]
+        for g in range(group):  # static unroll over the head group
+            q = qs[:, g * dh : (g + 1) * dh]
+            k = ks[:, g * dh : (g + 1) * dh]
+            v = vs[:, g * dh : (g + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale
+            if bias_row is not None:
+                s = s + bias_row
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[0, :, g * dh : (g + 1) * dh] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            ).astype(v.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "group"))
+def attention_qkv_heads(
+    q: Array,
+    k: Array,
+    v: Array,
+    key_bias: Array | None = None,
+    *,
+    num_heads: int,
+    group: int = 8,
+) -> Array:
+    """q/k/v [B, S, H*Dh] (head h occupies lanes [h·Dh, (h+1)·Dh)) → [B, S, H*Dh].
+
+    ``key_bias``: optional [B, S] additive mask on key positions (0 valid,
+    −1e9 masked) — the BERT padding mask.
+    """
+    b, s, hd = q.shape
+    h = num_heads
+    dh = hd // h
+    while h % group:
+        group //= 2
+    scale = dh**-0.5
+    grid = (b, h // group)
+    spec = pl.BlockSpec((1, s, group * dh), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+
+    args = [q, k, v]
+    in_specs = [spec, spec, spec]
+    if key_bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(key_bias.astype(jnp.float32))
+
+    return pl.pallas_call(
+        _make_kernel(scale, group, dh, key_bias is not None),
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * dh,
+            bytes_accessed=4 * b * s * hd * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+def flash_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Array | None = None,
+    group: int = 8,
+) -> Array:
+    """Generic [B, H, S, Dh] API (drop-in for ``mha_attention``'s XLA path).
+
+    ``bias`` may be a [B, 1, 1, S] additive key mask or None. Layout shuffles
+    here are for API compatibility; the models call ``attention_qkv_heads``
+    directly and skip them.
+    """
+    b, h, s, dh = q.shape
+    to_lanes = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    key_bias = None if bias is None else bias.reshape(b, s)
+    out = attention_qkv_heads(
+        to_lanes(q), to_lanes(k), to_lanes(v), key_bias,
+        num_heads=h, group=group,
+    )
+    return out.reshape(b, s, h, dh).transpose(0, 2, 1, 3)

@@ -43,10 +43,22 @@ def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bo
     b, s, d = x.shape
     h, dh = cfg.num_attention_heads, cfg.head_dim
 
-    qkv = linear(p["attn"]["qkv"], x)
-    qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
-    attn = mha_attention(qkv[0], qkv[1], qkv[2], bias=mask_bias, use_flash=use_flash)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    if use_flash:
+        from keep_tpu.kernels.flash_attention import attention_qkv_heads
+
+        wk, bk = p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"]
+        proj = lambda lo: linear(
+            {"kernel": wk[:, lo : lo + d], "bias": bk[lo : lo + d]}, x
+        )
+        attn = attention_qkv_heads(
+            proj(0), proj(d), proj(2 * d),
+            key_bias=mask_bias.reshape(b, s), num_heads=h,
+        )
+    else:
+        qkv = linear(p["attn"]["qkv"], x)
+        qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        attn = mha_attention(qkv[0], qkv[1], qkv[2], bias=mask_bias, use_flash=False)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     attn = linear(p["attn"]["out"], attn)
     x = layer_norm(p["attn"]["norm"], x + attn, cfg.ln_eps)
 

@@ -72,10 +72,23 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool) -> Array:
     h, dh = cfg.num_heads, cfg.head_dim
 
     y = layer_norm(p["norm1"], x, cfg.ln_eps)
-    qkv = linear(p["attn"]["qkv"], y)  # [B, S, 3D]
-    qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3, B, H, S, Dh]
-    attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=use_flash)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    if use_flash:
+        from keep_tpu.kernels.flash_attention import attention_qkv_heads
+
+        # three dots from sliced qkv weights keep q/k/v in [B, S, H*Dh]
+        # lane layout — the Pallas kernel needs no transposes at all
+        wk, bk = p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"]
+        proj = lambda lo: linear(
+            {"kernel": wk[:, lo : lo + d], "bias": bk[lo : lo + d]}, y
+        )
+        attn = attention_qkv_heads(
+            proj(0), proj(d), proj(2 * d), num_heads=h
+        )
+    else:
+        qkv = linear(p["attn"]["qkv"], y)  # [B, S, 3D]
+        qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     attn = linear(p["attn"]["proj"], attn)
     if cfg.layerscale_init is not None:
         attn = attn * p["ls1"].astype(attn.dtype)

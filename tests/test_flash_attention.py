@@ -1,0 +1,60 @@
+"""Flash-attention kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from keep_tpu.kernels.flash_attention import flash_attention
+from keep_tpu.ops.nn import mha_attention
+
+
+@pytest.mark.parametrize("s", [197, 256, 64])
+def test_matches_xla(s, rng):
+    b, h, dh = 2, 4, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, dh), dtype=np.float32))
+        for _ in range(3)
+    )
+    ref = np.asarray(mha_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, group=4))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_with_key_bias(rng):
+    b, h, s, dh = 3, 2, 40, 16
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, dh), dtype=np.float32))
+        for _ in range(3)
+    )
+    mask = np.ones((b, s), np.float32)
+    mask[1, 25:] = 0
+    mask[2, 7:] = 0
+    bias = jnp.asarray((1.0 - mask)[:, None, None, :] * -1e9)
+    ref = np.asarray(mha_attention(q, k, v, bias=bias))
+    got = np.asarray(flash_attention(q, k, v, bias=bias, group=2))
+    valid = mask.astype(bool)
+    # compare query rows at valid positions for every batch (padded-key cols
+    # never contribute; padded-query rows are still computed identically)
+    np.testing.assert_allclose(got.transpose(0, 2, 1, 3)[valid],
+                               ref.transpose(0, 2, 1, 3)[valid],
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bf16(rng):
+    b, h, s, dh = 2, 4, 197, 64
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, h, s, dh), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    ref = np.asarray(mha_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention(q, k, v)).astype(np.float32)
+    assert np.max(np.abs(got - ref)) < 0.05
+
+
+def test_group_fallback_when_not_divisible(rng):
+    """B*H=6 not divisible by default group=8 → group degrades cleanly."""
+    b, h, s, dh = 3, 2, 30, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh), dtype=np.float32))
+    out = flash_attention(q, q, q)
+    ref = np.asarray(mha_attention(q, q, q))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
