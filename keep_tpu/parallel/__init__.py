@@ -1,0 +1,7 @@
+from keep_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)

@@ -1,0 +1,193 @@
+"""The training step: data-parallel contrastive/metric pretraining on a mesh.
+
+Reference inner loop (training/path_training/train_hierarchy.py:73-248):
+tokenize → autocast bf16 encode_image/encode_text → HyMetricLoss (or
+ClipLoss) with logit_scale.exp() → backward → grad clip → AdamW step →
+clamp logit_scale to [0, ln 100]. Gradient accumulation caches no-grad
+features and re-forwards each chunk with the cached rest as negatives
+(:127-165).
+
+TPU-native: one jitted step under ``jax.jit`` with NamedSharding — batch
+sharded over the mesh's 'dp' axis, params replicated; XLA inserts the
+all-gathers the similarity matrix needs (the reference's gather_features /
+DDP allreduce have no user-space analog here). bf16 compute, fp32 params —
+no GradScaler. Accumulation is a ``lax.scan`` over microbatches with
+stop-gradient feature caching, exactly the reference semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from keep_tpu.configs import KEEPConfig
+from keep_tpu.models import keep
+from keep_tpu.train.loss import clip_loss, hy_metric_loss
+
+Array = jax.Array
+
+LOGIT_SCALE_MAX = float(np.log(100.0))  # train_hierarchy.py:190-192
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: Array
+
+    def replace(self, **kw) -> "TrainState":
+        return dataclasses.replace(self, **kw)
+
+
+def tree_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    kind: str = "hierarchy_metric"  # or 'clip'
+    caption_num: int = 32
+    loss_subtype: str = "lhp-hn"
+    local_loss: bool = False
+
+
+def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash):
+    img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype, use_flash=use_flash)
+    txt = keep.encode_text(
+        params,
+        batch["input_ids"],
+        batch.get("attention_mask"),
+        batch.get("token_type_ids"),
+        cfg,
+        dtype=dtype,
+        use_flash=use_flash,
+    )
+    return img, txt
+
+
+def compute_loss(
+    params, batch, cfg: KEEPConfig, loss_cfg: LossConfig,
+    *, dtype=jnp.bfloat16, use_flash=False, axis_name=None,
+):
+    img, txt = _encode_batch(params, batch, cfg, dtype, use_flash)
+    scale = jnp.exp(params["logit_scale"])
+    if loss_cfg.kind == "hierarchy_metric":
+        # HyMetricLoss consumes the global batch: with pjit sharding the
+        # [n, n] similarity forces the all-gather automatically.
+        return hy_metric_loss(
+            img, txt, batch["node_connection"], scale,
+            caption_num=loss_cfg.caption_num, loss_type=loss_cfg.loss_subtype,
+        )
+    return clip_loss(
+        img, txt, scale, axis_name=axis_name, local_loss=loss_cfg.local_loss,
+        labels=batch.get("labels"),
+    )
+
+
+def make_train_step(
+    cfg: KEEPConfig,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    *,
+    dtype=jnp.bfloat16,
+    use_flash: bool = False,
+    donate: bool = True,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """One optimizer step. Shard the batch over 'dp' (NamedSharding) and keep
+    params replicated; jit once per freeze phase (tx encodes the mask)."""
+
+    def step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            return compute_loss(
+                params, batch, cfg, loss_cfg, dtype=dtype, use_flash=use_flash
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "logit_scale": jnp.exp(params["logit_scale"])}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_accum_train_step(
+    cfg: KEEPConfig,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    accum_freq: int,
+    *,
+    dtype=jnp.bfloat16,
+    use_flash: bool = False,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Gradient accumulation with cached negatives (train_hierarchy.py:127-165):
+    microbatch features are cached without grad, then each chunk is
+    re-forwarded with the cached others as negatives; grads sum across chunks
+    before one optimizer step. ``batch`` arrays carry a leading
+    [accum_freq, micro, ...] axis."""
+
+    def step(state: TrainState, batches: dict):
+        def encode(params, mb):
+            return _encode_batch(params, mb, cfg, dtype, use_flash)
+
+        def cache_one(_, mb):
+            img, txt = encode(state.params, mb)
+            return None, (jax.lax.stop_gradient(img), jax.lax.stop_gradient(txt))
+
+        _, (img_cache, txt_cache) = jax.lax.scan(cache_one, None, batches)
+        # [accum, micro, D] → splice chunk j live, rest cached
+        micro = img_cache.shape[1]
+
+        def loss_for_chunk(params, j):
+            mb = jax.tree.map(lambda x: x[j], batches)
+            img_j, txt_j = encode(params, mb)
+            img_all = jax.lax.dynamic_update_slice_in_dim(
+                img_cache.reshape(-1, img_cache.shape[-1]), img_j, j * micro, 0
+            )
+            txt_all = jax.lax.dynamic_update_slice_in_dim(
+                txt_cache.reshape(-1, txt_cache.shape[-1]), txt_j, j * micro, 0
+            )
+            scale = jnp.exp(params["logit_scale"])
+            if loss_cfg.kind == "hierarchy_metric":
+                return hy_metric_loss(
+                    img_all, txt_all, batches["node_connection"][0], scale,
+                    caption_num=loss_cfg.caption_num,
+                    loss_type=loss_cfg.loss_subtype,
+                )
+            return clip_loss(img_all, txt_all, scale)
+
+        def accum_one(grads, j):
+            loss, g = jax.value_and_grad(loss_for_chunk)(state.params, j)
+            return jax.tree.map(jnp.add, grads, g), loss
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        grads, losses = jax.lax.scan(accum_one, zero, jnp.arange(accum_freq))
+        # summed chunk grads == the exact full-batch gradient (each chunk's
+        # backward sees the full-batch loss through its live features); the
+        # reference likewise accumulates without dividing (:127-165)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": jnp.mean(losses),
+                           "logit_scale": jnp.exp(params["logit_scale"])}
+
+    return jax.jit(step, donate_argnums=(0,))

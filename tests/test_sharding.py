@@ -1,0 +1,59 @@
+"""Multi-device paths on the 8-device virtual CPU mesh: graft-entry dry run,
+sharded WSI scoring parity, batch sharding helpers."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from keep_tpu.parallel import batch_sharding, make_mesh, pad_to_multiple, shard_batch
+from keep_tpu.wsi.pipelines import score_tiles
+
+
+def test_mesh_helpers():
+    mesh = make_mesh(8, axes=("dp",))
+    assert mesh.shape == {"dp": 8}
+    x = np.arange(64, dtype=np.float32).reshape(16, 4)
+    sharded = shard_batch(mesh, {"x": x})
+    np.testing.assert_allclose(np.asarray(sharded["x"]), x)
+    padded, n = pad_to_multiple(np.ones((10, 3)), 8)
+    assert padded.shape == (16, 3) and n == 10
+
+
+def test_sharded_wsi_scoring_matches_single(rng):
+    """The WSI patch axis sharded over the mesh (SURVEY §5 long-axis plan):
+    per-tile softmax scores are embarrassingly parallel — sharded run must
+    equal the single-device run exactly."""
+    mesh = make_mesh(8)
+    feats = rng.standard_normal((8 * 125, 64)).astype(np.float32)
+    cls = rng.standard_normal((64, 3)).astype(np.float32)
+
+    single = np.asarray(score_tiles(jnp.asarray(cls), jnp.asarray(feats)))
+
+    feats_sh = jax.device_put(jnp.asarray(feats), batch_sharding(mesh))
+    cls_rep = jax.device_put(jnp.asarray(cls), NamedSharding(mesh, P()))
+    out = jax.jit(
+        score_tiles,
+        in_shardings=(NamedSharding(mesh, P()), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )(cls_rep, feats_sh)
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+
+
+def test_graft_entry_single():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

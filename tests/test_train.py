@@ -1,0 +1,189 @@
+"""Trainer stack: schedules vs reference formulas, freeze masking,
+train-step convergence, grad accumulation equivalence, checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+from keep_tpu.models import keep
+from keep_tpu.train import optim, schedules
+from keep_tpu.train.freeze import FreezeSchedule, diff_report, snapshot
+from keep_tpu.train.trainer import (
+    LossConfig,
+    make_accum_train_step,
+    make_train_step,
+    tree_state,
+)
+
+TINY = KEEPConfig(
+    vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2, num_heads=2),
+    text=BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=32,
+    ),
+    projection_dim=32,
+)
+
+
+def make_batch(rng, n, n_id=4):
+    return {
+        "pixels": rng.standard_normal((n, 16, 16, 3)).astype(np.float32),
+        "input_ids": rng.integers(1, 64, (n, 16)),
+        "attention_mask": np.ones((n, 16), np.int32),
+        "node_connection": np.ones((n_id, n_id), np.float32),
+    }
+
+
+# --------------------------------------------------------------------------
+
+
+def test_schedules_match_reference_formulas():
+    # cosine (scheduler.py:43-53)
+    sch = schedules.cosine_lr(1e-3, warmup_length=5, steps=100)
+    assert float(sch(0)) == pytest.approx(1e-3 * 1 / 5)
+    assert float(sch(4)) == pytest.approx(1e-3)
+    e, es = 50 - 5, 100 - 5
+    assert float(sch(50)) == pytest.approx(0.5 * (1 + np.cos(np.pi * e / es)) * 1e-3)
+    # const (scheduler.py:13-21)
+    c = schedules.const_lr(2e-4, 3)
+    assert float(c(1)) == pytest.approx(2e-4 * 2 / 3)
+    assert float(c(10)) == pytest.approx(2e-4)
+    # cooldown (scheduler.py:24-40)
+    cd = schedules.const_lr_cooldown(1e-3, 2, steps=20, cooldown_steps=10,
+                                     cooldown_power=2.0, cooldown_end_lr=1e-5)
+    assert float(cd(5)) == pytest.approx(1e-3)
+    e, es = 15 - 10, 10
+    ref = (1 - e / es) ** 2 * (1e-3 - 1e-5) + 1e-5
+    assert float(cd(15)) == pytest.approx(ref, rel=1e-6)
+
+
+def test_train_step_learns_and_clamps(rng):
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    params["logit_scale"] = jnp.asarray(10.0)  # above ln(100) ≈ 4.6 → must clamp
+    tx = optim.adamw(1e-3, weight_decay=0.01, grad_clip_norm=1.0)
+    state = tree_state(params, tx)
+    step = make_train_step(
+        TINY, LossConfig(kind="clip"), tx, dtype=jnp.float32, donate=False
+    )
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 8).items()}
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert float(state.params["logit_scale"]) <= np.log(100.0) + 1e-6
+    assert losses[-1] < losses[0]  # memorizes the fixed batch
+    assert int(state.step) == 8
+
+
+def test_hierarchy_metric_step_runs(rng):
+    params = keep.init(jax.random.PRNGKey(1), TINY)
+    tx = optim.adamw(1e-3, params=params)
+    state = tree_state(params, tx)
+    step = make_train_step(
+        TINY, LossConfig(kind="hierarchy_metric", caption_num=4), tx,
+        dtype=jnp.float32, donate=False,
+    )
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 8, n_id=4).items()}
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_freeze_masks_gradients(rng):
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    fs = FreezeSchedule(freeze_visual_epochs=1, freeze_text_epochs=0)
+    tx = optim.freeze_wrapper(optim.adamw(1e-2), fs.frozen_fn(epoch=0))
+    state = tree_state(params, tx)
+    before = snapshot(params)
+    step = make_train_step(TINY, LossConfig(kind="clip"), tx,
+                           dtype=jnp.float32, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 4).items()}
+    for _ in range(3):
+        state, _ = step(state, batch)
+    report = diff_report(before, state.params)
+    assert report["visual"] == "frozen"
+    assert report["text"] == "open"
+    assert report["visual_head"] == "open"
+    # epoch 1: everything opens
+    tx1 = optim.freeze_wrapper(optim.adamw(1e-2), fs.frozen_fn(epoch=1))
+    state1 = tree_state(state.params, tx1)
+    before1 = snapshot(state1.params)
+    step1 = make_train_step(TINY, LossConfig(kind="clip"), tx1,
+                            dtype=jnp.float32, donate=False)
+    state1, _ = step1(state1, batch)
+    assert diff_report(before1, state1.params)["visual"] == "open"
+
+
+def test_freeze_phases():
+    fs = FreezeSchedule(freeze_visual_epochs=2, freeze_text_epochs=1)
+    phases = fs.phases(4)
+    assert phases == [
+        (0, frozenset({"visual", "text"})),
+        (1, frozenset({"visual"})),
+        (2, frozenset()),
+    ]
+
+
+def test_accum_step_matches_full_batch(rng):
+    """accum_freq=2 with cached negatives ≈ one full-batch step (identical
+    here because cached features equal live ones at the same params)."""
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    tx = optim.adamw(1e-3)
+    batch = make_batch(rng, 8)
+    full = {k: jnp.asarray(v) for k, v in batch.items()}
+    micro = {
+        k: jnp.asarray(v.reshape((2, 4) + v.shape[1:]) if k != "node_connection"
+                       else np.stack([v, v]))
+        for k, v in batch.items()
+    }
+    s_full = tree_state(params, tx)
+    step_full = make_train_step(TINY, LossConfig(kind="clip"), tx,
+                                dtype=jnp.float32, donate=False)
+    s_full, m_full = step_full(s_full, full)
+
+    s_acc = tree_state(params, tx)
+    step_acc = make_accum_train_step(TINY, LossConfig(kind="clip"), tx, 2,
+                                     dtype=jnp.float32)
+    s_acc, m_acc = step_acc(s_acc, micro)
+
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-4)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_full.params, s_acc.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 5e-5
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from keep_tpu.train import checkpoint as ckpt
+
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    tx = optim.adamw(1e-3)
+    state = tree_state(params, tx)
+    d = str(tmp_path / "ckpts")
+    ckpt.save(d, epoch=0, params=state.params, opt_state=state.opt_state, step=5)
+    ckpt.save(d, epoch=2, params=state.params, opt_state=state.opt_state, step=15)
+    assert ckpt.latest_epoch(d) == 2
+    like = {"params": state.params, "opt_state": state.opt_state,
+            "step": np.asarray(0)}
+    out = ckpt.restore(d, like=like)
+    assert out["epoch"] == 2 and int(out["step"]) == 15
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["logit_scale"]),
+        np.asarray(state.params["logit_scale"]),
+    )
+    out0 = ckpt.restore(d, epoch=0, like=like)
+    assert int(out0["step"]) == 5
+
+
+def test_wd_mask_structure():
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    mask = optim.wd_mask(params)
+    assert mask["logit_scale"] is False
+    assert mask["visual"]["cls_token"] is False
+    assert mask["visual"]["blocks"]["ls1"] is False
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["kernel"] is True
+    assert mask["visual"]["blocks"]["attn"]["qkv"]["bias"] is False
+    assert mask["text"]["embeddings"]["word"] is True
+    assert mask["text"]["blocks"]["norm"]["scale"] is False
