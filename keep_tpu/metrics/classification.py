@@ -94,12 +94,16 @@ def auroc_device(y_true, y_score) -> "jnp.ndarray":
 
 
 def confusion_binary(y_true, y_pred) -> tuple[int, int, int, int]:
-    y_true = np.asarray(y_true).astype(int)
-    y_pred = np.asarray(y_pred).astype(int)
-    tp = int(np.sum((y_true == 1) & (y_pred == 1)))
-    tn = int(np.sum((y_true == 0) & (y_pred == 0)))
-    fp = int(np.sum((y_true == 0) & (y_pred == 1)))
-    fn = int(np.sum((y_true == 1) & (y_pred == 0)))
+    # literal ==1/==0 comparisons like the reference (zeroshot_metrics.py:36-45):
+    # non-numeric labels simply yield zero counts (sens/spec become nan)
+    y_true = np.asarray(y_true)
+    y_pred = np.asarray(y_pred)
+    t1, t0 = (y_true == 1), (y_true == 0)
+    p1, p0 = (y_pred == 1), (y_pred == 0)
+    tp = int(np.sum(t1 & p1))
+    tn = int(np.sum(t0 & p0))
+    fp = int(np.sum(t0 & p1))
+    fn = int(np.sum(t1 & p0))
     return tp, fp, tn, fn
 
 

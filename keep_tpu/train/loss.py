@@ -168,20 +168,19 @@ class DOGraph:
 
 
 @functools.lru_cache(maxsize=8)
-def _kron_masks(n_id: int, n_ins: int):
+def _kron_masks_np(n_id: int, n_ins: int):
     eye = np.eye(n_id, dtype=np.float32)
     right = np.kron(eye, np.ones((n_ins, 1), np.float32))  # [n, N_id]
     left = right.T  # [N_id, n]
     within = np.kron(eye, np.ones((n_ins, n_ins), np.float32))  # 1 in-group
     sign = np.where(within > 0, -1.0, 1.0).astype(np.float32)  # -1 in-group
-    pos_id = eye
-    return (
-        jnp.asarray(right),
-        jnp.asarray(left),
-        jnp.asarray(within),
-        jnp.asarray(sign),
-        jnp.asarray(pos_id),
-    )
+    return right, left, within, sign, eye
+
+
+def _kron_masks(n_id: int, n_ins: int):
+    # numpy cached; jnp conversion must happen per trace (device constants
+    # cached across jits would leak tracers)
+    return tuple(jnp.asarray(m) for m in _kron_masks_np(n_id, n_ins))
 
 
 def _metric_loss(

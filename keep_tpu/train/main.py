@@ -1,0 +1,247 @@
+"""Training entrypoint: ``python -m keep_tpu.train.main --config cfg.yml``.
+
+Mirrors the reference's ``python -m path_training.main`` orchestration
+(training/path_training/main.py:70-467): experiment naming, seed, logging,
+model build (+ pretrained tower loading), resume-latest, data, LR schedule,
+freeze phases, epoch loop with in-training eval and checkpointing, and the
+results.jsonl history. TPU-native: no DDP wrap/GradScaler — one jitted train
+step per freeze phase, bf16 compute, Orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.models import keep
+from keep_tpu.train import checkpoint as ckpt
+from keep_tpu.train import eval as zs_eval
+from keep_tpu.train import optim, schedules
+from keep_tpu.train.config import TrainRunConfig
+from keep_tpu.train.data import BatchIterator, GroupDataset, load_knowledge_json
+from keep_tpu.train.freeze import FreezeSchedule, diff_report, snapshot
+from keep_tpu.train.loss import DOGraph
+from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
+from keep_tpu.utils.logging import AverageMeter, append_results, setup_logging
+
+
+def experiment_name(cfg: TrainRunConfig) -> str:
+    """Timestamped experiment naming (reference main.py:96-109)."""
+    if cfg.save.experiment_name:
+        return cfg.save.experiment_name
+    date_str = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+    return "-".join(
+        [
+            date_str,
+            f"model_{cfg.model.type}",
+            f"lr_{cfg.solver.lr}",
+            f"b_{cfg.dataloader.batch_size}",
+            f"e_{cfg.solver.epochs}",
+        ]
+    )
+
+
+def build_schedule(cfg: TrainRunConfig, steps_per_epoch: int):
+    total = cfg.solver.epochs * steps_per_epoch
+    s = cfg.solver
+    if s.lr_scheduler == "cosine":
+        return schedules.cosine_lr(s.lr, s.warmup, total)
+    if s.lr_scheduler == "const":
+        return schedules.const_lr(s.lr, s.warmup)
+    if s.lr_scheduler == "const-cooldown":
+        return schedules.const_lr_cooldown(
+            s.lr, s.warmup, total, s.cooldown_steps, s.cooldown_power, s.cooldown_end_lr
+        )
+    raise ValueError(f"unknown lr scheduler {s.lr_scheduler}")
+
+
+def build_params(cfg: TrainRunConfig, rng_seed: int):
+    """Init + optional pretrained tower loading (factory.py:200-217 semantics:
+    the text tower loads a knowledge-BERT checkpoint, the visual tower loads a
+    timm ViT checkpoint)."""
+    params = keep.init(jax.random.PRNGKey(rng_seed), cfg.keep)
+    params["logit_scale"] = jnp.asarray(np.log(1.0 / cfg.model.logit_scale), jnp.float32)
+    if cfg.model.pretrained_image:
+        import torch
+
+        from keep_tpu.compat.torch_loader import convert_timm_vit
+
+        sd = torch.load(cfg.model.pretrained_image, map_location="cpu", weights_only=True)
+        params["visual"] = jax.tree.map(
+            jnp.asarray, convert_timm_vit(sd, cfg.keep.vision)
+        )
+        logging.info("loaded pretrained visual tower from %s", cfg.model.pretrained_image)
+    if cfg.model.pretrained_text:
+        import torch
+
+        from keep_tpu.compat.torch_loader import convert_hf_bert, strip_prefix
+
+        sd = torch.load(cfg.model.pretrained_text, map_location="cpu", weights_only=True)
+        if any(k.startswith("bert_model.") for k in sd):
+            sd = strip_prefix(sd, "bert_model.")
+        params["text"] = jax.tree.map(jnp.asarray, convert_hf_bert(sd, cfg.keep.text))
+        logging.info("loaded pretrained text tower from %s", cfg.model.pretrained_text)
+    return params
+
+
+def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None) -> dict:
+    """Run training; returns the final eval record. ``dataset`` /
+    ``image_loader`` injectable for tests and custom data sources."""
+    name = experiment_name(cfg)
+    out_dir = os.path.join(cfg.save.output_dir, name)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    setup_logging(os.path.join(out_dir, "out.log"))
+    logging.info("experiment %s → %s", name, out_dir)
+    with open(os.path.join(out_dir, "params.txt"), "w") as f:
+        f.write(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
+
+    if tokenizer is None:
+        from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+        tokenizer = WordPieceTokenizer.from_pretrained(cfg.dataset.img_dir)
+
+    nodes = (
+        load_knowledge_json(cfg.dataset.knowledge_file)
+        if cfg.dataset.knowledge_file
+        else None
+    )
+    do_graph = (
+        DOGraph({k: v["parent"] for k, v in nodes.items()}) if nodes else DOGraph({})
+    )
+    if dataset is None:
+        dataset = GroupDataset(
+            cfg.dataset.train_data,
+            num_instance=cfg.dataloader.batch_size // cfg.dataloader.caption_num,
+            knowledge_json=nodes,
+            text_drop=cfg.dataloader.text_drop,
+            labeled_cap=cfg.dataset.label_cap,
+            seed=cfg.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+
+    make_iter = lambda: BatchIterator(
+        dataset=dataset,
+        tokenizer=tokenizer,
+        img_dir=cfg.dataset.img_dir,
+        batch_size=cfg.dataloader.batch_size,
+        caption_num=cfg.dataloader.caption_num,
+        image_size=cfg.keep.vision.img_size,
+        max_length=cfg.keep.max_text_length,
+        do_graph=do_graph,
+        image_loader=image_loader,
+        seed=cfg.seed,
+    )
+    steps_per_epoch = make_iter().num_batches
+    schedule = build_schedule(cfg, steps_per_epoch)
+
+    params = build_params(cfg, cfg.seed)
+    start_epoch = 0
+    if cfg.save.resume:
+        epoch = None if cfg.save.resume == "latest" else int(cfg.save.resume)
+        try:
+            restored = ckpt.restore(ckpt_dir, epoch=epoch)
+            params = jax.tree.map(jnp.asarray, restored["params"])
+            start_epoch = restored["epoch"] + 1
+            logging.info("resumed from epoch %d", restored["epoch"])
+        except FileNotFoundError:
+            logging.info("resume requested but no checkpoint found; fresh start")
+
+    loss_cfg = LossConfig(
+        kind=cfg.model.type if cfg.model.type == "hierarchy_metric" else "clip",
+        caption_num=cfg.dataloader.caption_num,
+        loss_subtype=cfg.model.loss_subtype,
+    )
+    fs = FreezeSchedule(
+        freeze_visual_epochs=cfg.solver.freeze_visual_epochs,
+        freeze_text_epochs=cfg.solver.freeze_text_epochs,
+        freeze_knowledge_epochs=cfg.solver.freeze_knowledge_epochs,
+    )
+    dtype = jnp.bfloat16 if "bf16" in cfg.model.precision else jnp.float32
+    use_flash = cfg.model.use_flash and jax.default_backend() == "tpu"
+
+    def build_step(epoch):
+        tx = optim.freeze_wrapper(
+            optim.adamw(
+                schedule,
+                weight_decay=cfg.solver.weight_decay,
+                b1=cfg.solver.beta1,
+                b2=cfg.solver.beta2,
+                eps=cfg.solver.eps,
+                grad_clip_norm=cfg.solver.grad_clip_norm,
+            ),
+            fs.frozen_fn(epoch),
+        )
+        step_fn = make_train_step(
+            cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash, donate=False
+        )
+        return tx, step_fn
+
+    state = None
+    cur_phase = None
+    results = {}
+    for epoch in range(start_epoch, cfg.solver.epochs):
+        phase = fs.frozen_towers(epoch)
+        if phase != cur_phase:
+            tx, step_fn = build_step(epoch)
+            state = tree_state(params if state is None else state.params, tx)
+            cur_phase = phase
+            logging.info("epoch %d: frozen towers = %s", epoch, sorted(phase) or "none")
+        pre_snapshot = snapshot(state.params)
+
+        dataset.resample_epoch()
+        loss_meter, step_time = AverageMeter(), AverageMeter()
+        t0 = time.time()
+        for i, batch in enumerate(make_iter()):
+            arrays = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if k in ("pixels", "input_ids", "attention_mask", "node_connection")
+            }
+            state, metrics = step_fn(state, arrays)
+            loss_meter.update(float(metrics["loss"]))
+            step_time.update(time.time() - t0)
+            t0 = time.time()
+            if i % 100 == 0:
+                logging.info(
+                    "epoch %d step %d/%d loss %.4f (%.2f samples/s)",
+                    epoch, i, steps_per_epoch, loss_meter.avg,
+                    cfg.dataloader.batch_size / max(step_time.avg, 1e-9),
+                )
+        logging.info("epoch %d freeze check: %s", epoch,
+                     diff_report(pre_snapshot, state.params))
+
+        results = {"epoch": epoch, "train_loss": loss_meter.avg}
+        append_results(os.path.join(ckpt_dir, "results.jsonl"), results)
+
+        if (epoch + 1) % cfg.save.save_frequency == 0 or epoch + 1 == cfg.solver.epochs:
+            ckpt.save(
+                ckpt_dir, epoch, state.params, state.opt_state,
+                step=int(state.step),
+                keep_previous=not cfg.save.delete_previous_checkpoint,
+            )
+            logging.info("saved checkpoint epoch %d", epoch)
+    return results
+
+
+def main(argv: Optional[list[str]] = None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True, help="YAML run config")
+    args = parser.parse_args(argv)
+    cfg = TrainRunConfig.from_yaml(args.config)
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    main()
