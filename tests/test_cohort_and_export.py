@@ -1,0 +1,140 @@
+"""Cohort WSI drivers + HF export/import round trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.wsi.cohort import (
+    detection_cohort,
+    load_kidrare_labels,
+    segmentation_cohort,
+    subtyping_cohort,
+)
+
+
+def make_cohort(rng, n_slides=6, n_patches=120, d=32, ps=256, n_classes=2):
+    """Synthetic cohort: tumor slides carry features aligned with class-1
+    direction."""
+    direction = np.zeros(d, np.float32)
+    direction[0] = 1.0
+    cls = np.stack([-direction, direction], axis=1).astype(np.float32)
+    if n_classes > 2:
+        extra = np.zeros((d, n_classes - 2), np.float32)
+        for i in range(n_classes - 2):
+            extra[i + 1, i] = 1.0
+        cls = np.concatenate([cls, extra], axis=1)
+    side = int(np.ceil(np.sqrt(n_patches)))
+    coords = np.array(
+        [((i % side) * ps, (i // side) * ps) for i in range(n_patches)], np.int64
+    )
+    items = []
+    for s in range(n_slides):
+        label = s % 2
+        sign = 2.0 * label - 1.0
+        feats = (
+            sign * np.outer(np.ones(n_patches), direction)
+            + 0.3 * rng.standard_normal((n_patches, d))
+        ).astype(np.float32)
+        items.append(
+            {"slide_id": f"s{s}", "features": feats, "coords": coords, "label": label}
+        )
+    return jnp.asarray(cls), items
+
+
+def test_detection_cohort(rng):
+    cls, items = make_cohort(rng)
+    out = detection_cohort(cls, items)
+    assert out["n"] == 6
+    assert out["auroc"] == 1.0
+    assert out["sensitivity"] == 1.0 and out["specificity"] == 1.0
+
+
+def test_segmentation_cohort(rng):
+    cls, items = make_cohort(rng, n_slides=2, n_patches=100, ps=224)
+    side = 10
+    masks = {}
+    for item in items:
+        m = np.zeros((side * 224, side * 224), np.uint8)
+        if item["label"] == 1:
+            m[:, : 5 * 224] = 255  # left half tumor
+        else:
+            m[:224, :224] = 255  # tiny region so both GT classes exist
+        masks[item["slide_id"]] = m
+    # make slide-0's first patch strongly tumor so GT has both classes
+    items[0]["features"][0] = 5.0 * np.eye(32, dtype=np.float32)[0]
+    out = segmentation_cohort(cls, items, lambda sid: masks[sid], patch_size=224)
+    assert out["n"] == 2
+    assert 0.0 <= out["mean_dice"] <= 1.0
+    assert out["per_slide"]["s1"]["auroc"] >= 0.0
+
+
+def test_subtyping_cohort(rng):
+    # 3 classes = 2 subtypes + Normal appended last
+    d = 32
+    dirs = np.eye(d, dtype=np.float32)
+    cls = np.stack([dirs[0], dirs[1], dirs[2]], axis=1)
+    ps = 256
+    coords = np.array([(i * ps, 0) for i in range(50)], np.int64)
+    items = []
+    for s in range(4):
+        label = s % 2
+        feats = (np.outer(np.ones(50), dirs[label])
+                 + 0.2 * rng.standard_normal((50, d))).astype(np.float32)
+        items.append({"slide_id": f"s{s}", "features": feats,
+                      "coords": coords, "label": label})
+    out = subtyping_cohort(jnp.asarray(cls), items)
+    assert out["balanced_accuracy"] == 1.0
+
+
+def test_kidrare_labels(tmp_path):
+    import json
+
+    p = tmp_path / "labels.json"
+    json.dump({"slide1": "Normal", "slide2": "Nephroblastoma"}, open(p, "w"))
+    slides, label_map = load_kidrare_labels(str(p), "Nephroblastoma")
+    assert label_map == {"Normal": 0, "Nephroblastoma": 1}
+    assert slides["slide2"] == "Nephroblastoma"
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_hf_export_roundtrip(tmp_path, rng):
+    from keep_tpu.compat.export import save_pretrained
+    from keep_tpu.models import keep
+    from tests.test_keep_api import TINY
+
+    params = keep.init(jax.random.PRNGKey(3), TINY)
+    save_pretrained(str(tmp_path / "model"), params, TINY)
+    assert (tmp_path / "model" / "config.json").exists()
+
+    model = keep.KEEPModel.from_pretrained(str(tmp_path / "model"), cfg=TINY)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    a = keep.encode_image(params, x, TINY)
+    b = model.encode_image(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ids = jnp.asarray(rng.integers(1, TINY.text.vocab_size, (2, 16)))
+    ta = keep.encode_text(params, ids, cfg=TINY)
+    tb = model.encode_text(ids)
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-6)
+
+
+def test_export_loads_in_torch_reference_layout(tmp_path):
+    """The exported state dict must slot into a torch KEEP module built like
+    the published one (keep_inference.py:28-52) with strict=True."""
+    import torch
+
+    from keep_tpu.compat.export import to_keep_state_dict
+    from keep_tpu.models import keep
+    from tests.test_keep_api import TINY, build_torch_keep
+
+    visual, head, text, ref_sd = build_torch_keep(TINY)
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    sd = {k: torch.from_numpy(np.asarray(v, np.float32).copy())
+          for k, v in to_keep_state_dict(params, TINY).items()}
+    assert set(sd.keys()) == set(ref_sd.keys())
+    for k in sd:
+        assert tuple(sd[k].shape) == tuple(ref_sd[k].shape), k

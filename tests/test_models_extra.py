@@ -1,0 +1,203 @@
+"""KEP training model, OpenCLIP-style CLIP/TextTransformer (+ torch parity),
+and the BPE tokenizer vs transformers.CLIPTokenizer."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import BertConfig, ViTConfig
+from keep_tpu.models import clip as clip_model
+from keep_tpu.models import kep, text_transformer
+from keep_tpu.models.text_transformer import (
+    TextTransformerConfig,
+    convert_openclip_text,
+)
+
+TT_CFG = TextTransformerConfig(
+    vocab_size=100, context_length=24, width=32, heads=4, layers=2, output_dim=16
+)
+
+
+class TorchOpenAIText(nn.Module):
+    """OpenAI CLIP text tower semantics with torch MHA (state-dict keys match
+    the open_clip layout consumed by convert_openclip_text)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        torch.manual_seed(0)
+        self.cfg = cfg
+        self.token_embedding = nn.Embedding(cfg.vocab_size, cfg.width)
+        self.positional_embedding = nn.Parameter(torch.randn(cfg.context_length, cfg.width) * 0.01)
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = nn.LayerNorm(cfg.width, eps=cfg.ln_eps)
+                self.attn = nn.MultiheadAttention(cfg.width, cfg.heads, batch_first=False)
+                self.ln_2 = nn.LayerNorm(cfg.width, eps=cfg.ln_eps)
+                self.mlp = nn.Sequential()
+                self.mlp.add_module("c_fc", nn.Linear(cfg.width, cfg.width * 4))
+                self.mlp.add_module("gelu", nn.GELU())
+                self.mlp.add_module("c_proj", nn.Linear(cfg.width * 4, cfg.width))
+
+            def forward(self, x, mask):
+                y = self.ln_1(x)
+                y = self.attn(y, y, y, need_weights=False, attn_mask=mask)[0]
+                x = x + y
+                return x + self.mlp(self.ln_2(x))
+
+        class Transformer(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.resblocks = nn.ModuleList([Block() for _ in range(cfg.layers)])
+
+        self.transformer = Transformer()
+        self.ln_final = nn.LayerNorm(cfg.width, eps=cfg.ln_eps)
+        self.text_projection = nn.Parameter(torch.randn(cfg.width, cfg.output_dim) * 0.05)
+
+    def forward(self, ids):
+        x = self.token_embedding(ids) + self.positional_embedding[: ids.shape[1]]
+        x = x.permute(1, 0, 2)  # LND
+        s = ids.shape[1]
+        mask = torch.triu(torch.full((s, s), float("-inf")), diagonal=1)
+        for blk in self.transformer.resblocks:
+            x = blk(x, mask)
+        x = x.permute(1, 0, 2)
+        x = self.ln_final(x)
+        pooled = x[torch.arange(x.shape[0]), ids.argmax(dim=-1)]
+        return pooled @ self.text_projection
+
+
+def test_text_transformer_matches_torch(rng):
+    tmodel = TorchOpenAIText(TT_CFG).eval()
+    params = convert_openclip_text(tmodel.state_dict(), TT_CFG)
+    ids = rng.integers(1, 80, size=(3, 24))
+    ids[:, -1] = 99  # EOT = highest id
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(ids)).numpy()
+    got = np.asarray(
+        text_transformer.forward(params, jnp.asarray(ids), TT_CFG)
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+
+
+def test_eot_pooling_position(rng):
+    """Pooling follows argmax(ids): EOT mid-sequence must change the output."""
+    params = text_transformer.init(jax.random.PRNGKey(0), TT_CFG)
+    ids = np.full((1, 24), 5, np.int64)
+    ids[0, 10] = 99
+    a = text_transformer.forward(params, jnp.asarray(ids), TT_CFG)
+    ids2 = ids.copy()
+    ids2[0, 10] = 5
+    ids2[0, 20] = 99
+    b = text_transformer.forward(params, jnp.asarray(ids2), TT_CFG)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+def test_clip_model_api(rng):
+    cfg = clip_model.CLIPConfig(
+        embed_dim=16,
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                         num_heads=2, layerscale_init=None, ln_eps=1e-5),
+        text=TT_CFG,
+    )
+    params = clip_model.init(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(1, 99, size=(2, 24)))
+    out = clip_model.forward(params, pixels, ids, cfg)
+    assert out["image_features"].shape == (2, 16)
+    assert out["text_features"].shape == (2, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["image_features"]), axis=1), 1.0, atol=1e-5
+    )
+    assert float(out["logit_scale"]) == pytest.approx(1 / 0.07, rel=1e-4)
+
+
+def test_kep_model(rng):
+    cfg = kep.KEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=24, depth=2, num_heads=2),
+        text=BertConfig(vocab_size=50, hidden_size=24, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=48,
+                        max_position_embeddings=32),
+        embed_dim=20,
+    )
+    params = kep.init(jax.random.PRNGKey(0), cfg)
+    assert "knowledge" in params and "visual_head" in params
+    pixels = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(1, 50, size=(2, 16)))
+    out = kep.forward(params, pixels, ids, cfg=cfg)
+    assert out["image_features"].shape == (2, 20)
+    assert out["text_features"].shape == (2, 20)
+    assert out["knowledge_features"].shape == (2, 20)
+    # knowledge tower differs from text tower (separate params)
+    assert np.abs(
+        np.asarray(out["text_features"]) - np.asarray(out["knowledge_features"])
+    ).max() > 1e-3
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["knowledge_features"]), axis=1), 1.0, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def make_clip_bpe_fixture(tmp_path):
+    """Tiny vocab/merges consumable by both our BPE and transformers'
+    CLIPTokenizer."""
+    import json
+
+    from keep_tpu.text.bpe import bytes_to_unicode
+
+    merges = ["l o", "lo w", "e r</w>", "h e", "he l", "hel lo</w>", "w o",
+              "wo r", "wor ld</w>", "l d</w>"]
+    base = list(bytes_to_unicode().values())
+    vocab = base + [v + "</w>" for v in base] + ["".join(m.split()) for m in merges]
+    vocab += ["<|startoftext|>", "<|endoftext|>"]
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+    (tmp_path / "vocab.json").write_text(
+        json.dumps({v: i for i, v in enumerate(vocab)})
+    )
+    return str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+
+
+def test_bpe_matches_transformers(tmp_path, rng):
+    from transformers import CLIPTokenizer
+
+    from keep_tpu.text.bpe import BPETokenizer
+
+    vocab_path, merges_path = make_clip_bpe_fixture(tmp_path)
+    ours = BPETokenizer(merges_path, context_length=16)
+    hf = CLIPTokenizer(vocab_path, merges_path)
+
+    for text in ["hello world", "lower", "Hello, WORLD!", "held low", ""]:
+        got = ours.encode(text)
+        ref = hf(text, add_special_tokens=False)["input_ids"]
+        assert got == ref, text
+
+    batch = ours(["hello world", "lower"], context_length=16)
+    assert batch.shape == (2, 16)
+    assert batch[0, 0] == ours.sot
+    assert ours.eot in batch[0]
+
+
+def test_bpe_truncation_keeps_eot(tmp_path):
+    from keep_tpu.text.bpe import BPETokenizer
+
+    vocab_path, merges_path = make_clip_bpe_fixture(tmp_path)
+    tok = BPETokenizer(merges_path, context_length=6)
+    out = tok("hello world hello world hello world")
+    assert out.shape == (1, 6)
+    assert out[0, -1] == tok.eot
+
+
+def test_bpe_decode_roundtrip(tmp_path):
+    from keep_tpu.text.bpe import BPETokenizer
+
+    vocab_path, merges_path = make_clip_bpe_fixture(tmp_path)
+    tok = BPETokenizer(merges_path)
+    ids = tok.encode("hello world")
+    assert tok.decode(ids).strip() == "hello world"
