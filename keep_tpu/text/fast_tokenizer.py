@@ -1,0 +1,118 @@
+"""ctypes bindings for the native C++ WordPiece tokenizer.
+
+The C++ path handles ASCII text (the entirety of the shipped prompt/caption
+corpora); any string containing non-ASCII characters routes to the
+pure-Python ``WordPieceTokenizer`` so outputs are identical everywhere.
+The shared library is built on demand with ``make -C native`` (g++).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libkeep_native.so"))
+
+
+def build_native(force: bool = False) -> str:
+    """Compile the shared library if missing; returns its path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+    return _LIB_PATH
+
+
+def _load_lib():
+    lib = ctypes.CDLL(build_native())
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.wp_vocab_size.restype = ctypes.c_int
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+class FastWordPieceTokenizer:
+    """Drop-in for ``WordPieceTokenizer.__call__`` with the native fast path."""
+
+    def __init__(self, vocab_path: str, lower_case: bool = True):
+        self.python = WordPieceTokenizer(vocab_path, lower_case=lower_case)
+        self.lib = _load_lib()
+        self.handle = self.lib.wp_create(vocab_path.encode(), int(lower_case))
+        if not self.handle:
+            raise RuntimeError(f"native tokenizer failed to load {vocab_path}")
+
+    def __del__(self):
+        if getattr(self, "handle", None) and getattr(self, "lib", None):
+            self.lib.wp_free(self.handle)
+            self.handle = None
+
+    def __call__(
+        self, texts: str | Sequence[str], max_length: int = 256,
+        padding: str = "max_length",
+    ) -> dict[str, np.ndarray]:
+        if isinstance(texts, str):
+            texts = [texts]
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        other_idx = [i for i in range(len(texts)) if i not in set(ascii_idx)]
+
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+
+        if ascii_idx:
+            subset = [texts[i] for i in ascii_idx]
+            buf_ids = np.zeros((len(subset), max_length), np.int32)
+            buf_mask = np.zeros((len(subset), max_length), np.int32)
+            arr = (ctypes.c_char_p * len(subset))(
+                *[t.encode("ascii") for t in subset]
+            )
+            self.lib.wp_encode_batch(
+                self.handle, arr, len(subset), max_length,
+                buf_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                buf_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            ids[ascii_idx] = buf_ids
+            mask[ascii_idx] = buf_mask
+
+        if other_idx:
+            enc = self.python([texts[i] for i in other_idx], max_length=max_length)
+            ids[other_idx] = enc["input_ids"]
+            mask[other_idx] = enc["attention_mask"]
+
+        return {
+            "input_ids": ids,
+            "attention_mask": mask,
+            "token_type_ids": np.zeros_like(ids),
+        }
+
+    # delegate the rest of the API to the Python implementation
+    def tokenize(self, text: str):
+        return self.python.tokenize(text)
+
+    def encode(self, text: str, max_length: int = 256):
+        return self.python.encode(text, max_length)
+
+    def decode(self, ids, skip_special: bool = True):
+        return self.python.decode(ids, skip_special)
+
+    @property
+    def vocab(self):
+        return self.python.vocab
