@@ -34,7 +34,9 @@ def main():
     params = vit.init(jax.random.PRNGKey(0), cfg)
     bs = 256 if on_tpu else 8
     fwd = jax.jit(
-        lambda p, x: vit.forward(p, x, cfg, dtype=jnp.bfloat16, use_flash=on_tpu)
+        lambda p, x: vit.forward(
+            p, x, cfg, dtype=jnp.bfloat16, use_flash=on_tpu, gelu_approx=True
+        )
     )
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((bs, 224, 224, 3), dtype=np.float32)

@@ -38,6 +38,22 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _sdpa(q, k, v, bias_row, scale):
+    """softmax(q kᵀ·scale + bias_row) v on one head, all in VMEM, fp32 softmax."""
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    if bias_row is not None:
+        s = s + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
 def _make_kernel(scale: float, group: int, dh: int, with_bias: bool):
     def kernel(*refs):
         if with_bias:
@@ -51,20 +67,7 @@ def _make_kernel(scale: float, group: int, dh: int, with_bias: bool):
             q = qs[:, g * dh : (g + 1) * dh]
             k = ks[:, g * dh : (g + 1) * dh]
             v = vs[:, g * dh : (g + 1) * dh]
-            s = jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scale
-            if bias_row is not None:
-                s = s + bias_row
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-            o_ref[0, :, g * dh : (g + 1) * dh] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            ).astype(v.dtype)
+            o_ref[0, :, g * dh : (g + 1) * dh] = _sdpa(q, k, v, bias_row, scale)
 
     return kernel
 
@@ -111,6 +114,65 @@ def attention_qkv_heads(
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * dh,
             bytes_accessed=4 * b * s * hd * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _make_slab_kernel(scale: float, h: int, dh: int, with_bias: bool):
+    def kernel(*refs):
+        if with_bias:
+            qkv_ref, bias_ref, o_ref = refs
+            bias_row = bias_ref[0][None, :]
+        else:
+            qkv_ref, o_ref = refs
+            bias_row = None
+        slab = qkv_ref[0]  # [S, 3·H·Dh] — q | k | v lane blocks
+        d = h * dh
+        for g in range(h):
+            q = slab[:, g * dh : (g + 1) * dh]
+            k = slab[:, d + g * dh : d + (g + 1) * dh]
+            v = slab[:, 2 * d + g * dh : 2 * d + (g + 1) * dh]
+            o_ref[0, :, g * dh : (g + 1) * dh] = _sdpa(q, k, v, bias_row, scale)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def attention_qkv_slab(
+    qkv: Array, key_bias: Array | None = None, *, num_heads: int
+) -> Array:
+    """qkv [B, S, 3·H·Dh] — the UNSPLIT fused qkv-projection output — →
+    [B, S, H·Dh]. One program per batch row computes every head, so the qkv
+    projection stays a single large MXU dot and the slab is DMA'd exactly
+    once per layer."""
+    b, s, three_hd = qkv.shape
+    h = num_heads
+    dh = three_hd // (3 * h)
+    scale = dh**-0.5
+
+    in_specs = [
+        pl.BlockSpec((1, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    args = [qkv]
+    if key_bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(key_bias.astype(jnp.float32))
+
+    return pl.pallas_call(
+        _make_slab_kernel(scale, h, dh, key_bias is not None),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * dh), qkv.dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, s, h * dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * dh,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
             transcendentals=b * h * s * s,
         ),
         interpret=_interpret(),

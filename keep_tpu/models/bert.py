@@ -39,19 +39,15 @@ Array = jax.Array
 MASK_VALUE = -1e9
 
 
-def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bool) -> Array:
+def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bool, gelu_approx: bool = False) -> Array:
     b, s, d = x.shape
     h, dh = cfg.num_attention_heads, cfg.head_dim
 
     if use_flash:
-        from keep_tpu.kernels.flash_attention import attention_qkv_heads
+        from keep_tpu.kernels.flash_attention import attention_qkv_slab
 
-        wk, bk = p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"]
-        proj = lambda lo: linear(
-            {"kernel": wk[:, lo : lo + d], "bias": bk[lo : lo + d]}, x
-        )
-        attn = attention_qkv_heads(
-            proj(0), proj(d), proj(2 * d),
+        attn = attention_qkv_slab(
+            linear(p["attn"]["qkv"], x),
             key_bias=mask_bias.reshape(b, s), num_heads=h,
         )
     else:
@@ -62,7 +58,7 @@ def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bo
     attn = linear(p["attn"]["out"], attn)
     x = layer_norm(p["attn"]["norm"], x + attn, cfg.ln_eps)
 
-    y = mlp(p["mlp"], x)
+    y = mlp(p["mlp"], x, gelu_approx=gelu_approx)
     return layer_norm(p["norm"], x + y, cfg.ln_eps)
 
 
@@ -75,6 +71,7 @@ def forward(
     *,
     dtype: jnp.dtype = jnp.float32,
     use_flash: bool = False,
+    gelu_approx: bool = False,
 ) -> dict:
     """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}."""
     b, s = input_ids.shape
@@ -94,7 +91,7 @@ def forward(
     # [B, 1, 1, S] additive bias on key positions.
     mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * MASK_VALUE
 
-    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash)
+    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash, gelu_approx=gelu_approx)
 
     def scan_body(carry, layer_params):
         return block_fn(layer_params, carry, mask_bias), None

@@ -67,23 +67,35 @@ def resample_pos_embed(
     return jnp.concatenate([prefix, grid], axis=1)
 
 
-def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool) -> Array:
+def patch_dropout(
+    tokens: Array, key: jax.Array, keep_rate: float, num_prefix: int = 1
+) -> Array:
+    """Training-time patch dropout (reference transformer.py:47-84): keep a
+    random ``keep_rate`` subset of patch tokens per sample, prefix tokens
+    always kept. Returns [B, num_prefix + ceil(keep_rate·N), D]."""
+    if keep_rate >= 1.0:
+        return tokens
+    b, s, d = tokens.shape
+    n = s - num_prefix
+    num_keep = max(1, int(n * keep_rate))
+    noise = jax.random.uniform(key, (b, n))
+    keep_idx = jnp.argsort(noise, axis=-1)[:, :num_keep] + num_prefix
+    prefix = tokens[:, :num_prefix]
+    kept = jnp.take_along_axis(tokens, keep_idx[..., None], axis=1)
+    return jnp.concatenate([prefix, kept], axis=1)
+
+
+def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool, gelu_approx: bool = False) -> Array:
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
 
     y = layer_norm(p["norm1"], x, cfg.ln_eps)
     if use_flash:
-        from keep_tpu.kernels.flash_attention import attention_qkv_heads
+        from keep_tpu.kernels.flash_attention import attention_qkv_slab
 
-        # three dots from sliced qkv weights keep q/k/v in [B, S, H*Dh]
-        # lane layout — the Pallas kernel needs no transposes at all
-        wk, bk = p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"]
-        proj = lambda lo: linear(
-            {"kernel": wk[:, lo : lo + d], "bias": bk[lo : lo + d]}, y
-        )
-        attn = attention_qkv_heads(
-            proj(0), proj(d), proj(2 * d), num_heads=h
-        )
+        # one fused qkv dot; the kernel lane-slices heads from the slab —
+        # no transposes, no padding, slab DMA'd once per layer
+        attn = attention_qkv_slab(linear(p["attn"]["qkv"], y), num_heads=h)
     else:
         qkv = linear(p["attn"]["qkv"], y)  # [B, S, 3D]
         qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
@@ -94,7 +106,7 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool) -> Array:
         attn = attn * p["ls1"].astype(attn.dtype)
     x = x + attn
 
-    y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps))
+    y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps), gelu_approx=gelu_approx)
     if cfg.layerscale_init is not None:
         y = y * p["ls2"].astype(y.dtype)
     return x + y
@@ -108,6 +120,9 @@ def forward(
     dtype: jnp.dtype = jnp.float32,
     use_flash: bool = False,
     remat: bool = False,
+    gelu_approx: bool = False,
+    patch_dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
 ) -> Array:
     """Image encoder forward: [B, H, W, 3] (normalized pixels) → [B, D] CLS features."""
     b, h, w, _ = x.shape
@@ -124,7 +139,12 @@ def forward(
     )
     tokens = tokens + pos.astype(dtype)
 
-    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash)
+    if patch_dropout_rate > 0.0 and dropout_key is not None:
+        tokens = patch_dropout(
+            tokens, dropout_key, 1.0 - patch_dropout_rate, cfg.num_prefix_tokens
+        )
+
+    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash, gelu_approx=gelu_approx)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 

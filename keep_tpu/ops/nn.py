@@ -18,10 +18,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def gelu(x: Array) -> Array:
-    """Exact (erf) GELU — torch ``nn.GELU()`` default used throughout the
-    reference (e.g. visual head, quick_start/keep_inference.py:44)."""
-    return jax.nn.gelu(x, approximate=False)
+def gelu(x: Array, approximate: bool = False) -> Array:
+    """GELU. ``approximate=False`` = exact erf — torch ``nn.GELU()`` default
+    used throughout the reference (e.g. visual head, keep_inference.py:44).
+
+    Perf note (measured on v5e): fp32 erf over the ViT-L MLP activations
+    costs ~50 ms/forward of pure VPU time (125 → 184 TF/s effective when
+    switched to tanh). The tanh form's error (<1e-3) is below bf16 rounding
+    noise, so bf16 inference uses it via ``mlp(..., gelu_approx=True)``.
+    """
+    return jax.nn.gelu(x, approximate=approximate)
 
 
 def linear(p: dict, x: Array) -> Array:
@@ -71,9 +77,9 @@ def mha_attention(
     return out.astype(v.dtype)
 
 
-def mlp(p: dict, x: Array) -> Array:
+def mlp(p: dict, x: Array, gelu_approx: bool = False) -> Array:
     """fc1 → GELU → fc2 (timm ``Mlp`` / BERT intermediate+output semantics)."""
-    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+    return linear(p["fc2"], gelu(linear(p["fc1"], x), approximate=gelu_approx))
 
 
 def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:

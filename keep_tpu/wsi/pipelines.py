@@ -34,6 +34,34 @@ def score_tiles(classifier: Array, features: Array, scale: float = 10.0) -> Arra
     return jax.nn.softmax(logits * scale, axis=-1)
 
 
+def score_tiles_sharded(
+    classifier: Array,
+    features: np.ndarray,
+    mesh=None,
+    scale: float = 10.0,
+) -> Array:
+    """``score_tiles`` with the patch axis sharded over the mesh's 'dp' axis —
+    the TPU-native handling of the WSI long axis (10K–100K+ patches/slide,
+    SURVEY §5): pad to the mesh, score shard-parallel, slice."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from keep_tpu.parallel import make_mesh, pad_to_multiple
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.shape["dp"]
+    padded, n = pad_to_multiple(np.asarray(features), n_dev)
+    feats = jax.device_put(jnp.asarray(padded), NamedSharding(mesh, P("dp")))
+    cls = jax.device_put(jnp.asarray(classifier), NamedSharding(mesh, P()))
+    probs = jax.jit(
+        score_tiles,
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))),
+        out_shardings=NamedSharding(mesh, P("dp")),
+        static_argnames=(),
+    )(cls, feats)
+    return probs[:n]
+
+
 def zero_shot_detection(
     classifier: Array,
     tile_features: Array,

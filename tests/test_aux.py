@@ -1,0 +1,58 @@
+"""Aux subsystems: remote sync, throughput meter, preprocessing config."""
+
+import os
+import time
+
+import numpy as np
+
+from keep_tpu.train.sync import remote_sync, start_sync_process
+from keep_tpu.utils.profiling import ThroughputMeter
+
+
+def test_remote_sync_local(tmp_path):
+    src = tmp_path / "ckpts"
+    dst = tmp_path / "remote"
+    (src / "0").mkdir(parents=True)
+    (src / "0" / "data.bin").write_bytes(b"abc")
+    (src / "epoch_latest.bin").write_bytes(b"mutating")  # must be excluded
+    (src / "1.orbax-checkpoint-tmp").mkdir()
+    assert remote_sync(str(src), str(dst))
+    assert (dst / "0" / "data.bin").read_bytes() == b"abc"
+    assert not (dst / "epoch_latest.bin").exists()
+
+
+def test_remote_sync_incremental(tmp_path):
+    src = tmp_path / "a"
+    dst = tmp_path / "b"
+    src.mkdir()
+    f = src / "x.bin"
+    f.write_bytes(b"v1")
+    remote_sync(str(src), str(dst))
+    t1 = os.path.getmtime(dst / "x.bin")
+    remote_sync(str(src), str(dst))  # unchanged → not recopied
+    assert os.path.getmtime(dst / "x.bin") == t1
+    time.sleep(0.01)
+    f.write_bytes(b"v2")
+    os.utime(f)
+    remote_sync(str(src), str(dst))
+    assert (dst / "x.bin").read_bytes() == b"v2"
+
+
+def test_sync_process_lifecycle(tmp_path):
+    src = tmp_path / "s"
+    src.mkdir()
+    (src / "f.bin").write_bytes(b"z")
+    p = start_sync_process(1, str(src), str(tmp_path / "d"))
+    assert p.is_alive()
+    p.terminate()
+    p.join(timeout=5)
+    assert not p.is_alive()
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(window=10)
+    m.update(10)
+    time.sleep(0.02)
+    m.update(10)
+    assert m.samples_per_sec > 0
+    assert m.per_device(2) == m.samples_per_sec / 2

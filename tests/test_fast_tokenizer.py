@@ -60,13 +60,18 @@ def test_native_truncation(tokenizers):
 def test_native_faster_than_python(tokenizers):
     fast, ref = tokenizers
     corpus = TEXTS[:6] * 300  # ascii-only hot path
-    t0 = time.perf_counter()
-    fast(corpus, max_length=256)
-    t_fast = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ref(corpus, max_length=256)
-    t_ref = time.perf_counter() - t0
+    # best-of-3 to be robust against host load from concurrent TPU jobs
+    t_fast = min(
+        _time(lambda: fast(corpus, max_length=256)) for _ in range(3)
+    )
+    t_ref = min(_time(lambda: ref(corpus, max_length=256)) for _ in range(3))
     assert t_fast < t_ref, (t_fast, t_ref)
+
+
+def _time(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def test_build_is_idempotent():

@@ -51,6 +51,38 @@ def test_bf16(rng):
     assert np.max(np.abs(got - ref)) < 0.05
 
 
+def test_slab_kernel_matches(rng):
+    """attention_qkv_slab (unsplit [B,S,3HD] input) == generic path."""
+    from keep_tpu.kernels.flash_attention import attention_qkv_slab
+
+    b, s, h, dh = 2, 50, 4, 16
+    qkv = rng.standard_normal((b, s, 3 * h * dh)).astype(np.float32)
+    got = np.asarray(
+        attention_qkv_slab(jnp.asarray(qkv), num_heads=h)
+    )
+    qh = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    ref = np.asarray(
+        mha_attention(jnp.asarray(qh[0]), jnp.asarray(qh[1]), jnp.asarray(qh[2]))
+    ).transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+    # with key bias
+    mask = np.ones((b, s), np.float32)
+    mask[1, 30:] = 0
+    kb = jnp.asarray((1.0 - mask) * -1e9)
+    got_b = np.asarray(
+        attention_qkv_slab(jnp.asarray(qkv), key_bias=kb, num_heads=h)
+    )
+    ref_b = np.asarray(
+        mha_attention(
+            jnp.asarray(qh[0]), jnp.asarray(qh[1]), jnp.asarray(qh[2]),
+            bias=kb[:, None, None, :],
+        )
+    ).transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got_b[valid], ref_b[valid], atol=2e-5, rtol=2e-5)
+
+
 def test_group_fallback_when_not_divisible(rng):
     """B*H=6 not divisible by default group=8 → group degrades cleanly."""
     b, h, s, dh = 3, 2, 30, 16

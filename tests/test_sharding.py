@@ -57,3 +57,32 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_score_tiles_sharded_api(rng):
+    from keep_tpu.wsi.pipelines import score_tiles_sharded
+
+    mesh = make_mesh(8)
+    feats = rng.standard_normal((1003, 32)).astype(np.float32)  # non-divisible
+    cls = rng.standard_normal((32, 2)).astype(np.float32)
+    out = np.asarray(score_tiles_sharded(jnp.asarray(cls), feats, mesh=mesh))
+    ref = np.asarray(score_tiles(jnp.asarray(cls), jnp.asarray(feats)))
+    assert out.shape == (1003, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_patch_dropout(rng):
+    from keep_tpu.models.vit import patch_dropout
+
+    tokens = jnp.asarray(rng.standard_normal((4, 17, 8), dtype=np.float32))
+    out = patch_dropout(tokens, jax.random.PRNGKey(0), keep_rate=0.5, num_prefix=1)
+    assert out.shape == (4, 1 + 8, 8)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(tokens[:, 0]))
+    # all kept rows exist in the original token set
+    for b in range(4):
+        orig = {tuple(r) for r in np.asarray(tokens[b])}
+        for r in np.asarray(out[b]):
+            assert tuple(r) in orig
+    # keep_rate=1 is identity
+    same = patch_dropout(tokens, jax.random.PRNGKey(0), keep_rate=1.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(tokens))
