@@ -100,7 +100,19 @@ class KEEPConfig:
     def from_hf_json(cls, path: str) -> "KEEPConfig":
         with open(path) as f:
             d = json.load(f)
+        # the released model ignores vision_config and hardcodes timm
+        # ViT-L/16 (reference keep_inference.py:32-40); our exported configs
+        # carry ViTConfig fields — use them when they match, else default
+        vision = ViTConfig()
+        vc = d.get("vision_config") or {}
+        known = {f.name for f in dataclasses.fields(ViTConfig)}
+        if vc and set(vc).issubset(known):
+            vc = dict(vc)
+            if vc.get("layerscale_init") is not None:
+                vc["layerscale_init"] = float(vc["layerscale_init"])
+            vision = ViTConfig(**vc)
         return cls(
+            vision=vision,
             text=BertConfig.from_hf_dict(d.get("text_config") or {}),
             projection_dim=d.get("projection_dim", 768),
         )

@@ -1,0 +1,136 @@
+"""Executable zero-shot WSI drivers: ``python -m keep_tpu.wsi.run <task> ...``
+
+Mirrors the reference driver scripts (WSI_evaluation/zeroshot_detection_WSI.py,
+zeroshot_segmentation_WSI.py, zeroshot_subtyping_WSI.py): load model +
+prompts, build the prompt-ensemble classifier (screened or seeded-random),
+sweep one slide or a cohort CSV, print metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_ensemble(model, tokenizer, prompts, label_map, features, args):
+    from keep_tpu.zeroshot import (
+        build_classifiers_batched,
+        prompt_select,
+        random_ensemble,
+    )
+
+    encode = lambda ids, mask: model.encode_text(jnp.asarray(ids), jnp.asarray(mask))
+    stack = build_classifiers_batched(
+        encode, tokenizer, prompts, label_map,
+        add_normal=args.add_normal, batch_size=args.text_batch_size,
+        max_length=args.max_length,
+    )
+    if args.prompt_screening:
+        logging.info("screening %d prompt classifiers...", stack.shape[0])
+        return prompt_select(stack, jnp.asarray(features), topn=args.topn)
+    return random_ensemble(stack, topn=args.topn)
+
+
+def load_model(args):
+    import jax
+
+    from keep_tpu.models.keep import KEEPModel
+    from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+    model = KEEPModel.from_pretrained(
+        args.model, dtype=jnp.bfloat16,
+        use_flash=jax.default_backend() == "tpu",
+    )
+    tokenizer = WordPieceTokenizer.from_pretrained(args.model)
+    return model, tokenizer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("task", choices=["detection", "segmentation", "subtyping"])
+    parser.add_argument("--model", required=True, help="HF model dir (config.json + pytorch_model.bin + vocab.txt)")
+    parser.add_argument("--prompts", required=True, help="prompt JSON (reference WSI_evaluation/prompts format)")
+    parser.add_argument("--h5", help="one slide h5 (features+coords)")
+    parser.add_argument("--cohort-csv", help="cohort CSV with slide_id/Diagnosis")
+    parser.add_argument("--data-source", help="dir containing h5_files/ for the cohort")
+    parser.add_argument("--label-map", default='{"Normal": 0, "Tumor": 1}',
+                        help="JSON label→index map")
+    parser.add_argument("--mask", help="segmentation GT mask (npy at level 0) or OpenSlide path")
+    parser.add_argument("--patch-size", type=int, default=None)
+    parser.add_argument("--topn", type=int, default=50)
+    parser.add_argument("--no-screening", dest="prompt_screening", action="store_false")
+    parser.add_argument("--text-batch-size", type=int, default=256)
+    parser.add_argument("--max-length", type=int, default=256)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    args = parser.parse_args(argv)
+    args.add_normal = args.task == "subtyping"
+    if args.patch_size is None:
+        args.patch_size = 224 if args.task == "segmentation" else 256
+
+    logging.basicConfig(level=logging.INFO)
+    from keep_tpu.io.h5 import WSIDataset, read_h5_slide
+    from keep_tpu.wsi import cohort as cohort_mod
+    from keep_tpu.wsi.pipelines import (
+        zero_shot_detection,
+        zero_shot_segment,
+        zero_shot_subtyping,
+    )
+
+    label_map = json.loads(args.label_map)
+    with open(args.prompts) as f:
+        prompts = json.load(f)
+    model, tokenizer = load_model(args)
+
+    if args.h5:
+        features, coords = read_h5_slide(args.h5)
+        classifier = build_ensemble(model, tokenizer, prompts, label_map,
+                                    features, args)
+        feats = jnp.asarray(features)
+        if args.task == "detection":
+            prob = zero_shot_detection(classifier, feats, coords,
+                                       patch_size=args.patch_size,
+                                       threshold=args.threshold)
+            print(f"Tumor probability: {prob:.4f}")
+        elif args.task == "segmentation":
+            mask = np.load(args.mask) if args.mask.endswith(".npy") else None
+            kw = {"mask": mask} if mask is not None else {"mask_path": args.mask}
+            auc, dice = zero_shot_segment(classifier, feats, coords,
+                                          patch_size=args.patch_size, **kw)
+            print(f"AUROC: {auc:.4f}  Dice: {dice:.4f}")
+        else:
+            label, fractions = zero_shot_subtyping(classifier, feats, coords,
+                                                   patch_size=args.patch_size)
+            idx_to_class = {v: k for k, v in label_map.items()}
+            print(f"Predicted subtype: {idx_to_class.get(label, label)} "
+                  f"(fractions {np.round(fractions, 4).tolist()})")
+        return
+
+    if not (args.cohort_csv and args.data_source):
+        parser.error("provide --h5 for one slide or --cohort-csv + --data-source")
+    import pandas as pd
+
+    df = pd.read_csv(args.cohort_csv)
+    ds = WSIDataset(df, args.data_source, label_map=label_map)
+    first = ds[0]
+    classifier = build_ensemble(model, tokenizer, prompts, label_map,
+                                first["features"], args)
+    if args.task == "detection":
+        out = cohort_mod.detection_cohort(classifier, ds,
+                                          patch_size=args.patch_size,
+                                          threshold=args.threshold)
+    elif args.task == "subtyping":
+        out = cohort_mod.subtyping_cohort(classifier, ds,
+                                          patch_size=args.patch_size)
+    else:
+        parser.error("cohort segmentation needs a mask provider; use the "
+                     "keep_tpu.wsi.cohort API directly")
+    out.pop("per_slide", None)
+    print(json.dumps(out, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

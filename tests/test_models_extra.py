@@ -201,3 +201,24 @@ def test_bpe_decode_roundtrip(tmp_path):
     tok = BPETokenizer(merges_path)
     ids = tok.encode("hello world")
     assert tok.decode(ids).strip() == "hello world"
+
+
+def test_poolers(rng):
+    from keep_tpu.models.poolers import get_pooler
+
+    hidden = jnp.asarray(rng.standard_normal((2, 5, 4), dtype=np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]]))
+    mean = np.asarray(get_pooler("mean_pooler")(hidden, mask))
+    np.testing.assert_allclose(mean[0], np.asarray(hidden[0, :3]).mean(0), atol=1e-6)
+    mx = np.asarray(get_pooler("max_pooler")(hidden, mask))
+    np.testing.assert_allclose(mx[0], np.asarray(hidden[0, :3]).max(0), atol=1e-6)
+    po = jnp.asarray(rng.standard_normal((2, 4), dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(get_pooler("cls_pooler")(hidden, mask, po)), np.asarray(po)
+    )
+    np.testing.assert_allclose(
+        np.asarray(get_pooler("cls_last_hidden_state_pooler")(hidden, mask, po)),
+        np.asarray(hidden[:, 0]),
+    )
+    with pytest.raises(KeyError):
+        get_pooler("nope")
