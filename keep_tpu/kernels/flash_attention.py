@@ -124,7 +124,9 @@ def _make_slab_kernel(scale: float, h: int, dh: int, with_bias: bool):
     def kernel(*refs):
         if with_bias:
             qkv_ref, bias_ref, o_ref = refs
-            bias_row = bias_ref[0][None, :]
+            # bias is passed whole ([B, S] is tiny); a (1, S) block would
+            # violate the (8, 128) tile rule for non-aligned S
+            bias_row = bias_ref[pl.program_id(0)][None, :]
         else:
             qkv_ref, o_ref = refs
             bias_row = None
@@ -139,31 +141,42 @@ def _make_slab_kernel(scale: float, h: int, dh: int, with_bias: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
 def attention_qkv_slab(
     qkv: Array, key_bias: Array | None = None, *, num_heads: int
 ) -> Array:
     """qkv [B, S, 3·H·Dh] — the UNSPLIT fused qkv-projection output — →
     [B, S, H·Dh]. One program per batch row computes every head, so the qkv
     projection stays a single large MXU dot and the slab is DMA'd exactly
-    once per layer."""
+    once per layer.
+
+    Differentiable: the forward is the Pallas kernel; the backward is the
+    closed-form attention VJP in XLA (scores rematerialized — the standard
+    flash-attention recompute trade)."""
+    if key_bias is None:
+        key_bias = jnp.zeros(qkv.shape[:2], jnp.float32)
+    return _slab_attn_vjp(qkv, key_bias, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _slab_attn_vjp(qkv: Array, key_bias: Array, num_heads: int) -> Array:
+    return _slab_attn_fwd_kernel(qkv, key_bias, num_heads=num_heads)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def _slab_attn_fwd_kernel(
+    qkv: Array, key_bias: Array, *, num_heads: int
+) -> Array:
     b, s, three_hd = qkv.shape
     h = num_heads
     dh = three_hd // (3 * h)
     scale = dh**-0.5
 
     in_specs = [
-        pl.BlockSpec((1, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, s, three_hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [qkv]
-    if key_bias is not None:
-        in_specs.append(
-            pl.BlockSpec((1, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(key_bias.astype(jnp.float32))
-
     return pl.pallas_call(
-        _make_slab_kernel(scale, h, dh, key_bias is not None),
+        _make_slab_kernel(scale, h, dh, with_bias=True),
         out_shape=jax.ShapeDtypeStruct((b, s, h * dh), qkv.dtype),
         grid=(b,),
         in_specs=in_specs,
@@ -176,7 +189,49 @@ def attention_qkv_slab(
             transcendentals=b * h * s * s,
         ),
         interpret=_interpret(),
-    )(*args)
+    )(qkv, key_bias.astype(jnp.float32))
+
+
+def _slab_split(qkv: Array, h: int):
+    b, s, three_hd = qkv.shape
+    dh = three_hd // (3 * h)
+    parts = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3,B,H,S,Dh]
+    return parts[0], parts[1], parts[2], dh
+
+
+def _slab_attn_fwd(qkv, key_bias, num_heads):
+    out = _slab_attn_fwd_kernel(qkv, key_bias, num_heads=num_heads)
+    return out, (qkv, key_bias)
+
+
+def _slab_attn_bwd(num_heads, residuals, g):
+    """Closed-form attention backward in XLA (rematerializes p):
+    dv = pᵀ·do; ds = p ∘ (do·vᵀ − rowsum(do·vᵀ ∘ p)); dq = ds·k·scale;
+    dk = dsᵀ·q·scale. No gradient flows into the key bias (a mask)."""
+    qkv, key_bias = residuals
+    b, s, three_hd = qkv.shape
+    h = num_heads
+    q, k, v, dh = _slab_split(qkv, h)
+    scale = dh**-0.5
+
+    do = g.reshape(b, s, h, dh).transpose(0, 2, 1, 3)  # [B,H,S,Dh]
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) * scale
+    sc = sc + key_bias.astype(jnp.float32)[:, None, None, :]
+    p = jax.nn.softmax(sc, axis=-1)
+    dof = do.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    dqkv = jnp.stack([dq, dk, dv], axis=0)  # [3,B,H,S,Dh]
+    dqkv = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, s, three_hd).astype(qkv.dtype)
+    return dqkv, jnp.zeros_like(key_bias)
+
+
+_slab_attn_vjp.defvjp(_slab_attn_fwd, _slab_attn_bwd)
 
 
 def flash_attention(

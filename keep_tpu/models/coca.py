@@ -1,0 +1,313 @@
+"""CoCa — contrastive captioner (alternative model family; reference
+training/path_open_clip/coca_model.py + transformer.py:634-726).
+
+Structure (CoCa paper / open_clip semantics):
+- vision tower (our ViT, token outputs) + attentional pooler over image
+  tokens (n_queries learned queries); the first pooled token projects to the
+  contrastive latent, all pooled tokens feed the decoder's cross-attention;
+- text tower: causal transformer with a learned CLS token appended at the
+  END of the sequence — CLS output → contrastive text latent, the other
+  token outputs feed the decoder;
+- multimodal decoder: per layer a causal self-attention block then a
+  cross-attention block over the pooled image tokens; final LN + projection
+  to vocab logits;
+- captioning loss: next-token CE on ``labels = text[:, -T:]``; training
+  combines it with the contrastive loss;
+- generation: greedy / top-k sampling (host loop over a jitted step; the
+  reference delegates to HF GenerationMixin utilities).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.configs import ViTConfig
+from keep_tpu.models import vit
+from keep_tpu.ops.nn import l2_normalize, layer_norm, linear, mha_attention, mlp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class CoCaConfig:
+    embed_dim: int = 512
+    vocab_size: int = 49408
+    context_length: int = 76  # text tower sees S-1; CLS takes the last slot
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-5
+    vision: ViTConfig = dataclasses.field(
+        default_factory=lambda: ViTConfig(
+            embed_dim=768, depth=12, num_heads=12, layerscale_init=None,
+            ln_eps=1e-5, pool="none",
+        )
+    )
+    pad_id: int = 0
+    sot_id: int = 49406
+    eos_id: int = 49407
+
+
+def _attn_block(p, x, bias, cfg, heads, kv=None):
+    """Pre-LN residual attention block; cross-attention when ``kv`` given
+    (keys/values from ln_1kv(kv))."""
+    b, s, d = x.shape
+    dh = d // heads
+    y = layer_norm(p["norm1"], x, cfg.ln_eps)
+    if kv is None:
+        qkv = linear(p["attn"]["qkv"], y).reshape(b, s, 3, heads, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    else:
+        ykv = layer_norm(p["norm1_kv"], kv, cfg.ln_eps)
+        q = linear(p["attn"]["q"], y).reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+        kvp = linear(p["attn"]["kv"], ykv).reshape(b, kv.shape[1], 2, heads, dh)
+        k, v = (kvp[:, :, i].transpose(0, 2, 1, 3) for i in range(2))
+    attn = mha_attention(q, k, v, bias=bias)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    x = x + linear(p["attn"]["proj"], attn)
+    return x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps))
+
+
+# --------------------------------------------------------------------------
+# Towers
+# --------------------------------------------------------------------------
+
+
+def encode_text(params, input_ids, cfg: CoCaConfig, *, dtype=jnp.float32,
+                embed_cls: bool = True):
+    """→ (text_latent [B, E] normalized, token_embs [B, S, W])."""
+    if embed_cls:
+        input_ids = input_ids[:, :-1]  # make room for the CLS slot
+    t = params["text"]
+    b, s = input_ids.shape
+    x = jnp.take(t["token_embedding"], input_ids, axis=0).astype(dtype)
+    x = x + t["pos_embed"][:s].astype(dtype)
+    cls = jnp.broadcast_to(t["cls_emb"].astype(dtype), (b, 1, x.shape[-1]))
+    x = jnp.concatenate([x, cls], axis=1)  # CLS at the END
+    sl = s + 1
+    causal = jnp.triu(jnp.full((sl, sl), -1e9, jnp.float32), k=1)[None, None]
+
+    def body(carry, lp):
+        return _attn_block(lp, carry, causal, cfg, cfg.text_heads), None
+
+    x, _ = jax.lax.scan(body, x, t["blocks"])
+    x = layer_norm(t["ln_final"], x, cfg.ln_eps)
+    latent = jnp.dot(x[:, -1], t["text_projection"].astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return l2_normalize(latent.astype(jnp.float32)), x[:, :-1]
+
+
+def encode_image(params, pixels, cfg: CoCaConfig, *, dtype=jnp.float32,
+                 use_flash=False):
+    """→ (image_latent [B, E] normalized, image_embs [B, n_queries, W])."""
+    tokens = vit.forward(params["visual"], pixels, cfg.vision,
+                         dtype=dtype, use_flash=use_flash)  # pool='none'
+    p = params["attn_pool"]
+    b = tokens.shape[0]
+    heads = cfg.attn_pooler_heads
+    w = p["query"].shape[-1]
+    dh = w // heads
+    q = jnp.broadcast_to(p["query"].astype(dtype), (b,) + p["query"].shape)
+    kv = layer_norm(p["ln_k"], tokens, cfg.ln_eps)
+    qh = linear(p["q"], q).reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    kh = linear(p["k"], kv).reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    vh = linear(p["v"], kv).reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    pooled = mha_attention(qh, kh, vh)
+    pooled = pooled.transpose(0, 2, 1, 3).reshape(b, -1, w)
+    pooled = linear(p["proj"], pooled)
+    latent = jnp.dot(pooled[:, 0], params["image_projection"].astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return l2_normalize(latent.astype(jnp.float32)), pooled
+
+
+def decode(params, token_embs, image_embs, cfg: CoCaConfig, *, dtype=jnp.float32):
+    """Multimodal decoder → vocab logits [B, T, V] (self-attn causal +
+    cross-attn to image_embs per layer, transformer.py:634-726 semantics)."""
+    d = params["decoder"]
+    x = token_embs.astype(dtype)
+    t = x.shape[1]
+    causal = jnp.triu(jnp.full((t, t), -1e9, jnp.float32), k=1)[None, None]
+
+    def body(carry, lp):
+        self_p, cross_p = lp
+        carry = _attn_block(self_p, carry, causal, cfg, cfg.decoder_heads)
+        carry = _attn_block(cross_p, carry, None, cfg, cfg.decoder_heads,
+                            kv=image_embs.astype(dtype))
+        return carry, None
+
+    x, _ = jax.lax.scan(body, x, (d["self_blocks"], d["cross_blocks"]))
+    x = layer_norm(d["ln_final"], x, cfg.ln_eps)
+    return jnp.dot(x, d["to_logits"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def forward(params, pixels, input_ids, cfg: CoCaConfig, *, dtype=jnp.float32,
+            use_flash=False) -> dict:
+    """Training forward (coca_model.py:151-166): contrastive latents +
+    captioning logits with labels = the tokens the decoder predicts."""
+    text_latent, token_embs = encode_text(params, input_ids, cfg, dtype=dtype)
+    image_latent, image_embs = encode_image(params, pixels, cfg, dtype=dtype,
+                                            use_flash=use_flash)
+    logits = decode(params, token_embs, image_embs, cfg, dtype=dtype)
+    return {
+        "image_features": image_latent,
+        "text_features": text_latent,
+        "logits": logits,
+        "labels": input_ids[:, -logits.shape[1]:],
+        "logit_scale": jnp.exp(params["logit_scale"]),
+    }
+
+
+def caption_loss(logits: Array, labels: Array, pad_id: int = 0) -> Array:
+    """Next-token CE over non-pad positions."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != pad_id).astype(jnp.float32)
+    return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+# --------------------------------------------------------------------------
+# Generation (greedy / top-k; host loop over a jitted single-step)
+# --------------------------------------------------------------------------
+
+
+def generate(
+    params,
+    pixels: Array,
+    cfg: CoCaConfig,
+    seq_len: int = 30,
+    generation_type: str = "greedy",  # 'greedy' | 'top_k'
+    top_k: int = 1,
+    temperature: float = 1.0,
+    key: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Caption generation: start from SOT, append argmax/top-k sample of the
+    next-token logits, stop at EOS (positions after EOS padded)."""
+    b = pixels.shape[0]
+    _, image_embs = encode_image(params, pixels, cfg, dtype=dtype)
+
+    @jax.jit
+    def step_logits(ids):
+        _, token_embs = encode_text(params, ids, cfg, dtype=dtype, embed_cls=False)
+        logits = decode(params, token_embs, image_embs, cfg, dtype=dtype)
+        return logits[:, -1]
+
+    ids = np.full((b, 1), cfg.sot_id, np.int32)
+    finished = np.zeros(b, bool)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    for t in range(seq_len - 1):
+        logits = np.asarray(step_logits(jnp.asarray(ids))) / max(temperature, 1e-6)
+        if generation_type == "greedy" or top_k <= 1:
+            nxt = logits.argmax(-1)
+        else:
+            key, sub = jax.random.split(key)
+            kth = np.sort(logits, axis=-1)[:, -top_k][:, None]
+            masked = np.where(logits < kth, -1e9, logits)
+            nxt = np.asarray(
+                jax.random.categorical(sub, jnp.asarray(masked), axis=-1)
+            )
+        nxt = np.where(finished, cfg.pad_id, nxt)
+        ids = np.concatenate([ids, nxt[:, None].astype(np.int32)], axis=1)
+        finished |= nxt == cfg.eos_id
+        if finished.all():
+            break
+    return ids
+
+
+# --------------------------------------------------------------------------
+# Init
+# --------------------------------------------------------------------------
+
+
+def _block_init(key, width, mlp_ratio, dtype, cross=False):
+    ks = jax.random.split(key, 6)
+    f = int(width * mlp_ratio)
+    lin = lambda k, fi, fo: {
+        "kernel": (jax.random.normal(k, (fi, fo)) * fi**-0.5).astype(dtype),
+        "bias": jnp.zeros((fo,), dtype),
+    }
+    ln = lambda: {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)}
+    attn = {"proj": lin(ks[1], width, width)}
+    if cross:
+        attn["q"] = lin(ks[0], width, width)
+        attn["kv"] = lin(ks[2], width, 2 * width)
+    else:
+        attn["qkv"] = lin(ks[0], width, 3 * width)
+    out = {
+        "norm1": ln(),
+        "attn": attn,
+        "norm2": ln(),
+        "mlp": {"fc1": lin(ks[3], width, f), "fc2": lin(ks[4], f, width)},
+    }
+    if cross:
+        out["norm1_kv"] = ln()
+    return out
+
+
+def _stack_blocks(keys, width, mlp_ratio, dtype, cross=False):
+    blocks = [_block_init(k, width, mlp_ratio, dtype, cross) for k in keys]
+    return jax.tree.map(
+        lambda *xs: jnp.stack(xs) if isinstance(xs[0], jnp.ndarray) else xs[0],
+        *blocks,
+    )
+
+
+def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 24))
+    w, e = cfg.text_width, cfg.embed_dim
+    normal = lambda k, shape, std: (jax.random.normal(k, shape) * std).astype(dtype)
+    lin = lambda k, fi, fo: {
+        "kernel": normal(k, (fi, fo), fi**-0.5),
+        "bias": jnp.zeros((fo,), dtype),
+    }
+    ln = lambda n: {"scale": jnp.ones((n,), dtype), "bias": jnp.zeros((n,), dtype)}
+    vw = cfg.vision.embed_dim
+    return {
+        "visual": vit.init(next(keys), cfg.vision, dtype),
+        "attn_pool": {
+            "query": normal(next(keys), (cfg.n_queries, vw), vw**-0.5),
+            "ln_k": ln(vw),
+            "q": lin(next(keys), vw, vw),
+            "k": lin(next(keys), vw, vw),
+            "v": lin(next(keys), vw, vw),
+            "proj": lin(next(keys), vw, w),
+        },
+        "image_projection": normal(next(keys), (w, e), w**-0.5),
+        "text": {
+            "token_embedding": normal(next(keys), (cfg.vocab_size, w), 0.02),
+            "pos_embed": normal(next(keys), (cfg.context_length, w), 0.01),
+            "cls_emb": normal(next(keys), (1, w), 0.01),
+            "blocks": _stack_blocks(
+                jax.random.split(next(keys), cfg.text_layers),
+                w, cfg.mlp_ratio, dtype,
+            ),
+            "ln_final": ln(w),
+            "text_projection": normal(next(keys), (w, e), w**-0.5),
+        },
+        "decoder": {
+            "self_blocks": _stack_blocks(
+                jax.random.split(next(keys), cfg.decoder_layers),
+                w, cfg.mlp_ratio, dtype,
+            ),
+            "cross_blocks": _stack_blocks(
+                jax.random.split(next(keys), cfg.decoder_layers),
+                w, cfg.mlp_ratio, dtype, cross=True,
+            ),
+            "ln_final": ln(w),
+            "to_logits": normal(next(keys), (w, cfg.vocab_size), w**-0.5),
+        },
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }

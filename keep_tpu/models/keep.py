@@ -137,6 +137,18 @@ class KEEPModel:
     def logit_scale(self) -> float:
         return float(jnp.exp(self.params["logit_scale"]))
 
+    def quantize(self) -> "KEEPModel":
+        """Opt-in W8A8 int8 inference variant (see ``keep_tpu.quant``)."""
+        from keep_tpu.quant import quantize_linear_weights
+
+        return KEEPModel(
+            params=quantize_linear_weights(self.params),
+            cfg=self.cfg,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            gelu_approx=self.gelu_approx,
+        )
+
     @classmethod
     def from_pretrained(
         cls,

@@ -229,3 +229,79 @@ def init(key: jax.Array, cfg: ModifiedResNetConfig, dtype=jnp.float32) -> dict:
         "c": lin(c, cfg.output_dim),
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# Standard (torchvision-style) ResNet-50 trunk — the 'res_ssl' tower
+# (reference model/res_ssl.py:5-42: lunit SSL RN50 trunk; KEP pools it with
+# AvgPool2d(7) before the visual head, model/model.py:283-285,330-333)
+# ---------------------------------------------------------------------------
+
+
+def std_bottleneck(p: dict, x: Array, stride: int, eps: float) -> Array:
+    """torchvision Bottleneck: stride on the 3×3 conv, 1×1 strided downsample."""
+    out = jax.nn.relu(batch_norm(p["bn1"], conv(p["conv1"], x), eps))
+    out = jax.nn.relu(
+        batch_norm(p["bn2"], conv(p["conv2"], out, stride=stride, padding=1), eps)
+    )
+    out = batch_norm(p["bn3"], conv(p["conv3"], out), eps)
+    identity = x
+    if "downsample" in p:
+        identity = batch_norm(
+            p["downsample"]["bn"], conv(p["downsample"]["conv"], x, stride=stride), eps
+        )
+    return jax.nn.relu(out + identity)
+
+
+def max_pool(x: Array, k: int, stride: int, padding: int) -> Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)],
+    )
+
+
+def resnet_trunk_forward(params: dict, x: Array, *, bn_eps: float = 1e-5,
+                         dtype: jnp.dtype = jnp.float32) -> Array:
+    """Standard RN50 trunk: [B, H, W, 3] → [B, H/32, W/32, 2048] feature map."""
+    x = x.astype(dtype)
+    x = jax.nn.relu(batch_norm(params["bn1"],
+                               conv(params["conv1"], x, stride=2, padding=3), bn_eps))
+    x = max_pool(x, 3, 2, 1)
+    for li in range(1, 5):
+        for bi, blk in enumerate(params[f"layer{li}"]):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            x = std_bottleneck(blk, x, stride, bn_eps)
+    return x
+
+
+def resnet_trunk_pooled(params: dict, x: Array, **kw) -> Array:
+    """Trunk → global average pool → [B, 2048] (the KEP res_ssl path's
+    AvgPool2d(7).squeeze on 224² inputs)."""
+    feat = resnet_trunk_forward(params, x, **kw)
+    return feat.mean(axis=(1, 2))
+
+
+def convert_torchvision_resnet(sd, layers=(3, 4, 6, 3)) -> dict:
+    """torchvision resnet50 state dict (trunk keys only) → pytree."""
+    g = lambda k: (sd[k].detach().cpu().numpy() if hasattr(sd[k], "detach")
+                   else np.asarray(sd[k]))
+
+    def cv(k):
+        return {"kernel": g(k + ".weight").transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        return {"scale": g(k + ".weight"), "bias": g(k + ".bias"),
+                "mean": g(k + ".running_mean"), "var": g(k + ".running_var")}
+
+    def block(prefix):
+        out = {f"conv{i}": cv(f"{prefix}.conv{i}") for i in (1, 2, 3)}
+        out.update({f"bn{i}": bn(f"{prefix}.bn{i}") for i in (1, 2, 3)})
+        if f"{prefix}.downsample.0.weight" in sd:
+            out["downsample"] = {"conv": cv(f"{prefix}.downsample.0"),
+                                 "bn": bn(f"{prefix}.downsample.1")}
+        return out
+
+    params = {"conv1": cv("conv1"), "bn1": bn("bn1")}
+    for li, depth in enumerate(layers, start=1):
+        params[f"layer{li}"] = [block(f"layer{li}.{bi}") for bi in range(depth)]
+    return params

@@ -90,3 +90,32 @@ def test_group_fallback_when_not_divisible(rng):
     out = flash_attention(q, q, q)
     ref = np.asarray(mha_attention(q, q, q))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_slab_kernel_gradients(rng):
+    """Custom VJP (Pallas fwd / XLA bwd) == pure-XLA gradients."""
+    import jax
+
+    from keep_tpu.kernels.flash_attention import attention_qkv_slab
+
+    b, s, h, dh = 2, 33, 4, 16
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * dh)).astype(np.float32))
+    mask = np.ones((b, s), np.float32)
+    mask[1, 20:] = 0
+    kb = jnp.asarray((1.0 - mask) * -1e9)
+    tgt = jnp.asarray(rng.standard_normal((b, s, h * dh)).astype(np.float32))
+
+    def loss_flash(qkv):
+        out = attention_qkv_slab(qkv, key_bias=kb, num_heads=h)
+        return jnp.sum((out - tgt) ** 2 * jnp.asarray(mask)[..., None])
+
+    def loss_xla(qkv):
+        qh = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        out = mha_attention(qh[0], qh[1], qh[2], bias=kb[:, None, None, :])
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+        return jnp.sum((out - tgt) ** 2 * jnp.asarray(mask)[..., None])
+
+    v1, g1 = jax.value_and_grad(loss_flash)(qkv)
+    v2, g2 = jax.value_and_grad(loss_xla)(qkv)
+    assert float(v1) == pytest.approx(float(v2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=1e-4)

@@ -158,3 +158,66 @@ def test_convert_openai_resnet_layout(rng):
     assert out.shape == (1, CFG.output_dim)
     ref = torch_forward(jax.tree.map(np.asarray, params), x, CFG)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=5e-5)
+
+
+def test_standard_trunk_matches_torch(rng):
+    """Standard RN trunk (res_ssl tower) vs a functional torch oracle."""
+    from keep_tpu.models.resnet import (
+        convert_torchvision_resnet,
+        resnet_trunk_pooled,
+    )
+
+    torch.manual_seed(1)
+    layers = (1, 1, 1, 1)
+    sd = {}
+
+    def add_conv(name, ci, co, k):
+        sd[name + ".weight"] = torch.randn(co, ci, k, k) * 0.05
+
+    def add_bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c) * 0.1
+        sd[name + ".running_mean"] = torch.randn(c) * 0.1
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+
+    add_conv("conv1", 3, 8, 7)
+    add_bn("bn1", 8)
+    cin = 8
+    for li, depth in enumerate(layers, start=1):
+        planes = 8 * (2 ** (li - 1))
+        for bi in range(depth):
+            pre = f"layer{li}.{bi}"
+            add_conv(pre + ".conv1", cin, planes, 1); add_bn(pre + ".bn1", planes)
+            add_conv(pre + ".conv2", planes, planes, 3); add_bn(pre + ".bn2", planes)
+            add_conv(pre + ".conv3", planes, planes * 4, 1); add_bn(pre + ".bn3", planes * 4)
+            if bi == 0:
+                add_conv(pre + ".downsample.0", cin, planes * 4, 1)
+                add_bn(pre + ".downsample.1", planes * 4)
+            cin = planes * 4
+
+    params = convert_torchvision_resnet(sd, layers)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(resnet_trunk_pooled(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x)))
+
+    # torch oracle
+    xt = t(x).permute(0, 3, 1, 2)
+    w = t(params["conv1"]["kernel"]).permute(3, 2, 0, 1)
+    y = F.conv2d(xt, w, stride=2, padding=3)
+    y = F.relu(torch_bn(params["bn1"], y, 1e-5))
+    y = F.max_pool2d(y, 3, 2, 1)
+    for li, depth in enumerate(layers, start=1):
+        for bi in range(depth):
+            p = params[f"layer{li}"][bi]
+            stride = 2 if (li > 1 and bi == 0) else 1
+            out = F.relu(torch_bn(p["bn1"], torch_conv(p["conv1"], y), 1e-5))
+            out = F.relu(torch_bn(p["bn2"], torch_conv(p["conv2"], out, stride, 1), 1e-5))
+            out = torch_bn(p["bn3"], torch_conv(p["conv3"], out), 1e-5)
+            identity = y
+            if "downsample" in p:
+                identity = torch_bn(p["downsample"]["bn"],
+                                    torch_conv(p["downsample"]["conv"], y, stride), 1e-5)
+            y = F.relu(out + identity)
+    ref = y.mean(dim=(2, 3)).numpy()
+    assert got.shape == ref.shape == (1, 8 * 8 * 4)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=5e-5)

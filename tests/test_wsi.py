@@ -170,3 +170,38 @@ def test_dice_painting_counts():
     probs = np.array([0.9, 0.9])
     dice = dice_at_lowres(probs, coords, mask_lowres, mag, ps, threshold=0.5)
     assert dice == pytest.approx(2 * 4 / (4 + 8))
+
+
+def test_extract_features_roundtrip(rng, tmp_path):
+    """Tile extraction → h5 → detection pipeline end to end on a tiny model."""
+    import jax
+    from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+    from keep_tpu.io.h5 import read_h5_slide
+    from keep_tpu.models import keep
+    from keep_tpu.wsi.extract import extract_features, extract_to_h5
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                         num_heads=2),
+        text=BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=32),
+        projection_dim=32,
+    )
+    model = keep.KEEPModel(params=keep.init(jax.random.PRNGKey(0), cfg), cfg=cfg)
+    tiles = rng.integers(0, 255, (11, 32, 32, 3), dtype=np.uint8)
+    feats = extract_features(model, tiles, batch_size=4)
+    assert feats.shape == (11, 32)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-4)
+    # tail padding must not alter real rows
+    feats_b16 = extract_features(model, tiles, batch_size=16)
+    np.testing.assert_allclose(feats, feats_b16, atol=1e-5)
+
+    coords = np.array([(i * 256, 0) for i in range(11)], np.int64)
+    path = str(tmp_path / "slide.h5")
+    extract_to_h5(model, tiles, coords, path, batch_size=4)
+    f2, c2 = read_h5_slide(path)
+    np.testing.assert_allclose(f2, feats, atol=1e-6)
+    cls = jnp.asarray(rng.standard_normal((32, 2), dtype=np.float32))
+    prob = zero_shot_detection(cls, jnp.asarray(f2), c2, patch_size=256)
+    assert 0.0 <= prob <= 1.0
