@@ -106,3 +106,75 @@ def test_caption_loss_masks_padding(rng):
                 total -= logp[b, t, lab[b, t]]
                 count += 1
     assert float(full) == pytest.approx(total / count, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# PMC-CLIP
+# ---------------------------------------------------------------------------
+
+
+def test_pmc_clip_forward(rng):
+    from keep_tpu.configs import BertConfig
+    from keep_tpu.models import pmc_clip
+    from keep_tpu.models.resnet import ModifiedResNetConfig
+
+    cfg = pmc_clip.PMCCLIPConfig(
+        embed_dim=32,
+        vision=ModifiedResNetConfig(layers=(1, 1, 1, 1), width=8, image_size=64,
+                                    heads=4, output_dim=32),
+        text=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=80),
+        fusion_layers=2, fusion_heads=4, context_length=16, cls_id=2,
+    )
+    params = pmc_clip.init(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    ids = rng.integers(3, 64, size=(2, 16))
+    ids[:, 0] = 2  # [CLS]
+    mask = np.ones((2, 16), np.int32)
+    out = pmc_clip.forward(params, pixels, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    assert out["image_features"].shape == (2, 32)
+    assert out["text_features"].shape == (2, 32)
+    assert out["bert_prediction"].shape == (2, 16, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["text_features"]), axis=1), 1.0, atol=1e-5
+    )
+    # log-softmax rows sum to 1 in prob space
+    probs = np.exp(np.asarray(out["bert_prediction"]))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+    labels = np.zeros((2, 16), np.int64)
+    labels[:, 3] = 7  # one masked position
+    loss = pmc_clip.mlm_loss(out["bert_prediction"], jnp.asarray(labels))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_pmc_clip_cls_position(rng):
+    """Text features follow the [CLS] position, wherever it is."""
+    from keep_tpu.configs import BertConfig
+    from keep_tpu.models import pmc_clip
+    from keep_tpu.models.resnet import ModifiedResNetConfig
+
+    cfg = pmc_clip.PMCCLIPConfig(
+        embed_dim=16,
+        vision=ModifiedResNetConfig(layers=(1, 1, 1, 1), width=8, image_size=64,
+                                    heads=4, output_dim=16),
+        text=BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=32),
+        fusion_layers=1, fusion_heads=2, cls_id=2, mlm=False,
+    )
+    params = pmc_clip.init(jax.random.PRNGKey(1), cfg)
+    img_feat = jnp.asarray(rng.standard_normal((1, 16), dtype=np.float32))
+    ids = rng.integers(3, 32, size=(1, 8))
+    ids[0, 5] = 2
+    mask = jnp.ones((1, 8), jnp.int32)
+    out = pmc_clip.encode_text(params, jnp.asarray(ids), mask, img_feat, cfg)
+    # manual: bert hidden at position 5 @ projection
+    from keep_tpu.models import bert as bert_mod
+
+    hid = bert_mod.forward(params["text"], jnp.asarray(ids), mask, cfg=cfg.text)
+    ref = np.asarray(hid["last_hidden_state"])[0, 5] @ np.asarray(
+        params["text_projection"]
+    )
+    np.testing.assert_allclose(np.asarray(out["text_features"])[0], ref, atol=1e-5)
