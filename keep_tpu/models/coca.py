@@ -311,3 +311,56 @@ def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
         },
         "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
     }
+
+
+def generate_beam(
+    params,
+    pixels: Array,
+    cfg: CoCaConfig,
+    seq_len: int = 30,
+    num_beams: int = 6,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Beam-search captioning (the reference's beam_search generation type,
+    coca_model.py:168+): length-normalized log-prob beams, EOS freezes a beam."""
+    b = pixels.shape[0]
+    _, image_embs = encode_image(params, pixels, cfg, dtype=dtype)
+    # expand image embeddings per beam: [B*K, n_q, W]
+    embs_k = jnp.repeat(image_embs, num_beams, axis=0)
+
+    @jax.jit
+    def step_logits(ids):
+        _, token_embs = encode_text(params, ids, cfg, dtype=dtype, embed_cls=False)
+        logits = decode(params, token_embs, embs_k, cfg, dtype=dtype)
+        return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+
+    k, v = num_beams, cfg.vocab_size
+    ids = np.full((b, k, 1), cfg.sot_id, np.int32)
+    scores = np.full((b, k), -1e9, np.float64)
+    scores[:, 0] = 0.0  # all beams start identical; keep one live
+    finished = np.zeros((b, k), bool)
+
+    for t in range(seq_len - 1):
+        logp = np.asarray(step_logits(jnp.asarray(ids.reshape(b * k, -1))))
+        logp = logp.reshape(b, k, v)
+        # frozen beams only extend with pad at no cost
+        pad_only = np.full((b, k, v), -1e9)
+        pad_only[:, :, cfg.pad_id] = 0.0
+        logp = np.where(finished[:, :, None], pad_only, logp)
+        cand = scores[:, :, None] + logp  # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top = np.argsort(-flat, axis=1)[:, :k]
+        beam_idx, tok = top // v, top % v
+        scores = np.take_along_axis(flat, top, axis=1)
+        ids = np.concatenate(
+            [np.take_along_axis(ids, beam_idx[:, :, None], axis=1),
+             tok[:, :, None].astype(np.int32)], axis=2
+        )
+        finished = np.take_along_axis(finished, beam_idx, axis=1) | (tok == cfg.eos_id)
+        if finished.all():
+            break
+    # best = highest length-normalized score
+    lengths = (ids != cfg.pad_id).sum(axis=2)
+    norm = scores / np.maximum(lengths, 1)
+    best = norm.argmax(axis=1)
+    return ids[np.arange(b), best]

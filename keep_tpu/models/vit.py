@@ -102,12 +102,13 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool, gelu_approx: bo
         attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     attn = linear(p["attn"]["proj"], attn)
-    if cfg.layerscale_init is not None:
+    # param presence decides (fold_layerscale removes the gammas at inference)
+    if "ls1" in p:
         attn = attn * p["ls1"].astype(attn.dtype)
     x = x + attn
 
     y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps), gelu_approx=gelu_approx)
-    if cfg.layerscale_init is not None:
+    if "ls2" in p:
         y = y * p["ls2"].astype(y.dtype)
     return x + y
 
@@ -205,3 +206,30 @@ def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict
         },
         "norm": ln_params((d,)),
     }
+
+
+def fold_layerscale(params: dict) -> dict:
+    """Inference-time transform: fold LayerScale gammas into the proj/fc2
+    kernels+biases (γ·(Wx+b) = (γ⊙W)x + γ⊙b) — exact, removes two
+    elementwise passes per block."""
+    b = params["blocks"]
+    if "ls1" not in b:
+        return params
+    import jax.numpy as jnp
+
+    out = dict(params)
+    blocks = {k: v for k, v in b.items() if k not in ("ls1", "ls2")}
+    ls1 = b["ls1"][:, None, :]  # [L, 1, D]
+    ls2 = b["ls2"][:, None, :]
+    blocks["attn"] = dict(b["attn"])
+    blocks["attn"]["proj"] = {
+        "kernel": b["attn"]["proj"]["kernel"] * ls1,
+        "bias": b["attn"]["proj"]["bias"] * b["ls1"],
+    }
+    blocks["mlp"] = dict(b["mlp"])
+    blocks["mlp"]["fc2"] = {
+        "kernel": b["mlp"]["fc2"]["kernel"] * ls2,
+        "bias": b["mlp"]["fc2"]["bias"] * b["ls2"],
+    }
+    out["blocks"] = blocks
+    return out

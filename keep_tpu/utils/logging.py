@@ -61,3 +61,20 @@ def append_results(path: str, record: dict) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "a") as f:
         f.write(json.dumps(record, default=float) + "\n")
+
+
+def copy_codebase(out_dir: str, repo_root: str | None = None) -> str:
+    """Snapshot the framework source next to a run's outputs (reference
+    copy_codebase, main.py:469-483)."""
+    import shutil
+
+    repo_root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    dst = os.path.join(out_dir, "code")
+    if os.path.exists(dst):
+        raise RuntimeError(f"code snapshot already exists at {dst}")
+    shutil.copytree(
+        os.path.join(repo_root, "keep_tpu"), os.path.join(dst, "keep_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+    )
+    return dst

@@ -222,3 +222,58 @@ def test_poolers(rng):
     )
     with pytest.raises(KeyError):
         get_pooler("nope")
+
+
+def test_factory_registry(rng):
+    from keep_tpu import factory
+
+    names = factory.list_models()
+    assert {"keep", "kep", "clip-vit-b-16", "coca", "pmc-clip"} <= set(names)
+    params, spec = factory.create_model("keep")
+    assert "visual" in params and spec.family == "keep"
+    with pytest.raises(KeyError):
+        factory.create_model("nope")
+
+
+def test_fold_layerscale(rng):
+    from keep_tpu.models import vit as vit_mod
+
+    cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2, num_heads=4)
+    params = vit_mod.init(jax.random.PRNGKey(0), cfg)
+    # non-trivial gammas
+    params["blocks"]["ls1"] = jnp.asarray(
+        rng.random((2, 32)).astype(np.float32) + 0.5)
+    params["blocks"]["ls2"] = jnp.asarray(
+        rng.random((2, 32)).astype(np.float32) + 0.5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    ref = np.asarray(vit_mod.forward(params, x, cfg))
+    folded = vit_mod.fold_layerscale(params)
+    assert "ls1" not in folded["blocks"]
+    got = np.asarray(vit_mod.forward(folded, x, cfg))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_coca_beam_search(rng):
+    from keep_tpu.models import coca as coca_mod
+    from tests.test_coca import CFG as COCA_CFG
+
+    params = coca_mod.init(jax.random.PRNGKey(0), COCA_CFG)
+    pixels = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    out = coca_mod.generate_beam(params, pixels, COCA_CFG, seq_len=7, num_beams=3)
+    assert out.shape[0] == 2 and out.shape[1] <= 7
+    assert (out[:, 0] == COCA_CFG.sot_id).all()
+    # beam-1 equals greedy
+    beam1 = coca_mod.generate_beam(params, pixels, COCA_CFG, seq_len=7, num_beams=1)
+    greedy = coca_mod.generate(params, pixels, COCA_CFG, seq_len=7)
+    np.testing.assert_array_equal(beam1, greedy[:, :beam1.shape[1]])
+
+
+def test_copy_codebase(tmp_path):
+    from keep_tpu.utils.logging import copy_codebase
+
+    dst = copy_codebase(str(tmp_path))
+    import os
+
+    assert os.path.exists(os.path.join(dst, "keep_tpu", "models", "vit.py"))
+    with pytest.raises(RuntimeError):
+        copy_codebase(str(tmp_path))
