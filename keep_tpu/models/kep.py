@@ -32,6 +32,8 @@ class KEPConfig:
     vision: ViTConfig = dataclasses.field(default_factory=ViTConfig)
     text: BertConfig = dataclasses.field(default_factory=BertConfig)
     embed_dim: int = 768  # TEXT_EMBED_DIM in keep_config.yml
+    image_encoder: str = "vit"  # 'vit' | 'res_ssl' | 'rn_clip' (model.py:283-333)
+    vision_rn: Optional[object] = None  # ModifiedResNetConfig for 'rn_clip'
     visual_embedding_head: bool = True
     text_embedding_head: bool = False
     with_knowledge: bool = True
@@ -53,8 +55,23 @@ def path_bert_encode(p: dict, input_ids, attention_mask, cfg: BertConfig,
 
 def encode_image(params, pixels, cfg: KEPConfig, *, normalize=False,
                  dtype=jnp.float32, use_flash=False) -> Array:
-    feats = vit.forward(params["visual"], pixels, cfg.vision,
-                        dtype=dtype, use_flash=use_flash)
+    if cfg.image_encoder == "vit":
+        feats = vit.forward(params["visual"], pixels, cfg.vision,
+                            dtype=dtype, use_flash=use_flash)
+    elif cfg.image_encoder == "res_ssl":
+        # lunit SSL RN50 trunk + global avg pool (model.py:283-285,330-333)
+        from keep_tpu.models.resnet import resnet_trunk_pooled
+
+        feats = resnet_trunk_pooled(params["visual"], pixels, dtype=dtype)
+    elif cfg.image_encoder == "rn_clip":
+        from keep_tpu.models import resnet
+
+        rn_cfg = cfg.vision_rn or resnet.ModifiedResNetConfig(
+            output_dim=cfg.vision.embed_dim
+        )
+        feats = resnet.forward(params["visual"], pixels, rn_cfg, dtype=dtype)
+    else:
+        raise ValueError(f"unknown image_encoder {cfg.image_encoder!r}")
     if "visual_head" in params:
         feats = _mlp_head(params["visual_head"], feats)
     return l2_normalize(feats.astype(jnp.float32)) if normalize else feats

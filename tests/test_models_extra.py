@@ -277,3 +277,52 @@ def test_copy_codebase(tmp_path):
     assert os.path.exists(os.path.join(dst, "keep_tpu", "models", "vit.py"))
     with pytest.raises(RuntimeError):
         copy_codebase(str(tmp_path))
+
+
+def test_kep_res_ssl_tower(rng):
+    """KEP with the res_ssl trunk image encoder (KEP model.py:283-285)."""
+    from keep_tpu.models import kep as kep_mod
+    from keep_tpu.models import resnet as rn
+
+    tcfg = BertConfig(vocab_size=32, hidden_size=16, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=16)
+    cfg = kep_mod.KEPConfig(text=tcfg, embed_dim=16, image_encoder="res_ssl",
+                            with_knowledge=False)
+    params = kep_mod.init(jax.random.PRNGKey(0), cfg)
+    # swap in a tiny RN trunk (init builds a ViT by default; the factory
+    # pattern is to load/replace the tower explicitly)
+    torch.manual_seed(0)
+    trunk = {"conv1": {"kernel": jnp.asarray(
+                 np.random.default_rng(0).standard_normal((7, 7, 3, 8)) * 0.05,
+                 jnp.float32)},
+             "bn1": {"scale": jnp.ones(8), "bias": jnp.zeros(8),
+                     "mean": jnp.zeros(8), "var": jnp.ones(8)}}
+    cin = 8
+    for li in range(1, 5):
+        planes = 8 * 2 ** (li - 1)
+        blk = {
+            "conv1": {"kernel": jnp.asarray(np.random.default_rng(li).standard_normal((1, 1, cin, planes)) * 0.05, jnp.float32)},
+            "bn1": {"scale": jnp.ones(planes), "bias": jnp.zeros(planes), "mean": jnp.zeros(planes), "var": jnp.ones(planes)},
+            "conv2": {"kernel": jnp.asarray(np.random.default_rng(li + 10).standard_normal((3, 3, planes, planes)) * 0.05, jnp.float32)},
+            "bn2": {"scale": jnp.ones(planes), "bias": jnp.zeros(planes), "mean": jnp.zeros(planes), "var": jnp.ones(planes)},
+            "conv3": {"kernel": jnp.asarray(np.random.default_rng(li + 20).standard_normal((1, 1, planes, planes * 4)) * 0.05, jnp.float32)},
+            "bn3": {"scale": jnp.ones(planes * 4), "bias": jnp.zeros(planes * 4), "mean": jnp.zeros(planes * 4), "var": jnp.ones(planes * 4)},
+            "downsample": {"conv": {"kernel": jnp.asarray(np.random.default_rng(li + 30).standard_normal((1, 1, cin, planes * 4)) * 0.05, jnp.float32)},
+                           "bn": {"scale": jnp.ones(planes * 4), "bias": jnp.zeros(planes * 4), "mean": jnp.zeros(planes * 4), "var": jnp.ones(planes * 4)}},
+        }
+        trunk[f"layer{li}"] = [blk]
+        cin = planes * 4
+    params["visual"] = trunk
+    # visual head must map 256 (=8*32) -> embed_dim
+    params["visual_head"] = {
+        "fc1": {"kernel": jnp.asarray(np.random.default_rng(9).standard_normal((256, 16)) * 0.05, jnp.float32),
+                "bias": jnp.zeros(16)},
+        "fc2": {"kernel": jnp.asarray(np.random.default_rng(8).standard_normal((16, 16)) * 0.05, jnp.float32),
+                "bias": jnp.zeros(16)},
+    }
+    pixels = jnp.asarray(np.random.default_rng(1).standard_normal((2, 64, 64, 3)), jnp.float32)
+    feats = kep_mod.encode_image(params, pixels, cfg, normalize=True)
+    assert feats.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=1), 1.0,
+                               atol=1e-5)
