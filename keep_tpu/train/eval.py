@@ -131,7 +131,7 @@ def zero_shot_eval(
     prompts_path: Optional[str] = None,
     batch_size: int = 64,
     max_length: int = 256,
-    rounds: int = 50,
+    rounds: Optional[int] = None,
 ) -> dict:
     """Full in-training eval over available eval sets (zero_shot.py:81-254).
 
@@ -145,6 +145,10 @@ def zero_shot_eval(
         img = encode_in_batches(encode_image_fn, [pixels], batch_size)
         with open(prompts_path) as f:
             prompts = json.load(f)
+        # the reference assumes exactly 50 prompt rounds and KeyErrors on
+        # fewer (SURVEY §2.2); derive from the file instead
+        if rounds is None:
+            rounds = min(50, len(prompts))
         caps = label_captions_from_prompts(prompts, rounds)
         cap_feats = {}
         for t, texts in caps.items():

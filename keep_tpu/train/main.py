@@ -94,9 +94,36 @@ def build_params(cfg: TrainRunConfig, rng_seed: int):
     return params
 
 
-def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None) -> dict:
+def build_eval_data(cfg: TrainRunConfig, image_loader=None) -> dict:
+    """Zero-shot eval sets for the in-training evaluation
+    (get_zeroshot_dataset, data_proc_group.py:459-496): 'zeroshot_cls' CSV
+    has image_name|...|label; 'zeroshot_ret' has image_name|caption. Images
+    are preprocessed once (eval transform) into fixed arrays."""
+    from keep_tpu.ops.preprocess import preprocess
+    from keep_tpu.train.data import CsvTextImageDataset, load_image
+
+    out = {}
+    specs = [
+        ("zeroshot_cls", cfg.dataset.zeroshot_cls, cfg.dataset.zeroshot_cls_imdir, "label"),
+        ("zeroshot_ret", cfg.dataset.zeroshot_ret, cfg.dataset.zeroshot_ret_imdir, "caption"),
+    ]
+    for task, path, imdir, caption_key in specs:
+        if not path:
+            continue
+        ds = CsvTextImageDataset(path, img_key=cfg.dataset.csv_img_key,
+                                 caption_key=caption_key, sep="both")
+        loader = image_loader or (lambda name: load_image(imdir, name))
+        pixels = np.concatenate(
+            [np.asarray(preprocess(loader(ds[i].image))) for i in range(len(ds))]
+        )
+        out[task] = (pixels, [ds[i].text for i in range(len(ds))])
+    return out
+
+
+def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
+          eval_data=None) -> dict:
     """Run training; returns the final eval record. ``dataset`` /
-    ``image_loader`` injectable for tests and custom data sources."""
+    ``image_loader`` / ``eval_data`` injectable for tests and custom sources."""
     name = experiment_name(cfg)
     out_dir = os.path.join(cfg.save.output_dir, name)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
@@ -130,6 +157,10 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None) 
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
+
+    if eval_data is None and (cfg.dataset.zeroshot_cls or cfg.dataset.zeroshot_ret):
+        eval_data = build_eval_data(cfg, image_loader)
+    eval_data = eval_data or {}
 
     make_iter = lambda: BatchIterator(
         dataset=dataset,
@@ -223,6 +254,26 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None) 
                      diff_report(pre_snapshot, state.params))
 
         results = {"epoch": epoch, "train_loss": loss_meter.avg}
+        if (
+            eval_data
+            and cfg.solver.zeroshot_frequency
+            and ((epoch + 1) % cfg.solver.zeroshot_frequency == 0
+                 or epoch + 1 == cfg.solver.epochs)
+        ):
+            enc_img = lambda px: keep.encode_image(
+                state.params, jnp.asarray(px), cfg.keep, dtype=dtype,
+                use_flash=use_flash)
+            enc_txt = lambda ids, mask: keep.encode_text(
+                state.params, jnp.asarray(ids), jnp.asarray(mask),
+                cfg=cfg.keep, dtype=dtype, use_flash=use_flash)
+            zs = zs_eval.zero_shot_eval(
+                enc_img, enc_txt, tokenizer, eval_data,
+                prompts_path=cfg.dataset.zeroshot_cls_prompts or None,
+                batch_size=min(cfg.dataloader.batch_size, 64),
+                max_length=cfg.keep.max_text_length,
+            )
+            results.update(zs)
+            logging.info("epoch %d zero-shot eval: %s", epoch, zs)
         append_results(os.path.join(ckpt_dir, "results.jsonl"), results)
 
         if (epoch + 1) % cfg.save.save_frequency == 0 or epoch + 1 == cfg.solver.epochs:

@@ -214,3 +214,40 @@ def test_validation_metrics(rng):
     m = validation_metrics(f, f, logit_scale=100.0)
     assert m["image_to_text_R@1"] == 1.0
     assert m["val_contrastive_loss"] < 0.1
+
+
+def test_reference_bach_fixtures():
+    """The reference's shipped eval fixtures load through our CSV + prompt
+    contracts (training/test_data/Bach_test.csv is tab-separated; the 'both'
+    sep mode must handle it)."""
+    path = os.path.join(REF, "training/test_data/Bach_test.csv")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not present")
+    ds = CsvTextImageDataset(path, img_key="image_name", caption_key="label",
+                             sep="both")
+    assert len(ds) > 0
+    assert ds[0].image.endswith(".tif")
+    assert ds[0].text in ("Normal", "Benign", "InSitu", "Invasive")
+
+    rpath = os.path.join(REF, "training/test_data/Arch_pubmed_test.csv")
+    rds = CsvTextImageDataset(rpath, img_key="image_name",
+                              caption_key="caption", sep="both")
+    assert len(rds) > 0 and len(rds[0].text) > 5
+
+    ppath = os.path.join(REF, "training/test_data/Bach_prompt.json")
+    with open(ppath) as f:
+        prompts = json.load(f)
+    caps = label_captions_from_prompts(prompts, rounds=min(50, len(prompts)))
+    assert set(caps) == {"Benign", "InSitu", "Invasive", "Normal"}
+    assert caps["Normal"][0] == "An H&E image of breast normal breast tissue"
+
+
+def test_reference_semantic_groups_fixture():
+    path = os.path.join(
+        REF, "training/train_data/example_pathology_vl_semantic_groups.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not present")
+    ds = GroupDataset(path, num_instance=2, seed=0)
+    assert len(ds) > 0
+    s = ds[0]
+    assert s.image and s.text
