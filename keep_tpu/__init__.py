@@ -23,3 +23,4 @@ Re-designed from scratch with the capabilities of MAGIC-AI4Med/KEEP
 __version__ = "0.1.0"
 
 from keep_tpu import configs  # noqa: F401
+from keep_tpu.factory import create_model, list_models  # noqa: F401

@@ -41,8 +41,12 @@ def linear(p: dict, x: Array) -> Array:
 def _qlinear(p: dict, x: Array) -> Array:
     """W8A8 linear: per-output-channel int8 weights (``kernel_q`` +
     ``scale``), dynamic per-token activation quantization, int8 MXU matmul
-    with int32 accumulation (2× the bf16 MXU rate on v5e; measured 1.67×
-    end-to-end including the quantize/dequantize epilogues)."""
+    with int32 accumulation (2× the bf16 MXU rate on v5e). On TPU the whole
+    chain runs as one fused Pallas kernel; below is the XLA fallback."""
+    if jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2:
+        from keep_tpu.kernels.qmatmul import qlinear_fused
+
+        return qlinear_fused(p, x)
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -99,7 +103,18 @@ def mha_attention(
 
 
 def mlp(p: dict, x: Array, gelu_approx: bool = False) -> Array:
-    """fc1 → GELU → fc2 (timm ``Mlp`` / BERT intermediate+output semantics)."""
+    """fc1 → GELU → fc2 (timm ``Mlp`` / BERT intermediate+output semantics).
+
+    Quantized fc1 on TPU fuses the tanh-GELU into the int8 kernel epilogue."""
+    if (
+        gelu_approx
+        and "kernel_q" in p["fc1"]
+        and p["fc1"]["kernel_q"].ndim == 2
+        and jax.default_backend() == "tpu"
+    ):
+        from keep_tpu.kernels.qmatmul import qlinear_fused
+
+        return linear(p["fc2"], qlinear_fused(p["fc1"], x, activation="gelu_tanh"))
     return linear(p["fc2"], gelu(linear(p["fc1"], x), approximate=gelu_approx))
 
 

@@ -76,3 +76,28 @@ def test_int8_keep_encode(rng):
     ta = np.asarray(keep.encode_text(params, ids, cfg=TINY))
     tb = np.asarray(keep.encode_text(qparams, ids, cfg=TINY))
     assert np.mean(np.sum(ta * tb, axis=1)) > 0.99
+
+
+def test_fused_qmatmul_matches_xla_qlinear(rng):
+    """The fused Pallas kernel (interpret mode on CPU) == the XLA W8A8 path."""
+    import jax.numpy as jnp
+
+    from keep_tpu.kernels.qmatmul import quantized_matmul
+    from keep_tpu.quant import quantize_kernel
+
+    x = rng.standard_normal((70, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05
+    bias = rng.standard_normal(64).astype(np.float32) * 0.01
+    q = quantize_kernel(jnp.asarray(w))
+    ref = np.asarray(linear({**q, "bias": jnp.asarray(bias)}, jnp.asarray(x)))
+    got = np.asarray(quantized_matmul(
+        jnp.asarray(x), q["kernel_q"], q["scale"], jnp.asarray(bias),
+        out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    # fused gelu epilogue vs post-hoc tanh gelu
+    got_g = np.asarray(quantized_matmul(
+        jnp.asarray(x), q["kernel_q"], q["scale"], jnp.asarray(bias),
+        activation="gelu_tanh", out_dtype=jnp.float32))
+    ref_g = np.asarray(jax.nn.gelu(jnp.asarray(ref), approximate=True))
+    np.testing.assert_allclose(got_g, ref_g, atol=1e-4, rtol=1e-3)
