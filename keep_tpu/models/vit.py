@@ -85,18 +85,33 @@ def patch_dropout(
     return jnp.concatenate([prefix, kept], axis=1)
 
 
-def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool, gelu_approx: bool = False) -> Array:
+def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
+          gelu_approx: bool = False, fuse_ln: bool = False) -> Array:
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
 
-    y = layer_norm(p["norm1"], x, cfg.ln_eps)
-    if use_flash:
+    quantized = "kernel_q" in p["attn"]["qkv"]
+    if fuse_ln and use_flash and not quantized:
+        # inference fast path: LN computed in-kernel, feeding the MXU
+        # directly (no materialized normalized activations)
+        from keep_tpu.kernels.flash_attention import attention_qkv_slab
+        from keep_tpu.kernels.ln_matmul import ln_matmul
+
+        slab = ln_matmul(
+            x.reshape(b * s, d), p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["kernel"].astype(x.dtype),
+            p["attn"]["qkv"]["bias"], eps=cfg.ln_eps, out_dtype=x.dtype,
+        ).reshape(b, s, 3 * d)
+        attn = attention_qkv_slab(slab, num_heads=h)
+    elif use_flash:
         from keep_tpu.kernels.flash_attention import attention_qkv_slab
 
         # one fused qkv dot; the kernel lane-slices heads from the slab —
         # no transposes, no padding, slab DMA'd once per layer
+        y = layer_norm(p["norm1"], x, cfg.ln_eps)
         attn = attention_qkv_slab(linear(p["attn"]["qkv"], y), num_heads=h)
     else:
+        y = layer_norm(p["norm1"], x, cfg.ln_eps)
         qkv = linear(p["attn"]["qkv"], y)  # [B, S, 3D]
         qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
         attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
@@ -107,7 +122,19 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool, gelu_approx: bo
         attn = attn * p["ls1"].astype(attn.dtype)
     x = x + attn
 
-    y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps), gelu_approx=gelu_approx)
+    if fuse_ln and use_flash and "kernel_q" not in p["mlp"]["fc1"]:
+        from keep_tpu.kernels.ln_matmul import ln_matmul
+        from keep_tpu.ops.nn import gelu as _gelu
+
+        hdn = ln_matmul(
+            x.reshape(b * s, d), p["norm2"]["scale"], p["norm2"]["bias"],
+            p["mlp"]["fc1"]["kernel"].astype(x.dtype), p["mlp"]["fc1"]["bias"],
+            eps=cfg.ln_eps, out_dtype=x.dtype,
+        )
+        hdn = _gelu(hdn, approximate=gelu_approx)
+        y = linear(p["mlp"]["fc2"], hdn).reshape(b, s, d)
+    else:
+        y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps), gelu_approx=gelu_approx)
     if "ls2" in p:
         y = y * p["ls2"].astype(y.dtype)
     return x + y
@@ -122,6 +149,7 @@ def forward(
     use_flash: bool = False,
     remat: bool = False,
     gelu_approx: bool = False,
+    fuse_ln: bool = False,
     patch_dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
 ) -> Array:
@@ -145,7 +173,8 @@ def forward(
             tokens, dropout_key, 1.0 - patch_dropout_rate, cfg.num_prefix_tokens
         )
 
-    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash, gelu_approx=gelu_approx)
+    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash,
+                                 gelu_approx=gelu_approx, fuse_ln=fuse_ln)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 

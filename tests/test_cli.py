@@ -1,0 +1,110 @@
+"""End-to-end CLI regressions: the WSI driver and the training entrypoint
+run against on-disk fixtures (model dir, prompts, h5 slide, groups JSON)."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.compat.export import save_pretrained
+from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+from keep_tpu.models import keep
+
+TINY = KEEPConfig(
+    vision=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                     num_heads=2),
+    text=BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=64),
+    projection_dim=32,
+)
+
+VOCAB = "[PAD] [UNK] [CLS] [SEP] [MASK] normal tissue tumor melanoma cutaneous skin cancer malignant .".split()
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clidrive")
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    save_pretrained(str(d / "model"), params, TINY)
+    (d / "model" / "vocab.txt").write_text("\n".join(VOCAB))
+    prompts = {
+        str(i): {"classnames": {"Normal": "normal tissue", "Tumor": t},
+                 "templates": "CLASSNAME."}
+        for i, t in enumerate(
+            ["cutaneous melanoma", "skin cancer", "malignant melanoma",
+             "tumor tissue"]
+        )
+    }
+    json.dump(prompts, open(d / "prompts.json", "w"))
+    rng = np.random.default_rng(0)
+    side = 10
+    with h5py.File(d / "slide.h5", "w") as f:
+        f.create_dataset("features",
+                         data=rng.standard_normal((100, 32)).astype(np.float32))
+        f.create_dataset(
+            "coords",
+            data=np.array([((i % side) * 256, (i // side) * 256)
+                           for i in range(100)], np.int64),
+        )
+    return d
+
+
+def test_wsi_cli_detection(model_dir, capsys):
+    from keep_tpu.wsi.run import main
+
+    main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--h5", str(model_dir / "slide.h5"),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "3",
+    ])
+    out = capsys.readouterr().out
+    assert "Tumor probability:" in out
+    prob = float(out.strip().split()[-1])
+    assert 0.0 <= prob <= 1.0
+
+
+def test_wsi_cli_subtyping_no_screening(model_dir, capsys):
+    from keep_tpu.wsi.run import main
+
+    main([
+        "subtyping", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--h5", str(model_dir / "slide.h5"),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "2",
+        "--no-screening", "--label-map", '{"Tumor": 0}',
+    ])
+    out = capsys.readouterr().out
+    assert "Predicted subtype:" in out
+
+
+def test_wsi_cli_cohort_detection(model_dir, tmp_path, capsys):
+    import shutil
+
+    import pandas as pd
+
+    from keep_tpu.wsi.run import main
+
+    src = tmp_path / "cohort"
+    (src / "h5_files").mkdir(parents=True)
+    for sid in ("s0", "s1"):
+        shutil.copy(model_dir / "slide.h5", src / "h5_files" / f"{sid}.h5")
+    pd.DataFrame(
+        {"slide_id": ["s0", "s1"], "Diagnosis": ["Normal", "Tumor"]}
+    ).to_csv(src / "cohort.csv", index=False)
+    main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--cohort-csv", str(src / "cohort.csv"),
+        "--data-source", str(src),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "2",
+    ])
+    out = capsys.readouterr().out
+    rec = json.loads(out[out.index("{"):])
+    assert rec["n"] == 2

@@ -119,3 +119,19 @@ def test_slab_kernel_gradients(rng):
     v2, g2 = jax.value_and_grad(loss_xla)(qkv)
     assert float(v1) == pytest.approx(float(v2), rel=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=1e-4)
+
+
+def test_ln_matmul_matches_unfused(rng):
+    from keep_tpu.kernels.ln_matmul import ln_matmul
+    from keep_tpu.ops.nn import layer_norm, linear
+
+    m, k, n = 70, 64, 48
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32))
+    g = jnp.asarray(rng.random(k).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.standard_normal(k).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+    wb = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.01)
+    got = np.asarray(ln_matmul(x, g, b, w, wb, eps=1e-6, out_dtype=jnp.float32))
+    y = layer_norm({"scale": g, "bias": b}, x, 1e-6)
+    ref = np.asarray(linear({"kernel": w, "bias": wb}, y))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
