@@ -1,0 +1,108 @@
+"""Tile extraction from whole-slide images: level-0 image → (tiles, coords).
+
+The reference consumes CLAM-precomputed h5 features and never cuts tiles
+itself (SURVEY §3.2); together with ``wsi.extract`` this closes the loop:
+raw slide → tissue tiles → features → zero-shot pipelines. Tissue filtering
+uses the standard saturation/brightness heuristic (background on H&E slides
+is bright and unsaturated).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def tissue_mask(
+    image: np.ndarray, sat_threshold: int = 15, bright_threshold: int = 240
+) -> np.ndarray:
+    """[H, W, 3] uint8 RGB → bool tissue mask. A pixel is tissue when it is
+    not near-white and has some color saturation."""
+    img = np.asarray(image, np.int16)
+    mx = img.max(axis=-1)
+    mn = img.min(axis=-1)
+    saturation = mx - mn
+    return (saturation > sat_threshold) & (mx < bright_threshold)
+
+
+def cut_tiles(
+    image: np.ndarray,
+    patch_size: int = 256,
+    tissue_fraction: float = 0.25,
+    stride: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Level-0 RGB image → (tiles [N, P, P, 3] uint8, coords [N, 2] (x, y)).
+
+    Keeps grid-aligned tiles whose tissue fraction exceeds the threshold;
+    coords follow the CLAM convention (x, y) at level 0 — ready for
+    ``wsi.extract.extract_to_h5`` and the grid pipelines.
+    """
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+    stride = stride or patch_size
+    mask = tissue_mask(image)
+    # integral image for O(1) per-tile tissue counting
+    ii = np.zeros((h + 1, w + 1), np.int64)
+    ii[1:, 1:] = mask.cumsum(0).cumsum(1)
+
+    tiles, coords = [], []
+    min_pixels = tissue_fraction * patch_size * patch_size
+    for y in range(0, h - patch_size + 1, stride):
+        for x in range(0, w - patch_size + 1, stride):
+            count = (
+                ii[y + patch_size, x + patch_size]
+                - ii[y, x + patch_size]
+                - ii[y + patch_size, x]
+                + ii[y, x]
+            )
+            if count >= min_pixels:
+                tiles.append(image[y : y + patch_size, x : x + patch_size])
+                coords.append((x, y))
+    if not tiles:
+        return (
+            np.zeros((0, patch_size, patch_size, 3), image.dtype),
+            np.zeros((0, 2), np.int64),
+        )
+    return np.stack(tiles), np.asarray(coords, np.int64)
+
+
+def iter_openslide_tiles(
+    slide_path: str,
+    patch_size: int = 256,
+    tissue_fraction: float = 0.25,
+    chunk: int = 256,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Stream (tiles, coords) chunks from an OpenSlide-readable WSI (gated on
+    the OpenSlide C library, like the reference's mask reads)."""
+    try:
+        import openslide
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("OpenSlide required for .svs/.tif pyramids; "
+                          "pass an in-memory image to cut_tiles instead") from e
+    slide = openslide.open_slide(slide_path)
+    w, h = slide.dimensions
+    # tissue detection on a downsampled overview
+    scale = max(1, int(max(w, h) / 2048))
+    overview = np.array(
+        slide.get_thumbnail((w // scale, h // scale)).convert("RGB")
+    )
+    mask = tissue_mask(overview)
+
+    tiles, coords = [], []
+    for y in range(0, h - patch_size + 1, patch_size):
+        for x in range(0, w - patch_size + 1, patch_size):
+            my, mx = y // scale, x // scale
+            msize = max(1, patch_size // scale)
+            frac = mask[my : my + msize, mx : mx + msize].mean()
+            if frac >= tissue_fraction:
+                region = np.array(
+                    slide.read_region((x, y), 0, (patch_size, patch_size)).convert("RGB")
+                )
+                tiles.append(region)
+                coords.append((x, y))
+                if len(tiles) >= chunk:
+                    yield np.stack(tiles), np.asarray(coords, np.int64)
+                    tiles, coords = [], []
+    if tiles:
+        yield np.stack(tiles), np.asarray(coords, np.int64)

@@ -205,3 +205,47 @@ def test_extract_features_roundtrip(rng, tmp_path):
     cls = jnp.asarray(rng.standard_normal((32, 2), dtype=np.float32))
     prob = zero_shot_detection(cls, jnp.asarray(f2), c2, patch_size=256)
     assert 0.0 <= prob <= 1.0
+
+
+def test_tile_cutting_and_full_loop(rng, tmp_path):
+    """Raw synthetic slide → tissue tiles → features → detection: the loop
+    the reference delegates to external CLAM tooling."""
+    import jax
+    from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+    from keep_tpu.io.tiles import cut_tiles, tissue_mask
+    from keep_tpu.models import keep
+    from keep_tpu.wsi.extract import extract_features
+
+    # synthetic H&E-like slide: white background, one pink tissue region
+    ps = 32
+    slide = np.full((8 * ps, 8 * ps, 3), 250, np.uint8)
+    slide[ps : 5 * ps, 2 * ps : 7 * ps] = [200, 120, 160]  # saturated tissue
+    mask = tissue_mask(slide)
+    assert mask[3 * ps, 4 * ps] and not mask[0, 0]
+
+    tiles, coords = cut_tiles(slide, patch_size=ps, tissue_fraction=0.5)
+    assert len(tiles) == 4 * 5  # the tissue rectangle in tile units
+    assert tiles.shape[1:] == (ps, ps, 3)
+    assert (coords % ps == 0).all()
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                         num_heads=2),
+        text=BertConfig(vocab_size=16, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=16),
+        projection_dim=32,
+    )
+    model = keep.KEEPModel(params=keep.init(jax.random.PRNGKey(0), cfg), cfg=cfg)
+    feats = extract_features(model, tiles, batch_size=8)
+    cls = jnp.asarray(rng.standard_normal((32, 2), dtype=np.float32))
+    prob = zero_shot_detection(cls, jnp.asarray(feats), coords, patch_size=ps)
+    assert 0.0 <= prob <= 1.0
+
+
+def test_cut_tiles_empty_slide():
+    from keep_tpu.io.tiles import cut_tiles
+
+    blank = np.full((256, 256, 3), 255, np.uint8)
+    tiles, coords = cut_tiles(blank, patch_size=64)
+    assert tiles.shape == (0, 64, 64, 3) and coords.shape == (0, 2)
