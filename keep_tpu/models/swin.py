@@ -1,0 +1,208 @@
+"""Swin Transformer (tiny) with an optional ConvStem — the ``ctranspath``
+image tower family (reference model/ctran.py:46-51, which requires an
+external ``timm_ctp`` package even in the reference; this is a native
+implementation of the documented architecture).
+
+Swin-T: 4 stages, depths (2,2,6,2), heads (3,6,12,24), dims 96→768,
+7×7 window attention with relative position bias, shifted windows on
+alternate blocks, 2×2 patch merging between stages, final LN + global
+average pool. ConvStem (ctranspath-style) replaces the 4×4 linear patch
+embed with two stride-2 3×3 convs (BN+ReLU) reaching the same 1/4
+resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.ops.nn import layer_norm, linear, mlp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    img_size: int = 224
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-5
+    conv_stem: bool = True  # ctranspath variant
+    num_features_mult: int = 8  # final dim = embed_dim * 8
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim * self.num_features_mult
+
+
+def window_partition(x: Array, w: int) -> Array:
+    """[B, H, W, C] → [B·nH·nW, w, w, C]."""
+    b, h, ww, c = x.shape
+    x = x.reshape(b, h // w, w, ww // w, w, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, w, w, c)
+
+
+def window_reverse(windows: Array, w: int, h: int, ww: int) -> Array:
+    b = windows.shape[0] // (h // w * ww // w)
+    x = windows.reshape(b, h // w, ww // w, w, w, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, ww, -1)
+
+
+@functools.lru_cache(maxsize=4)
+def relative_position_index(w: int) -> np.ndarray:
+    """[w², w²] indices into the (2w−1)² relative-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, w², w²]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def shift_attn_mask(h: int, ww: int, w: int, shift: int) -> np.ndarray:
+    """[nWindows, w², w²] additive mask (−1e9 across shifted-window seams)."""
+    img = np.zeros((1, h, ww, 1), np.int32)
+    cnt = 0
+    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    wins = np.asarray(window_partition(jnp.asarray(img), w)).reshape(-1, w * w)
+    diff = wins[:, :, None] != wins[:, None, :]
+    return np.where(diff, -1e9, 0.0).astype(np.float32)
+
+
+def window_attention(p: dict, x: Array, heads: int, w: int,
+                     mask: Array | None) -> Array:
+    """x: [nW, w², C]; relative position bias per head from the table."""
+    nw, n, c = x.shape
+    dh = c // heads
+    qkv = linear(p["qkv"], x).reshape(nw, n, 3, heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    scores = jnp.einsum("whqd,whkd->whqk", q, k,
+                        preferred_element_type=jnp.float32) * dh**-0.5
+    idx = jnp.asarray(relative_position_index(w).reshape(-1))
+    bias = jnp.take(p["rel_bias"], idx, axis=0).reshape(n, n, heads)
+    scores = scores + bias.transpose(2, 0, 1)[None]
+    if mask is not None:
+        nm = mask.shape[0]
+        scores = scores.reshape(nw // nm, nm, heads, n, n) + mask[None, :, None]
+        scores = scores.reshape(nw, heads, n, n)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("whqk,whkd->whqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return linear(p["proj"], out.transpose(0, 2, 1, 3).reshape(nw, n, c))
+
+
+def swin_block(p: dict, x: Array, cfg: SwinConfig, heads: int, shift: int) -> Array:
+    b, h, ww, c = x.shape
+    w = cfg.window
+    y = layer_norm(p["norm1"], x, cfg.ln_eps)
+    if shift:
+        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(shift_attn_mask(h, ww, w, shift))
+    else:
+        mask = None
+    wins = window_partition(y, w).reshape(-1, w * w, c)
+    attn = window_attention(p["attn"], wins, heads, w, mask)
+    y = window_reverse(attn.reshape(-1, w, w, c), w, h, ww)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    x = x + y
+    y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps))
+    return x + y
+
+
+def patch_merge(p: dict, x: Array, eps: float) -> Array:
+    """2×2 neighborhood concat → LN → linear 4C→2C (Swin v1 downsampling)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, h // 2, w // 2, 4 * c)
+    x = layer_norm(p["norm"], x, eps)
+    return linear(p["reduction"], x)
+
+
+def forward(params: dict, pixels: Array, cfg: SwinConfig,
+            *, dtype=jnp.float32) -> Array:
+    """[B, H, W, 3] → [B, num_features] (final LN + global average pool)."""
+    x = pixels.astype(dtype)
+    if cfg.conv_stem:
+        from keep_tpu.models.resnet import batch_norm, conv
+
+        s = params["stem"]
+        x = jax.nn.relu(batch_norm(s["bn1"], conv(s["conv1"], x, stride=2, padding=1), 1e-5))
+        x = batch_norm(s["bn2"], conv(s["conv2"], x, stride=2, padding=1), 1e-5)
+    else:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 4, 4, w // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, h // 4, w // 4, 48)
+        x = linear(params["patch_embed"], x)
+    x = layer_norm(params["embed_norm"], x, cfg.ln_eps)
+
+    for si, depth in enumerate(cfg.depths):
+        stage = params[f"stage{si}"]
+        for bi in range(depth):
+            shift = 0 if bi % 2 == 0 else cfg.window // 2
+            x = swin_block(stage["blocks"][bi], x, cfg, cfg.heads[si], shift)
+        if si < len(cfg.depths) - 1:
+            x = patch_merge(stage["merge"], x, cfg.ln_eps)
+
+    x = layer_norm(params["norm"], x, cfg.ln_eps)
+    return x.mean(axis=(1, 2))
+
+
+def init(key: jax.Array, cfg: SwinConfig, dtype=jnp.float32) -> dict:
+    kiter = iter(jax.random.split(key, 128))
+
+    def lin(fi, fo, bias=True):
+        out = {"kernel": (jax.random.normal(next(kiter), (fi, fo)) * fi**-0.5).astype(dtype)}
+        out["bias"] = jnp.zeros((fo,), dtype) if bias else jnp.zeros((fo,), dtype)
+        return out
+
+    ln = lambda c: {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    def block(c, heads):
+        f = int(c * cfg.mlp_ratio)
+        return {
+            "norm1": ln(c),
+            "attn": {
+                "qkv": lin(c, 3 * c),
+                "proj": lin(c, c),
+                "rel_bias": (jax.random.normal(
+                    next(kiter), ((2 * cfg.window - 1) ** 2, heads)) * 0.02).astype(dtype),
+            },
+            "norm2": ln(c),
+            "mlp": {"fc1": lin(c, f), "fc2": lin(f, c)},
+        }
+
+    d = cfg.embed_dim
+    params = {"embed_norm": ln(d)}
+    if cfg.conv_stem:
+        params["stem"] = {
+            "conv1": {"kernel": (jax.random.normal(next(kiter), (3, 3, 3, d // 2)) * 0.1).astype(dtype)},
+            "bn1": {"scale": jnp.ones(d // 2, dtype), "bias": jnp.zeros(d // 2, dtype),
+                    "mean": jnp.zeros(d // 2, dtype), "var": jnp.ones(d // 2, dtype)},
+            "conv2": {"kernel": (jax.random.normal(next(kiter), (3, 3, d // 2, d)) * 0.1).astype(dtype)},
+            "bn2": {"scale": jnp.ones(d, dtype), "bias": jnp.zeros(d, dtype),
+                    "mean": jnp.zeros(d, dtype), "var": jnp.ones(d, dtype)},
+        }
+    else:
+        params["patch_embed"] = lin(48, d)
+
+    c = d
+    for si, depth in enumerate(cfg.depths):
+        stage = {"blocks": [block(c, cfg.heads[si]) for _ in range(depth)]}
+        if si < len(cfg.depths) - 1:
+            stage["merge"] = {"norm": ln(4 * c), "reduction": lin(4 * c, 2 * c, bias=False)}
+            c *= 2
+        params[f"stage{si}"] = stage
+    params["norm"] = ln(c)
+    return params
