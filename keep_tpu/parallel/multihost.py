@@ -1,0 +1,71 @@
+"""Multi-host coordination helpers.
+
+The reference's ``broadcast_object`` / ``all_gather_object``
+(training/path_training/distributed.py:117-137) coordinate Python objects
+across DDP ranks (e.g. the discovered resume checkpoint path,
+main.py:147-166). JAX's analog is process-level: one process per host,
+``multihost_utils`` for object broadcast. On a single host these are
+passthroughs, so the same code runs everywhere.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_master() -> bool:
+    return jax.process_index() == 0
+
+
+def broadcast_object(obj: Any, name: str = "broadcast") -> Any:
+    """Broadcast a picklable object from process 0 to all processes
+    (reference broadcast_object, distributed.py:117-127)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    # lengths first (fixed shape), then the padded payload
+    length = multihost_utils.broadcast_one_to_all(
+        np.asarray([payload.size], np.int64)
+    )[0]
+    buf = np.zeros(int(length), np.uint8)
+    if is_master():
+        buf[: payload.size] = payload
+    buf = multihost_utils.broadcast_one_to_all(buf)
+    return pickle.loads(buf.tobytes())
+
+
+def all_gather_object(obj: Any) -> list[Any]:
+    """Gather one picklable object per process (reference all_gather_object,
+    distributed.py:130-137)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    # fixed-size frame: every process pads to the global max length
+    payload = pickle.dumps(obj)
+    max_len = int(
+        multihost_utils.process_allgather(np.asarray([len(payload)], np.int64)).max()
+    )
+    buf = np.zeros(max_len + 8, np.uint8)
+    buf[:8] = np.frombuffer(np.asarray([len(payload)], np.int64).tobytes(), np.uint8)
+    buf[8 : 8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    out = []
+    for row in gathered:
+        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        out.append(pickle.loads(row[8 : 8 + n].tobytes()))
+    return out

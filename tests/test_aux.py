@@ -56,3 +56,31 @@ def test_throughput_meter():
     m.update(10)
     assert m.samples_per_sec > 0
     assert m.per_device(2) == m.samples_per_sec / 2
+
+
+def test_multihost_single_process_passthrough():
+    from keep_tpu.parallel.multihost import (
+        all_gather_object,
+        broadcast_object,
+        is_master,
+        process_count,
+        process_index,
+    )
+
+    assert process_index() == 0 and process_count() == 1 and is_master()
+    obj = {"resume": "/ckpts/epoch_3", "n": 7}
+    assert broadcast_object(obj) == obj
+    assert all_gather_object(obj) == [obj]
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from keep_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "prof")):
+        float(jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64))))
+    import os
+
+    found = any("plugins" in r or f for r, d, f in os.walk(tmp_path / "prof"))
+    assert found  # a profile directory structure was written
