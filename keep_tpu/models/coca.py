@@ -20,7 +20,6 @@ Structure (CoCa paper / open_clip semantics):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -1,1 +1,9 @@
-from keep_tpu.ops.nn import gelu, layer_norm, linear, mha_attention, mlp  # noqa: F401
+from keep_tpu.ops.nn import (  # noqa: F401
+    gelu,
+    l2_normalize,
+    layer_norm,
+    linear,
+    mha_attention,
+    mlp,
+)
+from keep_tpu.ops.preprocess import normalize_only, preprocess  # noqa: F401
