@@ -72,6 +72,7 @@ def forward(
     dtype: jnp.dtype = jnp.float32,
     use_flash: bool = False,
     gelu_approx: bool = False,
+    remat: bool = False,
 ) -> dict:
     """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}."""
     b, s = input_ids.shape
@@ -92,6 +93,8 @@ def forward(
     mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * MASK_VALUE
 
     block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash, gelu_approx=gelu_approx)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
 
     def scan_body(carry, layer_params):
         return block_fn(layer_params, carry, mask_bias), None

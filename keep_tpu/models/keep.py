@@ -36,11 +36,12 @@ def encode_image(
     dtype: jnp.dtype = jnp.float32,
     use_flash: bool = False,
     gelu_approx: bool = False,
+    remat: bool = False,
 ) -> Array:
     """[B, H, W, 3] normalized pixels → [B, projection_dim] unit features."""
     feats = vit.forward(
         params["visual"], pixels, cfg.vision, dtype=dtype, use_flash=use_flash,
-        gelu_approx=gelu_approx,
+        gelu_approx=gelu_approx, remat=remat,
     )
     head = params["visual_head"]
     feats = linear(head["fc2"], gelu(linear(head["fc1"], feats)))
@@ -57,6 +58,7 @@ def encode_text(
     dtype: jnp.dtype = jnp.float32,
     use_flash: bool = False,
     gelu_approx: bool = False,
+    remat: bool = False,
 ) -> Array:
     """[B, S] token ids (+mask) → [B, hidden] unit features (BERT pooler)."""
     out = bert.forward(
@@ -68,6 +70,7 @@ def encode_text(
         dtype=dtype,
         use_flash=use_flash,
         gelu_approx=gelu_approx,
+        remat=remat,
     )
     return l2_normalize(out["pooler_output"].astype(jnp.float32))
 

@@ -62,8 +62,11 @@ class LossConfig:
     local_loss: bool = False
 
 
-def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash):
-    img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype, use_flash=use_flash)
+def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True):
+    # remat trades recompute for memory: ViT-L+BERT backward at useful batch
+    # sizes exceeds one v5e's 16GB HBM without it
+    img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
+                            use_flash=use_flash, remat=remat)
     txt = keep.encode_text(
         params,
         batch["input_ids"],
@@ -72,6 +75,7 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash):
         cfg,
         dtype=dtype,
         use_flash=use_flash,
+        remat=remat,
     )
     return img, txt
 
