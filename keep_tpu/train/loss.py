@@ -114,6 +114,10 @@ class DOGraph:
 
     def __init__(self, node_parents: dict[str, list[str]]):
         self.parents = node_parents
+        # reachability memo: the reference re-runs BFS for every pair every
+        # step (O(N_id²) per batch, loss.py:325-331); label vocabularies are
+        # small so pairs recur constantly
+        self._memo: dict[tuple[str, str], bool] = {}
 
     @classmethod
     def from_json(cls, path: str) -> "DOGraph":
@@ -123,7 +127,16 @@ class DOGraph:
 
     def reachable(self, start: str, end: str) -> bool:
         """True iff ``start`` is an ancestor of ``end`` (or equal); BFS up the
-        parent links from ``end``."""
+        parent links from ``end`` (memoized)."""
+        key = (start, end)
+        cached = self._memo.get(key)
+        if cached is not None:
+            return cached
+        out = self._reachable(start, end)
+        self._memo[key] = out
+        return out
+
+    def _reachable(self, start: str, end: str) -> bool:
         if start not in self.parents or end not in self.parents:
             return False
         if start == end:

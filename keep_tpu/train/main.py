@@ -28,7 +28,12 @@ from keep_tpu.train import checkpoint as ckpt
 from keep_tpu.train import eval as zs_eval
 from keep_tpu.train import optim, schedules
 from keep_tpu.train.config import TrainRunConfig
-from keep_tpu.train.data import BatchIterator, GroupDataset, load_knowledge_json
+from keep_tpu.train.data import (
+    BatchIterator,
+    GroupDataset,
+    Prefetcher,
+    load_knowledge_json,
+)
 from keep_tpu.train.freeze import FreezeSchedule, diff_report, snapshot
 from keep_tpu.train.loss import DOGraph
 from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
@@ -234,7 +239,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         dataset.resample_epoch()
         loss_meter, step_time = AverageMeter(), AverageMeter()
         t0 = time.time()
-        for i, batch in enumerate(make_iter()):
+        for i, batch in enumerate(Prefetcher(make_iter())):
             arrays = {
                 k: jnp.asarray(v)
                 for k, v in batch.items()

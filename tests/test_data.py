@@ -251,3 +251,29 @@ def test_reference_semantic_groups_fixture():
     assert len(ds) > 0
     s = ds[0]
     assert s.image and s.text
+
+
+def test_prefetcher_order_and_errors():
+    from keep_tpu.train.data import Prefetcher
+
+    out = list(Prefetcher(iter(range(20)), depth=3))
+    assert out == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("decode failed")
+
+    it = iter(Prefetcher(boom()))
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="decode failed"):
+        list(it)
+
+
+def test_do_graph_memoization():
+    from keep_tpu.train.loss import DOGraph
+
+    g = DOGraph({"a": [], "b": ["a"], "c": ["b"]})
+    assert g.reachable("a", "c") and not g.reachable("c", "a")
+    assert ("a", "c") in g._memo and g._memo[("a", "c")] is True
+    # memo hit returns the same answer
+    assert g.reachable("a", "c")
