@@ -111,6 +111,7 @@ def build_eval_data(cfg: TrainRunConfig, image_loader=None) -> dict:
     specs = [
         ("zeroshot_cls", cfg.dataset.zeroshot_cls, cfg.dataset.zeroshot_cls_imdir, "label"),
         ("zeroshot_ret", cfg.dataset.zeroshot_ret, cfg.dataset.zeroshot_ret_imdir, "caption"),
+        ("val", cfg.dataset.val_data, cfg.dataset.img_dir, "caption"),
     ]
     for task, path, imdir, caption_key in specs:
         if not path:
@@ -163,7 +164,8 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             process_count=jax.process_count(),
         )
 
-    if eval_data is None and (cfg.dataset.zeroshot_cls or cfg.dataset.zeroshot_ret):
+    if eval_data is None and (cfg.dataset.zeroshot_cls or cfg.dataset.zeroshot_ret
+                              or cfg.dataset.val_data):
         eval_data = build_eval_data(cfg, image_loader)
     eval_data = eval_data or {}
 
@@ -278,7 +280,20 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 max_length=cfg.keep.max_text_length,
             )
             results.update(zs)
-            logging.info("epoch %d zero-shot eval: %s", epoch, zs)
+            if "val" in eval_data:
+                # val contrastive loss + R@K/rank metrics on paired features
+                # (evaluate, train_hierarchy.py:264-326)
+                vb = min(cfg.dataloader.batch_size, 64)
+                vpix, vtexts = eval_data["val"]
+                vimg = zs_eval.encode_in_batches(enc_img, [vpix], vb)
+                venc = tokenizer(list(vtexts), max_length=cfg.keep.max_text_length)
+                vtxt = zs_eval.encode_in_batches(
+                    enc_txt, [venc["input_ids"], venc["attention_mask"]], vb
+                )
+                results.update(zs_eval.validation_metrics(
+                    vimg, vtxt, float(jnp.exp(state.params["logit_scale"]))
+                ))
+            logging.info("epoch %d eval: %s", epoch, zs)
         append_results(os.path.join(ckpt_dir, "results.jsonl"), results)
 
         if (epoch + 1) % cfg.save.save_frequency == 0 or epoch + 1 == cfg.solver.epochs:
