@@ -148,3 +148,28 @@ def _pmc() -> ModelSpec:
         family="pmc_clip", config=pmc_clip.PMCCLIPConfig(), init=pmc_clip.init,
         encode_image=pmc_clip.encode_image, forward=pmc_clip.forward,
     )
+
+
+def get_tokenizer(kind: str, path: str, **kw):
+    """Tokenizer factory (reference factory.get_tokenizer, factory.py:85-98):
+    'bert' → WordPiece (vocab.txt file or model dir), 'clip' → byte-level BPE
+    (merges file). The native C++ WordPiece fast path is used when built."""
+    import os
+
+    if kind == "bert":
+        try:
+            from keep_tpu.text.fast_tokenizer import FastWordPieceTokenizer
+
+            vocab = path if path.endswith(".txt") else os.path.join(path, "vocab.txt")
+            return FastWordPieceTokenizer(vocab, **kw)
+        except Exception:
+            from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+            if path.endswith(".txt"):
+                return WordPieceTokenizer(path, **kw)
+            return WordPieceTokenizer.from_pretrained(path, **kw)
+    if kind == "clip":
+        from keep_tpu.text.bpe import BPETokenizer
+
+        return BPETokenizer(path, **kw)
+    raise ValueError(f"unknown tokenizer kind {kind!r} (want 'bert' or 'clip')")

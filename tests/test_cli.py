@@ -108,3 +108,22 @@ def test_wsi_cli_cohort_detection(model_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     rec = json.loads(out[out.index("{"):])
     assert rec["n"] == 2
+
+
+def test_wsi_cli_segmentation(model_dir, tmp_path, capsys):
+    from keep_tpu.wsi.run import main
+
+    # level-0 mask covering the left half of the 10x10x256 slide grid
+    mask = np.zeros((10 * 256, 10 * 256), np.uint8)
+    mask[:, : 5 * 256] = 255
+    np.save(tmp_path / "mask.npy", mask)
+    main([
+        "segmentation", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--h5", str(model_dir / "slide.h5"),
+        "--mask", str(tmp_path / "mask.npy"),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "2",
+        "--patch-size", "256",
+    ])
+    out = capsys.readouterr().out
+    assert "AUROC:" in out and "Dice:" in out

@@ -401,3 +401,15 @@ def test_openai_clip_loader(rng):
     assert out["image_features"].shape == (2, E)
     assert out["text_features"].shape == (2, E)
     assert np.isfinite(np.asarray(out["image_features"])).all()
+
+
+def test_get_tokenizer_factory(tmp_path):
+    from keep_tpu.factory import get_tokenizer
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join("[PAD] [UNK] [CLS] [SEP] [MASK] hello world".split()))
+    tok = get_tokenizer("bert", str(vocab))
+    out = tok(["hello world"], max_length=8)
+    assert out["input_ids"].shape == (1, 8)
+    with pytest.raises(ValueError):
+        get_tokenizer("nope", "x")
