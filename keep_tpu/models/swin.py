@@ -206,3 +206,55 @@ def init(key: jax.Array, cfg: SwinConfig, dtype=jnp.float32) -> dict:
         params[f"stage{si}"] = stage
     params["norm"] = ln(c)
     return params
+
+
+def convert_timm_swin(sd, cfg: SwinConfig) -> dict:
+    """timm ``swin_*_patch4_window7`` state dict → pytree (linear patch-embed
+    variant; ctranspath stems come from its own checkpoint layout).
+
+    timm keys: patch_embed.proj (4×4 conv), layers.S.blocks.B.{norm1,
+    attn.{qkv, proj, relative_position_bias_table}, norm2, mlp.fc1/fc2},
+    layers.S.downsample.{norm, reduction}, norm.
+    """
+    g = lambda k: (sd[k].detach().cpu().numpy() if hasattr(sd[k], "detach")
+                   else np.asarray(sd[k]))
+
+    def lin(k, bias=True):
+        out = {"kernel": g(k + ".weight").T}
+        out["bias"] = g(k + ".bias") if bias else np.zeros(
+            out["kernel"].shape[-1], np.float32)
+        return out
+
+    ln = lambda k: {"scale": g(k + ".weight"), "bias": g(k + ".bias")}
+
+    conv = g("patch_embed.proj.weight")  # [D, 3, 4, 4]
+    d = conv.shape[0]
+    # our linear patch embed flattens (ph, pw, c); match that order
+    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, d)
+    params = {
+        "patch_embed": {"kernel": kernel, "bias": g("patch_embed.proj.bias")},
+        "embed_norm": ln("patch_embed.norm"),
+        "norm": ln("norm"),
+    }
+    for si, depth in enumerate(cfg.depths):
+        blocks = []
+        for bi in range(depth):
+            pre = f"layers.{si}.blocks.{bi}"
+            blocks.append({
+                "norm1": ln(pre + ".norm1"),
+                "attn": {
+                    "qkv": lin(pre + ".attn.qkv"),
+                    "proj": lin(pre + ".attn.proj"),
+                    "rel_bias": g(pre + ".attn.relative_position_bias_table"),
+                },
+                "norm2": ln(pre + ".norm2"),
+                "mlp": {"fc1": lin(pre + ".mlp.fc1"), "fc2": lin(pre + ".mlp.fc2")},
+            })
+        stage = {"blocks": blocks}
+        if si < len(cfg.depths) - 1:
+            stage["merge"] = {
+                "norm": ln(f"layers.{si}.downsample.norm"),
+                "reduction": lin(f"layers.{si}.downsample.reduction", bias=False),
+            }
+        params[f"stage{si}"] = stage
+    return params

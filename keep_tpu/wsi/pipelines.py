@@ -225,3 +225,23 @@ def zero_shot_subtyping(
     )
     usable = fractions[:-1] if exclude_last_class else fractions
     return int(np.argmax(usable)), fractions
+
+
+def probability_heatmap(
+    classifier: Array,
+    tile_features: Array,
+    tile_coords: np.ndarray,
+    patch_size: int = 224,
+    overlap: bool = True,
+    class_index: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(heatmap [rows, cols], occupancy [rows, cols]) of refined per-patch
+    class probabilities — the visual analog of the reference's painted pred
+    mask (segment_utils.py:134-140), as a dense float image for display."""
+    grid = CoordGrid.from_coords(tile_coords, patch_size)
+    probs = score_tiles(classifier, tile_features)
+    g, occ = grid.scatter(probs)
+    if overlap:
+        g = refine_grid(g, occ)
+    heat = np.asarray(g[..., class_index]) * np.asarray(occ)
+    return heat, np.asarray(occ)

@@ -83,3 +83,52 @@ def test_swin_t_full_config(rng):
     out = swin.forward(params, x, cfg)
     assert out.shape == (1, 768)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_timm_swin_layout(rng):
+    """Synthetic timm-layout Swin state dict converts and runs (linear
+    patch-embed variant)."""
+    import torch
+
+    from keep_tpu.models.swin import convert_timm_swin
+
+    cfg = SwinConfig(img_size=32, embed_dim=16, depths=(1, 1), heads=(2, 4),
+                     window=4, conv_stem=False)
+    torch.manual_seed(0)
+    sd = {}
+    sd["patch_embed.proj.weight"] = torch.randn(16, 3, 4, 4) * 0.05
+    sd["patch_embed.proj.bias"] = torch.zeros(16)
+    sd["patch_embed.norm.weight"] = torch.rand(16) + 0.5
+    sd["patch_embed.norm.bias"] = torch.randn(16) * 0.1
+    c = 16
+    for si, depth in enumerate(cfg.depths):
+        for bi in range(depth):
+            pre = f"layers.{si}.blocks.{bi}"
+            sd[pre + ".norm1.weight"] = torch.rand(c) + 0.5
+            sd[pre + ".norm1.bias"] = torch.randn(c) * 0.1
+            sd[pre + ".attn.qkv.weight"] = torch.randn(3 * c, c) * 0.05
+            sd[pre + ".attn.qkv.bias"] = torch.zeros(3 * c)
+            sd[pre + ".attn.proj.weight"] = torch.randn(c, c) * 0.05
+            sd[pre + ".attn.proj.bias"] = torch.zeros(c)
+            sd[pre + ".attn.relative_position_bias_table"] = (
+                torch.randn((2 * 4 - 1) ** 2, cfg.heads[si]) * 0.02
+            )
+            sd[pre + ".norm2.weight"] = torch.rand(c) + 0.5
+            sd[pre + ".norm2.bias"] = torch.randn(c) * 0.1
+            sd[pre + ".mlp.fc1.weight"] = torch.randn(4 * c, c) * 0.05
+            sd[pre + ".mlp.fc1.bias"] = torch.zeros(4 * c)
+            sd[pre + ".mlp.fc2.weight"] = torch.randn(c, 4 * c) * 0.05
+            sd[pre + ".mlp.fc2.bias"] = torch.zeros(c)
+        if si < len(cfg.depths) - 1:
+            sd[f"layers.{si}.downsample.norm.weight"] = torch.rand(4 * c) + 0.5
+            sd[f"layers.{si}.downsample.norm.bias"] = torch.randn(4 * c) * 0.1
+            sd[f"layers.{si}.downsample.reduction.weight"] = torch.randn(2 * c, 4 * c) * 0.05
+            c *= 2
+    sd["norm.weight"] = torch.rand(c) + 0.5
+    sd["norm.bias"] = torch.randn(c) * 0.1
+
+    params = convert_timm_swin(sd, cfg)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
+    out = swin.forward(jax.tree.map(jnp.asarray, params), x, cfg)
+    assert out.shape == (1, 32)
+    assert np.isfinite(np.asarray(out)).all()

@@ -249,3 +249,17 @@ def test_cut_tiles_empty_slide():
     blank = np.full((256, 256, 3), 255, np.uint8)
     tiles, coords = cut_tiles(blank, patch_size=64)
     assert tiles.shape == (0, 64, 64, 3) and coords.shape == (0, 2)
+
+
+def test_probability_heatmap(rng):
+    from keep_tpu.wsi.pipelines import probability_heatmap
+
+    ps = 224
+    coords, feats = make_slide(rng, n=120, ps=ps, dup=0)
+    cls = rng.standard_normal((32, 2), dtype=np.float32)
+    heat, occ = probability_heatmap(jnp.asarray(cls), jnp.asarray(feats),
+                                    coords, patch_size=ps)
+    assert heat.shape == occ.shape
+    assert occ.sum() == 120
+    assert (heat[occ == 0] == 0).all()
+    assert (heat[occ == 1] >= 0).all() and (heat[occ == 1] <= 1).all()
