@@ -209,6 +209,16 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     dtype = jnp.bfloat16 if "bf16" in cfg.model.precision else jnp.float32
     use_flash = cfg.model.use_flash and jax.default_backend() == "tpu"
 
+    # jitted eval encoders (compiled once; params passed per call)
+    eval_enc_img = jax.jit(
+        lambda p, px: keep.encode_image(p, px, cfg.keep, dtype=dtype,
+                                        use_flash=use_flash)
+    )
+    eval_enc_txt = jax.jit(
+        lambda p, ids, mask: keep.encode_text(p, ids, mask, cfg=cfg.keep,
+                                              dtype=dtype, use_flash=use_flash)
+    )
+
     def build_step(epoch):
         tx = optim.freeze_wrapper(
             optim.adamw(
@@ -267,12 +277,9 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             and ((epoch + 1) % cfg.solver.zeroshot_frequency == 0
                  or epoch + 1 == cfg.solver.epochs)
         ):
-            enc_img = lambda px: keep.encode_image(
-                state.params, jnp.asarray(px), cfg.keep, dtype=dtype,
-                use_flash=use_flash)
-            enc_txt = lambda ids, mask: keep.encode_text(
-                state.params, jnp.asarray(ids), jnp.asarray(mask),
-                cfg=cfg.keep, dtype=dtype, use_flash=use_flash)
+            enc_img = lambda px: eval_enc_img(state.params, jnp.asarray(px))
+            enc_txt = lambda ids, mask: eval_enc_txt(
+                state.params, jnp.asarray(ids), jnp.asarray(mask))
             zs = zs_eval.zero_shot_eval(
                 enc_img, enc_txt, tokenizer, eval_data,
                 prompts_path=cfg.dataset.zeroshot_cls_prompts or None,
