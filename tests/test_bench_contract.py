@@ -1,0 +1,19 @@
+"""Driver-contract smoke: bench.py prints exactly one parseable JSON line."""
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_json_line():
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, proc.stdout + proc.stderr
+    rec = json.loads(lines[0])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0
