@@ -13,6 +13,7 @@ throughput is therefore a lower bound).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -31,6 +32,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = ViTConfig()
+    if os.environ.get("KEEP_BENCH_TINY"):  # CI smoke: exercise the contract
+        cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                        num_heads=4)
     params = vit.init(jax.random.PRNGKey(0), cfg)
     bs = 256 if on_tpu else 8
     fwd = jax.jit(
@@ -39,7 +43,9 @@ def main():
         )
     )
     x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((bs, 224, 224, 3), dtype=np.float32)
+        np.random.default_rng(0).standard_normal(
+            (bs, cfg.img_size, cfg.img_size, 3), dtype=np.float32
+        )
     )
 
     # warmup (compile) + steady state with forced materialization

@@ -10,7 +10,8 @@ def test_bench_json_line():
         [sys.executable, "bench.py"],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
         env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+             "PYTHONPATH": "/root/repo", "HOME": "/root",
+             "KEEP_BENCH_TINY": "1"},
     )
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, proc.stdout + proc.stderr

@@ -83,3 +83,24 @@ def test_decode_roundtrip(tokenizers):
     ours, _ = tokenizers
     ids = ours.encode("an image of breast invasive carcinoma.", max_length=32)
     assert ours.decode(ids) == "an image of breast invasive carcinoma ."
+
+
+def test_fuzz_against_hf(tokenizers, rng):
+    """Random ASCII soup must tokenize identically to transformers."""
+    import string
+
+    ours, hf = tokenizers
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    for i in range(60):
+        n = int(rng.integers(0, 80))
+        text = "".join(rng.choice(list(alphabet), size=n))
+        assert ours.tokenize(text) == hf.tokenize(text), repr(text)
+    # vocab-word soup with casing/punct glue
+    words = ["breast", "Invasive", "CARCINOMA", "&", "h", "e", "-", "adeno"]
+    for i in range(40):
+        k = int(rng.integers(1, 10))
+        text = "".join(
+            w + ("" if rng.random() < 0.3 else " ")
+            for w in rng.choice(words, size=k)
+        )
+        assert ours.tokenize(text) == hf.tokenize(text), repr(text)
