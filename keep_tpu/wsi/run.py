@@ -60,6 +60,7 @@ def main(argv=None):
     parser.add_argument("--label-map", default='{"Normal": 0, "Tumor": 1}',
                         help="JSON label→index map")
     parser.add_argument("--mask", help="segmentation GT mask (npy at level 0) or OpenSlide path")
+    parser.add_argument("--mask-dir", help="cohort segmentation: dir of {slide_id}.npy level-0 masks")
     parser.add_argument("--patch-size", type=int, default=None)
     parser.add_argument("--topn", type=int, default=50)
     parser.add_argument("--no-screening", dest="prompt_screening", action="store_false")
@@ -126,8 +127,14 @@ def main(argv=None):
         out = cohort_mod.subtyping_cohort(classifier, ds,
                                           patch_size=args.patch_size)
     else:
-        parser.error("cohort segmentation needs a mask provider; use the "
-                     "keep_tpu.wsi.cohort API directly")
+        if not args.mask_dir:
+            parser.error("cohort segmentation needs --mask-dir "
+                         "({slide_id}.npy level-0 masks)")
+        import os
+
+        provider = lambda sid: np.load(os.path.join(args.mask_dir, sid + ".npy"))
+        out = cohort_mod.segmentation_cohort(classifier, ds, provider,
+                                             patch_size=args.patch_size)
     out.pop("per_slide", None)
     print(json.dumps(out, indent=2, default=float))
 

@@ -127,3 +127,34 @@ def test_wsi_cli_segmentation(model_dir, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "AUROC:" in out and "Dice:" in out
+
+
+def test_wsi_cli_cohort_segmentation(model_dir, tmp_path, capsys):
+    import shutil
+
+    import pandas as pd
+
+    from keep_tpu.wsi.run import main
+
+    src = tmp_path / "segcohort"
+    (src / "h5_files").mkdir(parents=True)
+    (src / "masks").mkdir()
+    mask = np.zeros((10 * 256, 10 * 256), np.uint8)
+    mask[:, : 5 * 256] = 255
+    for sid in ("a", "b"):
+        shutil.copy(model_dir / "slide.h5", src / "h5_files" / f"{sid}.h5")
+        np.save(src / "masks" / f"{sid}.npy", mask)
+    pd.DataFrame({"slide_id": ["a", "b"], "Diagnosis": ["Tumor", "Tumor"]}
+                 ).to_csv(src / "cohort.csv", index=False)
+    main([
+        "segmentation", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--cohort-csv", str(src / "cohort.csv"),
+        "--data-source", str(src),
+        "--mask-dir", str(src / "masks"),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "2",
+        "--patch-size", "256",
+    ])
+    out = capsys.readouterr().out
+    rec = json.loads(out[out.index("{"):])
+    assert rec["n"] == 2 and "mean_dice" in rec
