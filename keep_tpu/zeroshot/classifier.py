@@ -41,6 +41,10 @@ def expand_prompt(
     classnames = prompt["classnames"]
     templates = prompt["templates"]
     idx_to_class = {v: k for k, v in label_map.items()}
+    if sorted(idx_to_class) != list(range(len(idx_to_class))):
+        raise ValueError(
+            f"label_map indices must be contiguous from 0; got {label_map}"
+        )
     if add_normal:
         idx_to_class[len(idx_to_class)] = "Normal"
     if isinstance(templates, str):

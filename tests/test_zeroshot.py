@@ -125,3 +125,11 @@ def test_build_classifiers_batched(rng):
         {"A": 0, "B": 1}, add_normal=True, batch_size=2,
     )
     assert stack3.shape == (1, d, 3)
+
+
+def test_non_contiguous_label_map_rejected():
+    from keep_tpu.zeroshot.classifier import expand_prompt
+
+    prompt = {"classnames": {"Tumor": "tumor"}, "templates": "CLASSNAME."}
+    with pytest.raises(ValueError, match="contiguous"):
+        expand_prompt(prompt, {"Tumor": 1})
