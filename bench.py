@@ -37,10 +37,13 @@ def main():
                         num_heads=4)
     params = vit.init(jax.random.PRNGKey(0), cfg)
     bs = 256 if on_tpu else 8
+    from keep_tpu.utils.compile import tpu_compiler_options
+
     fwd = jax.jit(
         lambda p, x: vit.forward(
             p, x, cfg, dtype=jnp.bfloat16, use_flash=on_tpu, gelu_approx=True
-        )
+        ),
+        compiler_options=tpu_compiler_options(),
     )
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(

@@ -122,8 +122,15 @@ class KEEPModel:
             self.gelu_approx = self.dtype == jnp.bfloat16
         static = dict(cfg=self.cfg, dtype=self.dtype, use_flash=self.use_flash,
                       gelu_approx=self.gelu_approx)
-        self._encode_image = jax.jit(functools.partial(encode_image, **static))
-        self._encode_text = jax.jit(functools.partial(encode_text, **static))
+        from keep_tpu.utils.compile import tpu_compiler_options
+
+        opts = tpu_compiler_options()
+        self._encode_image = jax.jit(
+            functools.partial(encode_image, **static), compiler_options=opts
+        )
+        self._encode_text = jax.jit(
+            functools.partial(encode_text, **static), compiler_options=opts
+        )
 
     def encode_image(self, pixels: Array) -> Array:
         return self._encode_image(self.params, pixels)

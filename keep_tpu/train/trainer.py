@@ -128,7 +128,10 @@ def make_train_step(
         return new_state, {"loss": loss, "grad_norm": gnorm,
                            "logit_scale": jnp.exp(params["logit_scale"])}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    from keep_tpu.utils.compile import tpu_compiler_options
+
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_accum_train_step(
