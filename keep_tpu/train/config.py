@@ -80,6 +80,10 @@ class SaveConfig:
     save_frequency: int = 1
     delete_previous_checkpoint: bool = False
     resume: str = ""  # '' | 'latest' | path
+    remote_sync: str = ""  # dir/URL for background checkpoint sync
+    remote_sync_frequency: int = 300  # seconds (reference params.py)
+    copy_codebase: bool = False  # snapshot keep_tpu source into the run dir
+    wandb_project: str = ""
 
 
 @dataclasses.dataclass

@@ -139,6 +139,25 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     with open(os.path.join(out_dir, "params.txt"), "w") as f:
         f.write(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
 
+    if cfg.save.copy_codebase:
+        from keep_tpu.utils.logging import copy_codebase
+
+        logging.info("code snapshot at %s", copy_codebase(out_dir))
+    sync_proc = None
+    if cfg.save.remote_sync and jax.process_index() == 0:
+        from keep_tpu.train.sync import remote_sync, start_sync_process
+
+        remote_sync(ckpt_dir, cfg.save.remote_sync)  # fail fast on bad target
+        sync_proc = start_sync_process(
+            cfg.save.remote_sync_frequency, ckpt_dir, cfg.save.remote_sync
+        )
+        logging.info("remote sync → %s every %ds", cfg.save.remote_sync,
+                     cfg.save.remote_sync_frequency)
+
+    from keep_tpu.utils.writers import MetricWriter
+
+    writer = MetricWriter(out_dir, wandb_project=cfg.save.wandb_project or None)
+
     if tokenizer is None:
         from keep_tpu.text.tokenizer import WordPieceTokenizer
 
@@ -302,6 +321,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 ))
             logging.info("epoch %d eval: %s", epoch, zs)
         append_results(os.path.join(ckpt_dir, "results.jsonl"), results)
+        writer.write(int(state.step), results)
 
         if (epoch + 1) % cfg.save.save_frequency == 0 or epoch + 1 == cfg.solver.epochs:
             ckpt.save(
@@ -310,6 +330,12 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 keep_previous=not cfg.save.delete_previous_checkpoint,
             )
             logging.info("saved checkpoint epoch %d", epoch)
+    writer.close()
+    if sync_proc is not None:
+        from keep_tpu.train.sync import remote_sync
+
+        remote_sync(ckpt_dir, cfg.save.remote_sync)  # final sync
+        sync_proc.terminate()
     return results
 
 
