@@ -316,6 +316,7 @@ class BatchIterator:
     image_loader: Optional[Callable[[str], np.ndarray]] = None
     drop_last: bool = True
     seed: int = 0
+    workers: int = 8  # parallel image decode threads (reference WORKORS=8)
 
     def __post_init__(self):
         assert self.batch_size % self.caption_num == 0
@@ -326,17 +327,23 @@ class BatchIterator:
         from keep_tpu.configs import PreprocessConfig
         from keep_tpu.ops.preprocess import normalize_only
 
+        from concurrent.futures import ThreadPoolExecutor
+
         n = len(self.dataset)
         n_ins = self.batch_size // self.caption_num
         loader = self.image_loader or (lambda name: load_image(self.img_dir, name))
         pcfg = PreprocessConfig()
+        pool = ThreadPoolExecutor(max_workers=max(1, self.workers))             if self.workers > 1 else None
         for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
                            self.batch_size):
             idxs = range(start, min(start + self.batch_size, n))
             samples = [self.dataset[i] for i in idxs]
+            if pool is not None:
+                raw = list(pool.map(lambda s: loader(s.image), samples))
+            else:
+                raw = [loader(s.image) for s in samples]
             pixels = np.stack(
-                [random_crop(loader(s.image), self.image_size, self.rng)
-                 for s in samples]
+                [random_crop(img, self.image_size, self.rng) for img in raw]
             )
             enc = self.tokenizer([s.text for s in samples], max_length=self.max_length)
             batch = {

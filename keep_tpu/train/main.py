@@ -199,6 +199,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         do_graph=do_graph,
         image_loader=image_loader,
         seed=cfg.seed,
+        workers=cfg.dataloader.workers,
     )
     steps_per_epoch = make_iter().num_batches
     schedule = build_schedule(cfg, steps_per_epoch)

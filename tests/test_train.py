@@ -187,3 +187,28 @@ def test_wd_mask_structure():
     assert mask["visual"]["blocks"]["attn"]["qkv"]["bias"] is False
     assert mask["text"]["embeddings"]["word"] is True
     assert mask["text"]["blocks"]["norm"]["scale"] is False
+
+
+def test_accum_step_hierarchy_matches_full(rng):
+    """Accumulation parity also holds for the hierarchical metric loss."""
+    params = keep.init(jax.random.PRNGKey(2), TINY)
+    tx = optim.adamw(1e-3)
+    batch = make_batch(rng, 8, n_id=4)
+    full = {k: jnp.asarray(v) for k, v in batch.items()}
+    micro = {
+        k: jnp.asarray(v.reshape((2, 4) + v.shape[1:]) if k != "node_connection"
+                       else np.stack([v, v]))
+        for k, v in batch.items()
+    }
+    lc = LossConfig(kind="hierarchy_metric", caption_num=4)
+    s_full = tree_state(params, tx)
+    s_full, m_full = make_train_step(TINY, lc, tx, dtype=jnp.float32,
+                                     donate=False)(s_full, full)
+    s_acc = tree_state(params, tx)
+    s_acc, m_acc = make_accum_train_step(TINY, lc, tx, 2,
+                                         dtype=jnp.float32)(s_acc, micro)
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-4)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_full.params, s_acc.params
+    )
+    assert max(jax.tree.leaves(diffs)) < 5e-5
