@@ -396,3 +396,23 @@ def generate_beam(
     norm = scores / np.maximum(lengths, 1)
     best = norm.argmax(axis=1)
     return ids[np.arange(b), best]
+
+
+def coca_loss(
+    out: dict,
+    *,
+    caption_weight: float = 2.0,
+    contrastive_weight: float = 1.0,
+    pad_id: int = 0,
+    axis_name=None,
+) -> Array:
+    """Composite CoCa objective: contrastive (global negatives when mapped
+    over ``axis_name``) + weighted captioning CE over ``forward``'s output."""
+    from keep_tpu.train.loss import clip_loss
+
+    contrastive = clip_loss(
+        out["image_features"], out["text_features"], out["logit_scale"],
+        axis_name=axis_name,
+    )
+    caption = caption_loss(out["logits"], out["labels"], pad_id=pad_id)
+    return contrastive_weight * contrastive + caption_weight * caption

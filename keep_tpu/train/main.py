@@ -36,7 +36,12 @@ from keep_tpu.train.data import (
 )
 from keep_tpu.train.freeze import FreezeSchedule, diff_report, snapshot
 from keep_tpu.train.loss import DOGraph
-from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
+from keep_tpu.train.trainer import (
+    LossConfig,
+    make_accum_train_step,
+    make_train_step,
+    tree_state,
+)
 from keep_tpu.utils.logging import AverageMeter, append_results, setup_logging
 
 
@@ -239,6 +244,8 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                                               dtype=dtype, use_flash=use_flash)
     )
 
+    accum = max(1, cfg.solver.accum_freq)
+
     def build_step(epoch):
         tx = optim.freeze_wrapper(
             optim.adamw(
@@ -251,9 +258,17 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             ),
             fs.frozen_fn(epoch),
         )
-        step_fn = make_train_step(
-            cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash, donate=False
-        )
+        if accum > 1:
+            # cached-negative accumulation (train_hierarchy.py:127-165):
+            # accum_freq host batches form one optimizer step
+            step_fn = make_accum_train_step(
+                cfg.keep, loss_cfg, tx, accum, dtype=dtype, use_flash=use_flash
+            )
+        else:
+            step_fn = make_train_step(
+                cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
+                donate=False,
+            )
         return tx, step_fn
 
     state = None
@@ -271,12 +286,19 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         dataset.resample_epoch()
         loss_meter, step_time = AverageMeter(), AverageMeter()
         t0 = time.time()
+        pending = []
         for i, batch in enumerate(Prefetcher(make_iter())):
             arrays = {
                 k: jnp.asarray(v)
                 for k, v in batch.items()
                 if k in ("pixels", "input_ids", "attention_mask", "node_connection")
             }
+            if accum > 1:
+                pending.append(arrays)
+                if len(pending) < accum:
+                    continue
+                arrays = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                pending = []
             state, metrics = step_fn(state, arrays)
             loss_meter.update(float(metrics["loss"]))
             step_time.update(time.time() - t0)

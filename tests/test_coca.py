@@ -194,3 +194,18 @@ def test_generate_knobs(params, rng):
     a = coca.generate(params, pixels, CFG, seq_len=8)
     b = coca.generate(params, pixels, CFG, seq_len=8, repetition_penalty=10.0)
     assert a.shape[0] == b.shape[0]
+
+
+def test_coca_loss_composite(params, rng):
+    from keep_tpu.models.coca import coca_loss
+
+    pixels = jnp.asarray(rng.standard_normal((4, 16, 16, 3), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(1, 60, size=(4, 12)))
+    out = coca.forward(params, pixels, ids, CFG)
+    loss = coca_loss(out, pad_id=CFG.pad_id)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # caption_weight scales the caption term
+    l0 = coca_loss(out, caption_weight=0.0)
+    l2 = coca_loss(out, caption_weight=2.0)
+    cap = caption_loss(out["logits"], out["labels"], pad_id=CFG.pad_id)
+    assert float(l2) == pytest.approx(float(l0) + 2.0 * float(cap), rel=1e-5)
