@@ -25,11 +25,18 @@ from keep_tpu.wsi.pipelines import (
 )
 
 
-def load_kidrare_labels(path: str, tumor_name: str) -> tuple[dict, dict]:
-    """KidRare label JSON {slide_id: 'Normal'|subtype} → (slide→label map,
-    label_map {'Normal':0, tumor:1}) (WSI_evaluation/kidrare_label/*.json)."""
+def load_kidrare_labels(path: str, tumor_name: Optional[str] = None) -> tuple[dict, dict]:
+    """KidRare label JSON {slide_id: 'Normal'|tumor-label} → (slide→label,
+    label_map {'Normal': 0, <tumor>: 1}) (WSI_evaluation/kidrare_label/*.json;
+    the shipped files use the generic label 'Tumor'). ``tumor_name`` overrides
+    the tumor label when the file uses a different one."""
     with open(path) as f:
         slides = json.load(f)
+    if tumor_name is None or tumor_name not in set(slides.values()):
+        others = sorted(set(slides.values()) - {"Normal"})
+        if len(others) != 1:
+            raise ValueError(f"expected one tumor label, found {others} in {path}")
+        tumor_name = others[0]
     label_map = {"Normal": 0, tumor_name: 1}
     return slides, label_map
 

@@ -138,3 +138,21 @@ def test_export_loads_in_torch_reference_layout(tmp_path):
     assert set(sd.keys()) == set(ref_sd.keys())
     for k in sd:
         assert tuple(sd[k].shape) == tuple(ref_sd[k].shape), k
+
+
+def test_reference_kidrare_fixtures():
+    """The reference's shipped KidRare label JSONs load through our contract."""
+    import os
+
+    base = "/root/reference/WSI_evaluation/kidrare_label"
+    if not os.path.isdir(base):
+        pytest.skip("reference kidrare labels not present")
+    for tumor in ("Nephroblastoma", "Neuroblastoma", "Hepatoblastoma",
+                  "Medulloblastoma"):
+        slides, label_map = load_kidrare_labels(
+            os.path.join(base, f"{tumor}_labels.json")
+        )
+        # the shipped files use the generic 'Tumor' label
+        assert label_map == {"Normal": 0, "Tumor": 1}
+        assert len(slides) == 110  # SURVEY §2.1 #10: 110 entries each
+        assert set(slides.values()) == {"Normal", "Tumor"}

@@ -86,3 +86,40 @@ def test_patch_dropout(rng):
     # keep_rate=1 is identity
     same = patch_dropout(tokens, jax.random.PRNGKey(0), keep_rate=1.0)
     np.testing.assert_allclose(np.asarray(same), np.asarray(tokens))
+
+
+def test_accum_step_on_mesh(rng):
+    """Cached-negative accumulation with the microbatch axis device-put on the
+    mesh (params replicated) — the multi-chip accumulation path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from keep_tpu.models import keep
+    from keep_tpu.train import optim
+    from keep_tpu.train.trainer import (
+        LossConfig,
+        make_accum_train_step,
+        tree_state,
+    )
+    from tests.test_train import TINY, make_batch
+
+    mesh = make_mesh(8)
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    tx = optim.adamw(1e-3)
+    state = tree_state(params, tx)
+    batch = make_batch(np.random.default_rng(0), 16, n_id=4)
+    micro = {
+        k: jnp.asarray(v.reshape((2, 8) + v.shape[1:]) if k != "node_connection"
+                       else np.stack([v, v]))
+        for k, v in batch.items()
+    }
+    with jax.set_mesh(mesh):
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(None, "dp"))  # [accum, micro, ...]
+        state = jax.device_put(state, repl)
+        micro = {k: jax.device_put(v, repl if k == "node_connection" else data)
+                 for k, v in micro.items()}
+        step = make_accum_train_step(TINY, LossConfig(kind="clip"), tx, 2,
+                                     dtype=jnp.float32)
+        state, m = step(state, micro)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
