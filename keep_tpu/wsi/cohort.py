@@ -26,18 +26,27 @@ from keep_tpu.wsi.pipelines import (
 
 
 def load_kidrare_labels(path: str, tumor_name: Optional[str] = None) -> tuple[dict, dict]:
-    """KidRare label JSON {slide_id: 'Normal'|tumor-label} → (slide→label,
-    label_map {'Normal': 0, <tumor>: 1}) (WSI_evaluation/kidrare_label/*.json;
-    the shipped files use the generic label 'Tumor'). ``tumor_name`` overrides
-    the tumor label when the file uses a different one."""
+    """KidRare label JSON → (slide→label, label_map), deriving the task from
+    the file (WSI_evaluation/kidrare_label/*.json ship two shapes):
+
+    - binary detection ('Normal' + one tumor label, e.g. Nephroblastoma):
+      label_map = {'Normal': 0, <tumor>: 1};
+    - multi-subtype (no 'Normal', e.g. the Medulloblastoma variants):
+      label_map = {subtype: index} in sorted order — pair with
+      ``add_normal=True`` in the subtyping pipeline, which appends the
+      excluded Normal class.
+    """
     with open(path) as f:
         slides = json.load(f)
-    if tumor_name is None or tumor_name not in set(slides.values()):
-        others = sorted(set(slides.values()) - {"Normal"})
-        if len(others) != 1:
-            raise ValueError(f"expected one tumor label, found {others} in {path}")
-        tumor_name = others[0]
-    label_map = {"Normal": 0, tumor_name: 1}
+    values = sorted(set(slides.values()))
+    if "Normal" in values:
+        others = [v for v in values if v != "Normal"]
+        tumor = tumor_name if tumor_name in others else others[0]
+        if len(others) != 1 and tumor_name is None:
+            raise ValueError(f"ambiguous tumor label among {others} in {path}")
+        label_map = {"Normal": 0, tumor: 1}
+    else:
+        label_map = {v: i for i, v in enumerate(values)}
     return slides, label_map
 
 

@@ -147,12 +147,18 @@ def test_reference_kidrare_fixtures():
     base = "/root/reference/WSI_evaluation/kidrare_label"
     if not os.path.isdir(base):
         pytest.skip("reference kidrare labels not present")
-    for tumor in ("Nephroblastoma", "Neuroblastoma", "Hepatoblastoma",
-                  "Medulloblastoma"):
+    # binary detection cohort
+    slides, label_map = load_kidrare_labels(
+        os.path.join(base, "Nephroblastoma_labels.json")
+    )
+    assert label_map == {"Normal": 0, "Tumor": 1}
+    assert len(slides) == 110
+    # multi-subtype cohorts (no Normal; pair with add_normal in subtyping)
+    for tumor, n_subtypes in (("Neuroblastoma", 3), ("Hepatoblastoma", 4),
+                              ("Medulloblastoma", 3)):
         slides, label_map = load_kidrare_labels(
             os.path.join(base, f"{tumor}_labels.json")
         )
-        # the shipped files use the generic 'Tumor' label
-        assert label_map == {"Normal": 0, "Tumor": 1}
-        assert len(slides) == 110  # SURVEY §2.1 #10: 110 entries each
-        assert set(slides.values()) == {"Normal", "Tumor"}
+        assert len(label_map) == n_subtypes
+        assert sorted(label_map.values()) == list(range(n_subtypes))
+        assert "Normal" not in label_map
