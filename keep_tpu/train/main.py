@@ -273,7 +273,10 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
 
     state = None
     cur_phase = None
-    results = {}
+    results = {"epoch": start_epoch - 1, "resumed": start_epoch > 0}
+    if start_epoch >= cfg.solver.epochs:
+        logging.info("resume epoch %d >= epochs %d: nothing to train",
+                     start_epoch, cfg.solver.epochs)
     for epoch in range(start_epoch, cfg.solver.epochs):
         phase = fs.frozen_towers(epoch)
         if phase != cur_phase:
@@ -365,8 +368,14 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
 def main(argv: Optional[list[str]] = None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True, help="YAML run config")
+    parser.add_argument("--resume", help="override save.resume ('latest' or epoch)")
+    parser.add_argument("--experiment-name", help="override save.experiment_name")
     args = parser.parse_args(argv)
     cfg = TrainRunConfig.from_yaml(args.config)
+    if args.resume is not None:
+        cfg.save.resume = args.resume
+    if args.experiment_name is not None:
+        cfg.save.experiment_name = args.experiment_name
     return train(cfg)
 
 

@@ -158,3 +158,17 @@ def test_wsi_cli_cohort_segmentation(model_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     rec = json.loads(out[out.index("{"):])
     assert rec["n"] == 2 and "mean_dice" in rec
+
+
+def test_wsi_cli_int8(model_dir, capsys):
+    from keep_tpu.wsi.run import main
+
+    main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--h5", str(model_dir / "slide.h5"),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "2",
+        "--int8",
+    ])
+    out = capsys.readouterr().out
+    assert "Tumor probability:" in out
