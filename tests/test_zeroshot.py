@@ -133,3 +133,37 @@ def test_non_contiguous_label_map_rejected():
     prompt = {"classnames": {"Tumor": "tumor"}, "templates": "CLASSNAME."}
     with pytest.raises(ValueError, match="contiguous"):
         expand_prompt(prompt, {"Tumor": 1})
+
+
+def test_generate_prompts():
+    from keep_tpu.zeroshot.prompts import generate_prompts, tumor_phrasings
+
+    nodes = {
+        "DOID:leaf": {"name": "cutaneous melanoma",
+                      "synonyms": ["malignant melanoma of skin"],
+                      "parent": ["DOID:mid"]},
+        "DOID:mid": {"name": "melanoma", "synonyms": ["skin cancer, melanoma"],
+                     "parent": ["DOID:14566"]},
+        "DOID:14566": {"name": "disease of cellular proliferation",
+                       "synonyms": [], "parent": []},
+    }
+    phr = tumor_phrasings(nodes, "DOID:leaf")
+    assert "cutaneous melanoma" in phr
+    assert "malignant melanoma of skin" in phr
+    assert "melanoma" in phr
+    assert "melanoma cutaneous melanoma" in phr  # coarse→fine path phrase
+    assert "disease of cellular proliferation" not in phr  # root excluded
+
+    prompts = generate_prompts(nodes, "DOID:leaf",
+                               normal_phrases=["normal tissue"],
+                               templates=["CLASSNAME."])
+    # reference prompt-JSON shape
+    assert set(prompts["0"]) == {"classnames", "templates"}
+    assert prompts["0"]["classnames"]["Normal"] == "normal tissue"
+    assert prompts["0"]["templates"] == "CLASSNAME."
+    assert len(prompts) == len(phr)
+    # consumable by the classifier builder contract
+    from keep_tpu.zeroshot.classifier import expand_prompt
+
+    texts = expand_prompt(prompts["0"], {"Normal": 0, "Tumor": 1})
+    assert texts[0] == ["normal tissue."]
