@@ -243,11 +243,21 @@ def flash_attention(
 ) -> Array:
     """Generic [B, H, S, Dh] API (drop-in for ``mha_attention``'s XLA path).
 
-    ``bias`` may be a [B, 1, 1, S] additive key mask or None. Layout shuffles
-    here are for API compatibility; the models call ``attention_qkv_heads``
-    directly and skip them.
+    ``bias`` must be a KEY-mask shaped [B, 1, 1, S] (broadcast over heads and
+    query positions — the BERT padding mask) or None. Full score-level biases
+    ([B, H|1, S, S]) are NOT supported by the fused kernel — callers with a
+    per-query bias must use the XLA path (``mha_attention(use_flash=False)``).
+    Layout shuffles here are for API compatibility; the models call
+    ``attention_qkv_heads`` directly and skip them.
     """
     b, h, s, dh = q.shape
+    if bias is not None and (bias.ndim != 4 or bias.shape[1] != 1
+                             or bias.shape[2] != 1):
+        raise ValueError(
+            f"flash_attention supports only [B, 1, 1, S] key-mask biases, got "
+            f"{bias.shape}; use mha_attention(use_flash=False) for full "
+            f"score-level biases"
+        )
     to_lanes = lambda x: x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
     key_bias = None if bias is None else bias.reshape(b, s)
     out = attention_qkv_heads(

@@ -81,9 +81,11 @@ def mha_attention(
 ) -> Array:
     """Multi-head attention core over [B, H, S, Dh] tensors.
 
-    Softmax is computed in fp32. ``bias`` is an additive [B, 1|H, S, S] mask
-    (e.g. BERT padding mask). ``use_flash`` routes to the Pallas fused kernel
-    (TPU only); the XLA path below is the reference semantics.
+    Softmax is computed in fp32. ``bias`` is an additive mask; the XLA path
+    takes any broadcastable [B, 1|H, S|1, S]. ``use_flash`` routes to the
+    Pallas fused kernel (TPU only), which supports ONLY key masks shaped
+    [B, 1, 1, S] (the BERT padding mask) and raises on full score-level
+    biases — pass ``use_flash=False`` for those.
     """
     if use_flash:
         from keep_tpu.kernels.flash_attention import flash_attention

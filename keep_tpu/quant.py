@@ -3,9 +3,12 @@
 v5e's MXU runs int8×int8→int32 at twice the bf16 rate (the reference has no
 quantized path at all — this is a beyond-parity capability). Scheme:
 per-output-channel abs-max weight scales, dynamic per-token activation
-scales, fp32 dequantize epilogue; LayerNorms, biases, embeddings, attention
-and heads stay high-precision. Measured: dense matmuls 1.67× faster than
-bf16 including the quantize/dequantize work.
+scales, fp32 dequantize epilogue. ALL dense matmul kernels named in
+``DEFAULT_TARGETS`` are quantized — the attention qkv/proj projections, the
+MLP fc1/fc2 pairs (which includes the KEEP ``visual_head`` projection MLP),
+and the patch embed; LayerNorms, biases, embeddings, poolers, and the
+softmax(QKᵀ)V contractions themselves stay high-precision. Measured: dense
+matmuls 1.67× faster than bf16 including the quantize/dequantize work.
 
 ``quantize_linear_weights(params)`` rewrites matmul ``kernel`` leaves into
 ``{kernel_q: int8, scale: fp32}``; ``ops.nn.linear`` dispatches on the

@@ -30,6 +30,11 @@ class DatasetConfig:
     csv_img_key: str = "image_name"
     csv_caption_key: str = "caption"
     csv_separator: str = "|"
+    # tokenizer source: a vocab.txt file or a model dir containing one
+    # (the reference loads AutoTokenizer.from_pretrained(model_path),
+    # path_training/main.py via factory.get_tokenizer, factory.py:85-98)
+    vocab_path: str = ""
+    tokenizer_type: str = "bert"  # 'bert' (WordPiece) | 'clip' (BPE)
 
 
 @dataclasses.dataclass

@@ -195,6 +195,8 @@ class GroupDataset:
         )
         self.num_instance = num_instance
         self.text_drop = text_drop
+        self.seed = seed
+        self.process_index = process_index
         self.rng = np.random.default_rng(seed + process_index)
 
         groups = list(self.data.keys())
@@ -213,9 +215,16 @@ class GroupDataset:
         g = self.data[group]
         return list(g.get("merged_caption") or g["captions"])
 
-    def resample_epoch(self) -> None:
+    def resample_epoch(self, epoch: Optional[int] = None) -> None:
         """Shuffle groups and resample one caption per (group, instance)
-        (shuffle_data, data_proc_group.py:196-213)."""
+        (shuffle_data, data_proc_group.py:196-213). With ``epoch`` given the
+        RNG is reseeded per epoch (DistributedSampler.set_epoch-style), so a
+        resumed run replays exactly the data a continuous run would see."""
+        if epoch is not None:
+            self.rng = np.random.default_rng(
+                (self.seed, self.process_index, epoch)
+            )
+            self.groups = sorted(self.groups)  # epoch-keyed determinism
         self.groups = [self.groups[i] for i in self.rng.permutation(len(self.groups))]
         self._samples: list[GroupSample] = []
         for group in self.groups:

@@ -75,6 +75,36 @@ def build_schedule(cfg: TrainRunConfig, steps_per_epoch: int):
     raise ValueError(f"unknown lr scheduler {s.lr_scheduler}")
 
 
+def make_placement(mesh, batch_axis: int = 0):
+    """(put_state, put_batch, put_repl) placement fns for a 'dp' mesh —
+    the TPU-native DDP wiring (reference main.py:264-271). ``put_batch``
+    shards each array's sample axis (``batch_axis``; 1 for accum-stacked
+    [accum, micro, ...] arrays) over 'dp'; node_connection and state are
+    replicated. With ``mesh=None`` everything is a plain device transfer.
+    Used by both the training CLI and ``__graft_entry__.dryrun_multichip``
+    so the driver validates the real code path."""
+    if mesh is None:
+        as_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+        return as_dev, as_dev, as_dev
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(*([None] * batch_axis + ["dp"])))
+
+    def put_repl(tree):
+        return jax.device_put(tree, repl)
+
+    def put_batch(arrays: dict):
+        return {
+            k: jax.device_put(
+                jnp.asarray(v), repl if k == "node_connection" else data
+            )
+            for k, v in arrays.items()
+        }
+
+    return put_repl, put_batch, put_repl
+
+
 def build_params(cfg: TrainRunConfig, rng_seed: int):
     """Init + optional pretrained tower loading (factory.py:200-217 semantics:
     the text tower loads a knowledge-BERT checkpoint, the visual tower loads a
@@ -124,9 +154,17 @@ def build_eval_data(cfg: TrainRunConfig, image_loader=None) -> dict:
         ds = CsvTextImageDataset(path, img_key=cfg.dataset.csv_img_key,
                                  caption_key=caption_key, sep="both")
         loader = image_loader or (lambda name: load_image(imdir, name))
-        pixels = np.concatenate(
-            [np.asarray(preprocess(loader(ds[i].image))) for i in range(len(ds))]
-        )
+        # batch preprocessing per source-size bucket: one compile + one device
+        # round-trip per distinct (H, W), not per image
+        raw = [np.asarray(loader(ds[i].image)) for i in range(len(ds))]
+        buckets: dict[tuple, list[int]] = {}
+        for i, img in enumerate(raw):
+            buckets.setdefault(img.shape, []).append(i)
+        size = cfg.keep.vision.img_size
+        pixels = np.empty((len(raw), size, size, 3), np.float32)
+        for shape, idxs in buckets.items():
+            batch = np.stack([raw[i] for i in idxs])
+            pixels[np.asarray(idxs)] = np.asarray(preprocess(batch, crop=size))
         out[task] = (pixels, [ds[i].text for i in range(len(ds))])
     return out
 
@@ -164,9 +202,13 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     writer = MetricWriter(out_dir, wandb_project=cfg.save.wandb_project or None)
 
     if tokenizer is None:
-        from keep_tpu.text.tokenizer import WordPieceTokenizer
+        from keep_tpu.factory import get_tokenizer
 
-        tokenizer = WordPieceTokenizer.from_pretrained(cfg.dataset.img_dir)
+        # vocab source: dataset.vocab_path (a vocab.txt or a model dir); the
+        # reference's AutoTokenizer.from_pretrained(model_path). img_dir is
+        # kept as a last-resort fallback for old configs.
+        vocab = cfg.dataset.vocab_path or cfg.dataset.img_dir
+        tokenizer = get_tokenizer(cfg.dataset.tokenizer_type, vocab)
 
     nodes = (
         load_knowledge_json(cfg.dataset.knowledge_file)
@@ -210,17 +252,6 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     schedule = build_schedule(cfg, steps_per_epoch)
 
     params = build_params(cfg, cfg.seed)
-    start_epoch = 0
-    if cfg.save.resume:
-        epoch = None if cfg.save.resume == "latest" else int(cfg.save.resume)
-        try:
-            restored = ckpt.restore(ckpt_dir, epoch=epoch)
-            params = jax.tree.map(jnp.asarray, restored["params"])
-            start_epoch = restored["epoch"] + 1
-            logging.info("resumed from epoch %d", restored["epoch"])
-        except FileNotFoundError:
-            logging.info("resume requested but no checkpoint found; fresh start")
-
     loss_cfg = LossConfig(
         kind=cfg.model.type if cfg.model.type == "hierarchy_metric" else "clip",
         caption_num=cfg.dataloader.caption_num,
@@ -246,63 +277,128 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
 
     accum = max(1, cfg.solver.accum_freq)
 
-    def build_step(epoch):
-        tx = optim.freeze_wrapper(
-            optim.adamw(
-                schedule,
-                weight_decay=cfg.solver.weight_decay,
-                b1=cfg.solver.beta1,
-                b2=cfg.solver.beta2,
-                eps=cfg.solver.eps,
-                grad_clip_norm=cfg.solver.grad_clip_norm,
-            ),
-            fs.frozen_fn(epoch),
+    # ONE optimizer + ONE jitted step for the whole run: freezing enters as a
+    # dynamic 0/1 mask (optim.freeze_mask), so Adam moments and the schedule
+    # count run continuously across freeze-phase changes — the reference
+    # drives one global-step scheduler and one optimizer (main.py:283-357).
+    tx = optim.adamw(
+        schedule,
+        weight_decay=cfg.solver.weight_decay,
+        b1=cfg.solver.beta1,
+        b2=cfg.solver.beta2,
+        eps=cfg.solver.eps,
+        grad_clip_norm=cfg.solver.grad_clip_norm,
+    )
+    if accum > 1:
+        # cached-negative accumulation (train_hierarchy.py:127-165):
+        # accum_freq host batches form one optimizer step
+        step_fn = make_accum_train_step(
+            cfg.keep, loss_cfg, tx, accum, dtype=dtype, use_flash=use_flash
         )
-        if accum > 1:
-            # cached-negative accumulation (train_hierarchy.py:127-165):
-            # accum_freq host batches form one optimizer step
-            step_fn = make_accum_train_step(
-                cfg.keep, loss_cfg, tx, accum, dtype=dtype, use_flash=use_flash
-            )
-        else:
-            step_fn = make_train_step(
-                cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
-                donate=False,
-            )
-        return tx, step_fn
+    else:
+        step_fn = make_train_step(
+            cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
+            donate=False,
+        )
+    state = tree_state(params, tx)
 
-    state = None
+    start_epoch = 0
+    if cfg.save.resume:
+        epoch_sel = None if cfg.save.resume == "latest" else int(cfg.save.resume)
+        try:
+            # full-fidelity resume: params + optimizer state (Adam moments,
+            # schedule count) + step (reference main.py:306-326)
+            like = {"params": state.params, "opt_state": state.opt_state,
+                    "step": np.asarray(0)}
+            restored = ckpt.restore(ckpt_dir, epoch=epoch_sel, like=like)
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"], jnp.int32),
+            )
+            start_epoch = restored["epoch"] + 1
+            logging.info("resumed from epoch %d (step %d, optimizer state "
+                         "restored)", restored["epoch"], int(state.step))
+        except FileNotFoundError:
+            logging.info("resume requested but no checkpoint found; fresh start")
+        except Exception as e:  # older weights-only / foreign checkpoints
+            restored = ckpt.restore(ckpt_dir, epoch=epoch_sel)
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, restored["params"])
+            )
+            start_epoch = restored["epoch"] + 1
+            logging.warning(
+                "resumed params only from epoch %d (optimizer state not "
+                "restorable: %s) — Adam moments/schedule restart",
+                restored["epoch"], e,
+            )
+
+    # multi-device: shard the batch over the mesh's 'dp' axis, replicate
+    # params/opt state (the reference wires DDP here, main.py:264-271)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        if cfg.dataloader.batch_size % n_dev == 0:
+            from keep_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axes=("dp",))
+            logging.info("data-parallel mesh over %d devices", n_dev)
+        else:
+            logging.warning(
+                "batch_size %d not divisible by %d devices; running "
+                "single-device", cfg.dataloader.batch_size, n_dev)
+    put_state, put_batch, put_repl = make_placement(
+        mesh, batch_axis=1 if accum > 1 else 0
+    )
+    state = put_state(state)
+
     cur_phase = None
+    frozen = None
     results = {"epoch": start_epoch - 1, "resumed": start_epoch > 0}
     if start_epoch >= cfg.solver.epochs:
         logging.info("resume epoch %d >= epochs %d: nothing to train",
                      start_epoch, cfg.solver.epochs)
+    n_ins = cfg.dataloader.batch_size // cfg.dataloader.caption_num
     for epoch in range(start_epoch, cfg.solver.epochs):
         phase = fs.frozen_towers(epoch)
         if phase != cur_phase:
-            tx, step_fn = build_step(epoch)
-            state = tree_state(params if state is None else state.params, tx)
+            frozen = put_repl(optim.freeze_mask(state.params, fs.frozen_fn(epoch)))
             cur_phase = phase
             logging.info("epoch %d: frozen towers = %s", epoch, sorted(phase) or "none")
         pre_snapshot = snapshot(state.params)
 
-        dataset.resample_epoch()
+        dataset.resample_epoch(epoch)
         loss_meter, step_time = AverageMeter(), AverageMeter()
         t0 = time.time()
         pending = []
         for i, batch in enumerate(Prefetcher(make_iter())):
-            arrays = {
-                k: jnp.asarray(v)
-                for k, v in batch.items()
-                if k in ("pixels", "input_ids", "attention_mask", "node_connection")
-            }
             if accum > 1:
-                pending.append(arrays)
+                pending.append(batch)
                 if len(pending) < accum:
                     continue
-                arrays = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                arrays = {
+                    k: np.stack([b[k] for b in pending])
+                    for k in ("pixels", "input_ids", "attention_mask")
+                    if k in pending[0]
+                }
+                if "node_connection" in pending[0]:
+                    # the super-batch has accum·caption_num groups: build ONE
+                    # reachability matrix over every chunk's group labels
+                    # (chunk 0's matrix alone would merge distinct groups)
+                    labels = [
+                        lab for b in pending for lab in b["cap_labels"][::n_ins]
+                    ]
+                    arrays["node_connection"] = do_graph.node_connection(labels)
                 pending = []
-            state, metrics = step_fn(state, arrays)
+            else:
+                arrays = {
+                    k: v
+                    for k, v in batch.items()
+                    if k in ("pixels", "input_ids", "attention_mask",
+                             "node_connection")
+                }
+            arrays = put_batch(arrays)
+            state, metrics = step_fn(state, arrays, frozen)
             loss_meter.update(float(metrics["loss"]))
             step_time.update(time.time() - t0)
             t0 = time.time()
@@ -322,9 +418,10 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             and ((epoch + 1) % cfg.solver.zeroshot_frequency == 0
                  or epoch + 1 == cfg.solver.epochs)
         ):
-            enc_img = lambda px: eval_enc_img(state.params, jnp.asarray(px))
+            enc_img = lambda px: eval_enc_img(state.params, put_repl(jnp.asarray(px)))
             enc_txt = lambda ids, mask: eval_enc_txt(
-                state.params, jnp.asarray(ids), jnp.asarray(mask))
+                state.params, put_repl(jnp.asarray(ids)),
+                put_repl(jnp.asarray(mask)))
             zs = zs_eval.zero_shot_eval(
                 enc_img, enc_txt, tokenizer, eval_data,
                 prompts_path=cfg.dataset.zeroshot_cls_prompts or None,

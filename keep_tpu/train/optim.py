@@ -65,6 +65,23 @@ def adamw(
     return optax.chain(*txs)
 
 
+def freeze_mask(params, frozen_fn: Callable):
+    """Pytree of 0/1 scalars over ``params``: 1.0 where ``frozen_fn(path)``
+    says the leaf is frozen. Passed as a DYNAMIC input to the train step
+    (grads and updates are multiplied by ``1 - mask``), so one jitted step +
+    one optimizer state serve every freeze phase — Adam moments and the LR
+    schedule count stay continuous across phase changes, unlike re-initializing
+    a ``multi_transform`` per phase (the reference drives one continuous
+    global-step scheduler, training/path_training/main.py:339-357)."""
+    import jax.numpy as jnp
+
+    def decide(path, leaf):
+        keys = tuple(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+        return jnp.asarray(1.0 if frozen_fn(keys) else 0.0, jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def freeze_wrapper(
     tx: optax.GradientTransformation, frozen_fn: Callable
 ) -> optax.GradientTransformation:

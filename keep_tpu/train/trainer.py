@@ -99,6 +99,16 @@ def compute_loss(
     )
 
 
+def _apply_freeze(tree, frozen):
+    """Zero leaves where the freeze mask is 1 (see ``optim.freeze_mask``).
+    Applied to both grads (so Adam moments of frozen leaves stay exactly
+    zero) and post-optimizer updates (so decoupled weight decay cannot move
+    frozen params) — the requires_grad=False equivalent."""
+    if frozen is None:
+        return tree
+    return jax.tree.map(lambda x, f: x * (1.0 - f).astype(x.dtype), tree, frozen)
+
+
 def make_train_step(
     cfg: KEEPConfig,
     loss_cfg: LossConfig,
@@ -109,16 +119,21 @@ def make_train_step(
     donate: bool = True,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """One optimizer step. Shard the batch over 'dp' (NamedSharding) and keep
-    params replicated; jit once per freeze phase (tx encodes the mask)."""
+    params replicated. The optional third ``frozen`` argument (a
+    ``optim.freeze_mask`` pytree of 0/1 scalars) is a dynamic input — one
+    compile serves every freeze phase and the optimizer state (Adam moments +
+    schedule count) is continuous across phases."""
 
-    def step(state: TrainState, batch: dict):
+    def step(state: TrainState, batch: dict, frozen=None):
         def loss_fn(params):
             return compute_loss(
                 params, batch, cfg, loss_cfg, dtype=dtype, use_flash=use_flash
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = _apply_freeze(grads, frozen)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = _apply_freeze(updates, frozen)  # kill weight-decay drift too
         params = optax.apply_updates(state.params, updates)
         params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
         gnorm = optax.global_norm(grads)
@@ -147,9 +162,18 @@ def make_accum_train_step(
     microbatch features are cached without grad, then each chunk is
     re-forwarded with the cached others as negatives; grads sum across chunks
     before one optimizer step. ``batch`` arrays carry a leading
-    [accum_freq, micro, ...] axis."""
+    [accum_freq, micro, ...] axis.
 
-    def step(state: TrainState, batches: dict):
+    Hierarchy-loss semantics: each microbatch is group-blocked with
+    ``caption_num`` groups, so the concatenated super-batch is group-blocked
+    with ``accum_freq · caption_num`` groups of ``micro // caption_num``
+    instances. ``batches['node_connection']`` must therefore be ONE
+    [accum·caption_num, accum·caption_num] DO-reachability matrix built over
+    all chunks' group labels (``main.py`` builds it from the concatenated
+    cap_labels) — NOT a per-chunk stack; chunk 0's matrix alone would wrongly
+    merge distinct groups across chunks."""
+
+    def step(state: TrainState, batches: dict, frozen=None):
         def encode(params, mb):
             return _encode_batch(params, mb, cfg, dtype, use_flash)
 
@@ -157,12 +181,13 @@ def make_accum_train_step(
             img, txt = encode(state.params, mb)
             return None, (jax.lax.stop_gradient(img), jax.lax.stop_gradient(txt))
 
-        _, (img_cache, txt_cache) = jax.lax.scan(cache_one, None, batches)
+        stacked = {k: v for k, v in batches.items() if k != "node_connection"}
+        _, (img_cache, txt_cache) = jax.lax.scan(cache_one, None, stacked)
         # [accum, micro, D] → splice chunk j live, rest cached
         micro = img_cache.shape[1]
 
         def loss_for_chunk(params, j):
-            mb = jax.tree.map(lambda x: x[j], batches)
+            mb = jax.tree.map(lambda x: x[j], stacked)
             img_j, txt_j = encode(params, mb)
             img_all = jax.lax.dynamic_update_slice_in_dim(
                 img_cache.reshape(-1, img_cache.shape[-1]), img_j, j * micro, 0
@@ -172,9 +197,10 @@ def make_accum_train_step(
             )
             scale = jnp.exp(params["logit_scale"])
             if loss_cfg.kind == "hierarchy_metric":
+                # super-batch group structure: accum·caption_num groups
                 return hy_metric_loss(
-                    img_all, txt_all, batches["node_connection"][0], scale,
-                    caption_num=loss_cfg.caption_num,
+                    img_all, txt_all, batches["node_connection"], scale,
+                    caption_num=accum_freq * loss_cfg.caption_num,
                     loss_type=loss_cfg.loss_subtype,
                 )
             return clip_loss(img_all, txt_all, scale)
@@ -188,7 +214,9 @@ def make_accum_train_step(
         # summed chunk grads == the exact full-batch gradient (each chunk's
         # backward sees the full-batch loss through its live features); the
         # reference likewise accumulates without dividing (:127-165)
+        grads = _apply_freeze(grads, frozen)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = _apply_freeze(updates, frozen)
         params = optax.apply_updates(state.params, updates)
         params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
         new_state = state.replace(

@@ -10,6 +10,8 @@ from keep_tpu.configs import ViTConfig
 from keep_tpu.models import coca
 from keep_tpu.models.coca import CoCaConfig, caption_loss
 
+pytestmark = pytest.mark.slow
+
 CFG = CoCaConfig(
     embed_dim=16,
     vocab_size=64,

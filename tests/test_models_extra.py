@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from keep_tpu.configs import BertConfig, ViTConfig
+
+pytestmark = pytest.mark.slow
 from keep_tpu.models import clip as clip_model
 from keep_tpu.models import kep, text_transformer
 from keep_tpu.models.text_transformer import (

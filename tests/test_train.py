@@ -190,25 +190,78 @@ def test_wd_mask_structure():
 
 
 def test_accum_step_hierarchy_matches_full(rng):
-    """Accumulation parity also holds for the hierarchical metric loss."""
+    """Accumulation parity for the hierarchical metric loss under the REAL
+    data layout: each microbatch is independently group-blocked with
+    ``caption_num`` groups (the data pipeline emits one such batch per host
+    step), so the super-batch has accum·caption_num groups and ONE combined
+    node_connection over all chunks' labels."""
     params = keep.init(jax.random.PRNGKey(2), TINY)
     tx = optim.adamw(1e-3)
-    batch = make_batch(rng, 8, n_id=4)
+    accum, cnum, micro_n = 2, 2, 8  # 2 chunks × (2 groups × 4 instances)
+    batch = make_batch(rng, accum * micro_n, n_id=accum * cnum)
+    # non-trivial DO connectivity across chunks
+    conn = np.ones((accum * cnum, accum * cnum), np.float32)
+    conn[0, 2] = conn[2, 0] = -1.0  # group 0 (chunk 0) related to group 2 (chunk 1)
+    batch["node_connection"] = conn
+
     full = {k: jnp.asarray(v) for k, v in batch.items()}
     micro = {
-        k: jnp.asarray(v.reshape((2, 4) + v.shape[1:]) if k != "node_connection"
-                       else np.stack([v, v]))
+        k: jnp.asarray(v.reshape((accum, micro_n) + v.shape[1:])
+                       if k != "node_connection" else v)
         for k, v in batch.items()
     }
-    lc = LossConfig(kind="hierarchy_metric", caption_num=4)
     s_full = tree_state(params, tx)
-    s_full, m_full = make_train_step(TINY, lc, tx, dtype=jnp.float32,
-                                     donate=False)(s_full, full)
+    s_full, m_full = make_train_step(
+        TINY, LossConfig(kind="hierarchy_metric", caption_num=accum * cnum),
+        tx, dtype=jnp.float32, donate=False,
+    )(s_full, full)
     s_acc = tree_state(params, tx)
-    s_acc, m_acc = make_accum_train_step(TINY, lc, tx, 2,
-                                         dtype=jnp.float32)(s_acc, micro)
+    s_acc, m_acc = make_accum_train_step(
+        TINY, LossConfig(kind="hierarchy_metric", caption_num=cnum), tx, accum,
+        dtype=jnp.float32,
+    )(s_acc, micro)
     assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-4)
     diffs = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s_full.params, s_acc.params
     )
     assert max(jax.tree.leaves(diffs)) < 5e-5
+
+
+def test_freeze_mask_single_optimizer(rng):
+    """The dynamic freeze mask freezes towers without rebuilding the
+    optimizer: one tx + one jitted step across phases; Adam moments/schedule
+    count continue; frozen params don't move (incl. weight decay)."""
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    fs = FreezeSchedule(freeze_visual_epochs=1, freeze_text_epochs=0)
+    sch = schedules.cosine_lr(1e-2, warmup_length=2, steps=50)
+    tx = optim.adamw(sch, weight_decay=0.1)
+    state = tree_state(params, tx)
+    step = make_train_step(TINY, LossConfig(kind="clip"), tx,
+                           dtype=jnp.float32, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 4).items()}
+
+    frozen0 = optim.freeze_mask(params, fs.frozen_fn(epoch=0))
+    before = snapshot(state.params)
+    for _ in range(3):
+        state, _ = step(state, batch, frozen0)
+    report = diff_report(before, state.params)
+    assert report["visual"] == "frozen"
+    assert report["text"] == "open"
+    # frozen tower's Adam moments stayed exactly zero
+    def path_has(p, name):
+        return any(
+            name == str(getattr(k, "name", getattr(k, "key", ""))) for k in p
+        )
+
+    vis_moments = [
+        leaf for p, leaf in jax.tree_util.tree_leaves_with_path(state.opt_state)
+        if path_has(p, "mu") and path_has(p, "visual")
+    ]
+    assert vis_moments
+    assert all(float(jnp.max(jnp.abs(m))) == 0.0 for m in vis_moments)
+    # phase change: same tx/state, new mask — visual opens, count continues
+    frozen1 = optim.freeze_mask(params, fs.frozen_fn(epoch=1))
+    before1 = snapshot(state.params)
+    state, _ = step(state, batch, frozen1)
+    assert diff_report(before1, state.params)["visual"] == "open"
+    assert int(state.step) == 4

@@ -1,0 +1,184 @@
+"""End-to-end ``train.main.train()`` regressions on the 8-device virtual CPU
+mesh: real data-parallel sharding through the CLI code path, full-fidelity
+resume (optimizer state + schedule step), tokenizer plumbing via
+dataset.vocab_path, and accumulation with the hierarchy loss."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import keep_tpu.train.main as tmain
+from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+from keep_tpu.train.config import (
+    DataloaderConfig,
+    DatasetConfig,
+    ModelSection,
+    SaveConfig,
+    SolverConfig,
+    TrainRunConfig,
+)
+
+pytestmark = pytest.mark.slow
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] lung cancer adenocarcinoma melanoma skin "
+    "tumor normal tissue a an image of photomicrograph showing is shown this "
+    "there h&e stain stained histopathological photograph example presence "
+    "present disease cellular proliferation .".split()
+)
+
+NODES = {
+    "DOID:14566": {"name": "disease of cellular proliferation", "parent": []},
+    "DOID:lung": {"name": "lung cancer", "parent": ["DOID:14566"]},
+    "DOID:luad": {"name": "lung adenocarcinoma", "parent": ["DOID:lung"]},
+    "DOID:mel": {"name": "melanoma", "parent": ["DOID:14566"]},
+}
+
+
+@pytest.fixture(scope="module")
+def run_dirs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("trainmain")
+    img_dir = d / "images"
+    img_dir.mkdir()
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(8):
+        name = f"im{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8).astype(np.uint8)
+        ).save(img_dir / name)
+        names.append(name)
+
+    groups = {
+        "g_luad": {"captions": ["an image of lung adenocarcinoma ."],
+                   "images": names[:2], "labels": {"DOID:luad": 1}},
+        "g_lung": {"captions": ["lung cancer tissue ."],
+                   "images": names[2:4], "labels": {"DOID:lung": 1}},
+        "g_mel": {"captions": ["melanoma of skin ."],
+                  "images": names[4:6], "labels": {"DOID:mel": 1}},
+        "g_norm": {"captions": ["normal tissue is shown ."],
+                   "images": names[6:], "labels": {}},
+    }
+    (d / "groups.json").write_text(json.dumps(groups))
+    (d / "kg.json").write_text(json.dumps(NODES))
+    # vocab deliberately OUTSIDE img_dir: exercises dataset.vocab_path
+    vocab_dir = d / "tok"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text("\n".join(VOCAB))
+    return d
+
+
+def make_cfg(run_dirs, out_dir, **solver_kw) -> TrainRunConfig:
+    tiny = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                         num_heads=2),
+        text=BertConfig(vocab_size=len(VOCAB), hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, max_position_embeddings=32),
+        projection_dim=32,
+        max_text_length=16,
+    )
+    kw = dict(
+        epochs=3, lr=1e-3, warmup=5, lr_scheduler="const",
+        freeze_visual_epochs=1, freeze_text_epochs=0, zeroshot_frequency=0,
+    )
+    kw.update(solver_kw)
+    solver = SolverConfig(**kw)
+    return TrainRunConfig(
+        dataset=DatasetConfig(
+            train_data=str(run_dirs / "groups.json"),
+            img_dir=str(run_dirs / "images"),
+            knowledge_file=str(run_dirs / "kg.json"),
+            vocab_path=str(run_dirs / "tok"),
+        ),
+        dataloader=DataloaderConfig(batch_size=8, caption_num=4, workers=1),
+        solver=solver,
+        model=ModelSection(precision="fp32", type="hierarchy_metric",
+                           use_flash=False),
+        save=SaveConfig(output_dir=str(out_dir), experiment_name="exp",
+                        save_frequency=1),
+        keep=tiny,
+        seed=0,
+    )
+
+
+def test_train_e2e_mesh_really_shards(run_dirs, tmp_path, monkeypatch):
+    """train() on the 8-device mesh: the batch must actually shard over 'dp'
+    (1 sample per device), state replicated; checkpoints + results land."""
+    captured = {}
+    real = tmain.make_placement
+
+    def spy(mesh, batch_axis=0):
+        put_state, put_batch, put_repl = real(mesh, batch_axis)
+
+        def put_batch2(arrays):
+            out = put_batch(arrays)
+            captured["mesh"] = mesh
+            captured["shardings"] = {k: v.sharding for k, v in out.items()}
+            captured["shard_shape"] = (
+                out["pixels"].addressable_shards[0].data.shape
+            )
+            return out
+
+        return put_state, put_batch2, put_repl
+
+    monkeypatch.setattr(tmain, "make_placement", spy)
+    cfg = make_cfg(run_dirs, tmp_path, epochs=1)
+    res = tmain.train(cfg)
+    assert np.isfinite(res["train_loss"])
+
+    assert captured["mesh"] is not None, "mesh path not taken on 8 devices"
+    pix_sh = captured["shardings"]["pixels"]
+    assert len(pix_sh.device_set) == 8
+    assert captured["shard_shape"][0] == 1  # batch 8 / 8 devices
+    assert captured["shardings"]["node_connection"].is_fully_replicated
+
+    out = tmp_path / "exp"
+    assert (out / "checkpoints" / "results.jsonl").exists()
+    from keep_tpu.train import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(str(out / "checkpoints")) == 0
+
+
+def test_train_resume_equivalence(run_dirs, tmp_path):
+    """Train 3 epochs continuously vs train 1 + resume + 2: identical final
+    params. Fails if opt_state/step aren't restored (Adam moments + warmup
+    schedule restart) or if data isn't epoch-keyed."""
+    cfg_a = make_cfg(run_dirs, tmp_path / "a", epochs=3)
+    tmain.train(cfg_a)
+
+    cfg_b1 = make_cfg(run_dirs, tmp_path / "b", epochs=1)
+    tmain.train(cfg_b1)
+    cfg_b2 = make_cfg(run_dirs, tmp_path / "b", epochs=3)
+    cfg_b2.save.resume = "latest"
+    tmain.train(cfg_b2)
+
+    from keep_tpu.train import checkpoint as ckpt
+
+    pa = ckpt.restore(str(tmp_path / "a" / "exp" / "checkpoints"))["params"]
+    pb = ckpt.restore(str(tmp_path / "b" / "exp" / "checkpoints"))["params"]
+    flat_a = {jax.tree_util.keystr(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(pa)}
+    flat_b = {jax.tree_util.keystr(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(pb)}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(flat_a[k], flat_b[k], rtol=0, atol=1e-7,
+                                   err_msg=k)
+
+
+def test_train_accum_hierarchy(run_dirs, tmp_path):
+    """accum_freq=2 through train(): two group-blocked host batches form one
+    optimizer step with a combined cross-chunk node_connection."""
+    cfg = make_cfg(run_dirs, tmp_path, epochs=1, accum_freq=2)
+    cfg.dataloader = DataloaderConfig(batch_size=4, caption_num=2, workers=1)
+    res = tmain.train(cfg)
+    assert np.isfinite(res["train_loss"])
