@@ -1,0 +1,125 @@
+"""Fused int8 MLP-pair Pallas kernel: the fc1→GELU→fc2 chain int8
+end-to-end, with the [M, F] intermediate living only in VMEM.
+
+The unfused int8 path (`kernels.qmatmul`) stores the [M, 4096] GELU output
+to HBM in bf16 and the fc2 kernel reads it back: ~826 MB of HBM traffic per
+ViT-L layer at batch 256 (~1 ms/layer at v5e's 819 GB/s) — about what the
+int8 MXU saves at K=1024, which is why W8A8 measured only +6% end-to-end in
+round 1 (docs/PERF.md). Here one program per M-tile runs:
+
+  per-token quantize → int8×int8 MXU dot (fc1) → fp32 dequant + bias +
+  tanh-GELU → per-token re-quantize → int8 dot (fc2) → dequant + bias →
+  bf16 store
+
+with both weight matrices grid-resident in VMEM (int8: 4 MB each for
+ViT-L's 1024×4096) and the hidden activations never leaving VMEM.
+
+Inference-only (no VJP) — training runs the bf16 path. Reference has no
+quantized path at all (SURVEY §2.1 #25: amp/GradScaler only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+TILE_M = 256
+
+
+def _gelu_tanh(x):
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _quant_rows(xf):
+    """Per-token (row) abs-max int8 quantization of an fp32 block."""
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf * (1.0 / scale)), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_dot(xq, wq_ref):
+    return jax.lax.dot_general(
+        xq, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _qmlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                 o_ref):
+    xq, a1 = _quant_rows(x_ref[:].astype(jnp.float32))
+    h = _int8_dot(xq, w1_ref).astype(jnp.float32)
+    h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
+    h = _gelu_tanh(h)
+    hq, a2 = _quant_rows(h)
+    out = _int8_dot(hq, w2_ref).astype(jnp.float32)
+    out = out * (a2 * s2_ref[0][None, :]) + b2_ref[0][None, :]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def quantized_mlp(
+    x: Array,
+    w1_q: Array, w1_scale: Array, b1: Array,
+    w2_q: Array, w2_scale: Array, b2: Array,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """x [M, D] × int8 fc1 [D, F] → tanh-GELU → int8 fc2 [F, D] → [M, D].
+
+    ``w*_scale`` are per-output-channel dequant scales ([F] and [D]);
+    activations are re-quantized per token between the two dots."""
+    m, d = x.shape
+    _, f = w1_q.shape
+    grid = (pl.cdiv(m, TILE_M),)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _qmlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((d, f)),
+            const((1, f)),
+            const((1, f)),
+            const((f, d)),
+            const((1, d)),
+            const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * f * 2,
+            bytes_accessed=m * d * 4 + d * f * 2,
+            transcendentals=m * f,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x,
+        w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
+        b1.reshape(1, f).astype(jnp.float32),
+        w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
+        b2.reshape(1, d).astype(jnp.float32),
+    )
+
+
+def qmlp_fused(p_fc1: dict, p_fc2: dict, x: Array) -> Array:
+    """MLP over [..., D] inputs via the fused pair kernel. ``p_fc1``/``p_fc2``:
+    {kernel_q, scale, bias} from ``quant.quantize_linear_weights``."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    out = quantized_mlp(
+        x2,
+        p_fc1["kernel_q"], p_fc1["scale"], p_fc1["bias"],
+        p_fc2["kernel_q"], p_fc2["scale"], p_fc2["bias"],
+        out_dtype=x.dtype,
+    )
+    return out.reshape(shape[:-1] + (out.shape[-1],))

@@ -107,13 +107,19 @@ def mha_attention(
 def mlp(p: dict, x: Array, gelu_approx: bool = False) -> Array:
     """fc1 → GELU → fc2 (timm ``Mlp`` / BERT intermediate+output semantics).
 
-    Quantized fc1 on TPU fuses the tanh-GELU into the int8 kernel epilogue."""
+    Fully-quantized MLPs on TPU run the fused int8 pair kernel (the [M, F]
+    hidden never leaves VMEM — ``kernels.qmlp``); a quantized fc1 alone fuses
+    the tanh-GELU into the int8 matmul epilogue."""
     if (
         gelu_approx
         and "kernel_q" in p["fc1"]
         and p["fc1"]["kernel_q"].ndim == 2
         and jax.default_backend() == "tpu"
     ):
+        if "kernel_q" in p["fc2"] and p["fc2"]["kernel_q"].ndim == 2:
+            from keep_tpu.kernels.qmlp import qmlp_fused
+
+            return qmlp_fused(p["fc1"], p["fc2"], x)
         from keep_tpu.kernels.qmatmul import qlinear_fused
 
         return linear(p["fc2"], qlinear_fused(p["fc1"], x, activation="gelu_tanh"))

@@ -5,3 +5,7 @@ from keep_tpu.wsi.pipelines import (  # noqa: F401
     zero_shot_segment,
     zero_shot_subtyping,
 )
+from keep_tpu.wsi.sharded import (  # noqa: F401
+    prompt_select_sharded,
+    refined_probs_sharded,
+)

@@ -101,3 +101,54 @@ def test_fused_qmatmul_matches_xla_qlinear(rng):
         activation="gelu_tanh", out_dtype=jnp.float32))
     ref_g = np.asarray(jax.nn.gelu(jnp.asarray(ref), approximate=True))
     np.testing.assert_allclose(got_g, ref_g, atol=1e-4, rtol=1e-3)
+
+
+def test_fused_qmlp_matches_emulation(rng):
+    """The fused int8 MLP-pair kernel (interpret mode on CPU) == the same
+    math computed step-by-step in fp32 numpy, and stays close to the fp32
+    MLP."""
+    from keep_tpu.kernels.qmlp import quantized_mlp
+    from keep_tpu.ops.nn import mlp
+    from keep_tpu.quant import quantize_kernel
+
+    d, f = 128, 256
+    x = (rng.standard_normal((70, d)) * 0.5).astype(np.float32)
+    w1 = (rng.standard_normal((d, f)) * 0.05).astype(np.float32)
+    b1 = (rng.standard_normal(f) * 0.01).astype(np.float32)
+    w2 = (rng.standard_normal((f, d)) * 0.05).astype(np.float32)
+    b2 = (rng.standard_normal(d) * 0.01).astype(np.float32)
+    q1 = quantize_kernel(jnp.asarray(w1))
+    q2 = quantize_kernel(jnp.asarray(w2))
+
+    got = np.asarray(quantized_mlp(
+        jnp.asarray(x),
+        q1["kernel_q"], q1["scale"], jnp.asarray(b1),
+        q2["kernel_q"], q2["scale"], jnp.asarray(b2),
+        out_dtype=jnp.float32,
+    ))
+
+    def quant_rows(a):
+        s = np.maximum(np.abs(a).max(axis=1, keepdims=True), 1e-8) / 127.0
+        return np.clip(np.round(a / s), -127, 127).astype(np.int8), s
+
+    def gelu_tanh(v):
+        c = 0.7978845608028654
+        return 0.5 * v * (1.0 + np.tanh(c * (v + 0.044715 * v**3)))
+
+    xq, a1 = quant_rows(x)
+    h = xq.astype(np.int32) @ np.asarray(q1["kernel_q"], np.int32)
+    h = h.astype(np.float32) * (a1 * np.asarray(q1["scale"])[None, :]) + b1
+    h = gelu_tanh(h)
+    hq, a2 = quant_rows(h)
+    ref = hq.astype(np.int32) @ np.asarray(q2["kernel_q"], np.int32)
+    ref = ref.astype(np.float32) * (a2 * np.asarray(q2["scale"])[None, :]) + b2
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+    # end-to-end accuracy vs the fp32 MLP
+    full = np.asarray(mlp(
+        {"fc1": {"kernel": jnp.asarray(w1), "bias": jnp.asarray(b1)},
+         "fc2": {"kernel": jnp.asarray(w2), "bias": jnp.asarray(b2)}},
+        jnp.asarray(x), gelu_approx=True,
+    ))
+    cos = np.sum(got * full) / (np.linalg.norm(got) * np.linalg.norm(full))
+    assert cos > 0.999, cos

@@ -123,3 +123,46 @@ def test_accum_step_on_mesh(rng):
         state, m = step(state, micro)
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 1
+
+def test_prompt_select_sharded_parity(rng):
+    """Sharded prompt screening == single-device prompt_select at a
+    non-divisible tile count (padding masked out of the screening mean)."""
+    from keep_tpu.wsi.sharded import prompt_select_sharded
+    from keep_tpu.zeroshot.classifier import prompt_select
+
+    mesh = make_mesh(8)
+    p, d, c, n = 23, 32, 3, 1003
+    cls = rng.standard_normal((p, d, c)).astype(np.float32)
+    cls /= np.linalg.norm(cls, axis=1, keepdims=True)
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+
+    ref = np.asarray(prompt_select(jnp.asarray(cls), jnp.asarray(feats), topn=5))
+    got = np.asarray(prompt_select_sharded(jnp.asarray(cls), feats, mesh=mesh,
+                                           topn=5))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_refined_probs_sharded_parity(rng):
+    """Sharded score→scatter→refine→gather == the single-device pipeline at a
+    non-divisible patch count with duplicates and holes in the grid."""
+    from keep_tpu.wsi.grid import CoordGrid
+    from keep_tpu.wsi.pipelines import refined_tumor_probs
+    from keep_tpu.wsi.sharded import refined_probs_sharded
+
+    mesh = make_mesh(8)
+    d, n = 32, 531
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    cls = rng.standard_normal((d, 2)).astype(np.float32)
+    # ragged grid with duplicates: some coords repeat, some cells are holes
+    side = 25
+    cells = rng.choice(side * side, size=n, replace=True)
+    coords = np.stack([(cells % side) * 224, (cells // side) * 224], 1)
+
+    grid = CoordGrid.from_coords(coords, 224)
+    ref = np.asarray(
+        refined_tumor_probs(jnp.asarray(cls), jnp.asarray(feats), grid,
+                            overlap=True))
+    got = refined_probs_sharded(jnp.asarray(cls), feats, coords, 224,
+                                mesh=mesh, overlap=True)
+    assert got.shape == (grid.num_patches, 2)
+    np.testing.assert_allclose(got[:, 1], ref, atol=1e-6)
