@@ -203,8 +203,26 @@ def main():
     )
     x = jnp.asarray(rng.standard_normal(
         (bs, vcfg.img_size, vcfg.img_size, 3), dtype=np.float32))
-    dt = _timed(fwd, params, x, iters=10 if on_tpu else 2)
+    iters = 10 if on_tpu else 2
+    dt = _timed(fwd, params, x, iters=iters)
     pps = bs / dt
+    precision, cos = "bf16", None
+    if on_tpu and not tiny:
+        # the W8A8 config (kernels/qmatmul + qmlp, batch-gridded): headline
+        # iff it wins AND matches bf16 features at cos >= 0.999
+        from keep_tpu.quant import quantize_linear_weights
+
+        qparams = quantize_linear_weights(vit.fold_layerscale(params))
+        dt_q = _timed(fwd, qparams, x, iters=iters)
+        a = np.asarray(fwd(params, x), np.float32)
+        b = np.asarray(fwd(qparams, x), np.float32)
+        cos = float(np.mean(np.sum(a * b, 1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))))
+        _emit({"metric": "vit_l16_encode_int8", "value": round(bs / dt_q, 1),
+               "unit": "patches/s", "vs_baseline": round(bs / dt_q / BASELINE, 4),
+               "cos_vs_bf16": round(cos, 6), "bf16_patches_per_s": round(pps, 1)})
+        if cos >= 0.999 and dt_q < dt:
+            dt, pps, precision = dt_q, bs / dt_q, "int8_w8a8"
 
     if not tiny:
         kcfg = KEEPConfig()
@@ -220,15 +238,19 @@ def main():
                        "unit": "error", "vs_baseline": None, "error": str(e)})
 
     sol = PEAK_TFLOPS / FLOPS_PER_PATCH
-    _emit({
+    rec = {
         "metric": "vit_l16_encode_224_patches_per_sec_per_chip",
         "value": round(pps, 1),
         "unit": "patches/s",
         "vs_baseline": round(pps / BASELINE, 4),
         "sol_fraction": round(pps / sol, 4),
         "batch_size": bs,
+        "precision": precision,
         "backend": jax.default_backend(),
-    })
+    }
+    if cos is not None:
+        rec["int8_cos_vs_bf16"] = round(cos, 6)
+    _emit(rec)
 
 
 if __name__ == "__main__":

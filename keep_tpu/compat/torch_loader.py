@@ -156,8 +156,30 @@ def convert_hf_bert(sd: Mapping, cfg: BertConfig) -> dict:
     }
 
 
+def normalize_state_dict(sd: Mapping) -> dict:
+    """Released-checkpoint quirks, applied up front: unwrap training
+    ``{'state_dict': ...}`` dicts (main.py:424-431), strip DDP ``module.``
+    prefixes (factory.py:101-109), drop ``position_ids`` buffers (older
+    transformers serialize them; they are constants)."""
+    if isinstance(sd, Mapping) and "state_dict" in sd and not hasattr(
+        sd["state_dict"], "shape"
+    ):
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        if k.endswith("position_ids"):
+            continue
+        out[k] = v
+    return out
+
+
 def convert_keep_state_dict(sd: Mapping, cfg: KEEPConfig) -> dict:
-    """Full KEEP HF-layout state dict → KEEP params pytree."""
+    """Full KEEP HF-layout state dict → KEEP params pytree
+    (quick_start/keep_inference.py:28-52: ``visual.*`` timm ViT,
+    ``visual_head.{0,2}.*``, ``text.*`` HF BertModel, ``logit_scale``)."""
+    sd = normalize_state_dict(sd)
     g = lambda k: _to_numpy(sd[k])
     return {
         "visual": convert_timm_vit(strip_prefix(sd, "visual."), cfg.vision),
@@ -175,9 +197,6 @@ def load_keep_checkpoint(path: str, cfg: KEEPConfig) -> dict:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]  # training checkpoint format, main.py:424-431
-    sd = {k: v for k, v in sd.items() if not k.endswith("position_ids")}
     import jax
     import jax.numpy as jnp
 

@@ -82,9 +82,70 @@ def quantized_matmul(
       bias.reshape(1, n).astype(jnp.float32))
 
 
+def _qmm_bsd_kernel(x_ref, wq_ref, scale_ref, bias_ref, o_ref, *, activation):
+    xf = x_ref[0].astype(jnp.float32)  # [S, K]
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    ascale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf * (1.0 / ascale)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * ascale * scale_ref[0][None, :]
+    out = out + bias_ref[0][None, :]
+    if activation == "gelu_tanh":
+        out = _gelu_tanh(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "out_dtype"))
+def quantized_matmul_bsd(
+    x: Array,
+    w_q: Array,
+    w_scale: Array,
+    bias: Array,
+    activation: str | None = None,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """``quantized_matmul`` over [B, S, K] activations WITHOUT flattening.
+
+    The [B, S, K] → [B·S, K] reshape is a physical relayout whenever S isn't
+    sublane-aligned (ViT-L: S=197) — ~2 HBM round-trips of the activations
+    per kernel call, which is exactly what erased the int8 win in-model.
+    Here the grid runs over the batch axis and each program consumes one
+    [S, K] slab in its natural layout."""
+    b, s, k = x.shape
+    _, n = w_q.shape
+    return pl.pallas_call(
+        functools.partial(_qmm_bsd_kernel, activation=activation),
+        out_shape=jax.ShapeDtypeStruct((b, s, n), out_dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * k * n,
+            bytes_accessed=b * s * k * 2 + k * n + b * s * n * 2,
+            transcendentals=b * s * n if activation else 0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, w_q, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+
+
 def qlinear_fused(p: dict, x: Array, activation: str | None = None) -> Array:
     """Quantized linear over [..., K] inputs via the fused kernel (TPU) with
-    the XLA fallback elsewhere. ``p``: {kernel_q, scale, bias}."""
+    the XLA fallback elsewhere. ``p``: {kernel_q, scale, bias}. 3-D inputs
+    take the batch-gridded kernel (no flatten relayout)."""
+    if x.ndim == 3:
+        return quantized_matmul_bsd(x, p["kernel_q"], p["scale"], p["bias"],
+                                    activation=activation, out_dtype=x.dtype)
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     out = quantized_matmul(x2, p["kernel_q"], p["scale"], p["bias"],

@@ -111,9 +111,73 @@ def quantized_mlp(
     )
 
 
+def _qmlp_bsd_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                     o_ref):
+    xq, a1 = _quant_rows(x_ref[0].astype(jnp.float32))  # [S, D]
+    h = _int8_dot(xq, w1_ref).astype(jnp.float32)
+    h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
+    h = _gelu_tanh(h)
+    hq, a2 = _quant_rows(h)
+    out = _int8_dot(hq, w2_ref).astype(jnp.float32)
+    out = out * (a2 * s2_ref[0][None, :]) + b2_ref[0][None, :]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def quantized_mlp_bsd(
+    x: Array,
+    w1_q: Array, w1_scale: Array, b1: Array,
+    w2_q: Array, w2_scale: Array, b2: Array,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """``quantized_mlp`` over [B, S, D] activations in their natural layout
+    (no [B·S, D] flatten — a physical relayout when S isn't sublane-aligned;
+    see kernels/qmatmul.quantized_matmul_bsd)."""
+    b, s, d = x.shape
+    _, f = w1_q.shape
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _qmlp_bsd_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const((d, f)),
+            const((1, f)),
+            const((1, f)),
+            const((f, d)),
+            const((1, d)),
+            const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * d * f * 2,
+            bytes_accessed=b * s * d * 4 + d * f * 2,
+            transcendentals=b * s * f,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x,
+        w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
+        b1.reshape(1, f).astype(jnp.float32),
+        w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
+        b2.reshape(1, d).astype(jnp.float32),
+    )
+
+
 def qmlp_fused(p_fc1: dict, p_fc2: dict, x: Array) -> Array:
     """MLP over [..., D] inputs via the fused pair kernel. ``p_fc1``/``p_fc2``:
-    {kernel_q, scale, bias} from ``quant.quantize_linear_weights``."""
+    {kernel_q, scale, bias} from ``quant.quantize_linear_weights``. 3-D
+    inputs take the batch-gridded kernel (no flatten relayout)."""
+    if x.ndim == 3:
+        return quantized_mlp_bsd(
+            x,
+            p_fc1["kernel_q"], p_fc1["scale"], p_fc1["bias"],
+            p_fc2["kernel_q"], p_fc2["scale"], p_fc2["bias"],
+            out_dtype=x.dtype,
+        )
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     out = quantized_mlp(

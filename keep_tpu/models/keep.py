@@ -148,11 +148,16 @@ class KEEPModel:
         return float(jnp.exp(self.params["logit_scale"]))
 
     def quantize(self) -> "KEEPModel":
-        """Opt-in W8A8 int8 inference variant (see ``keep_tpu.quant``)."""
+        """Opt-in W8A8 int8 inference variant (see ``keep_tpu.quant``).
+        LayerScale is folded into proj/fc2 first (exact) so the quantized
+        kernels carry it for free."""
+        from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import quantize_linear_weights
 
+        params = dict(self.params)
+        params["visual"] = fold_layerscale(params["visual"])
         return KEEPModel(
-            params=quantize_linear_weights(self.params),
+            params=quantize_linear_weights(params),
             cfg=self.cfg,
             dtype=self.dtype,
             use_flash=self.use_flash,

@@ -162,3 +162,53 @@ def test_reference_kidrare_fixtures():
         assert len(label_map) == n_subtypes
         assert sorted(label_map.values()) == list(range(n_subtypes))
         assert "Normal" not in label_map
+
+
+def test_pretrained_registry(tmp_path, monkeypatch):
+    """Local registry shim: resolve() verifies presence + sha and errors with
+    download directions (zero-egress stand-in for pretrained.py:358-427)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from keep_tpu.compat import registry
+
+    monkeypatch.setenv("KEEP_TPU_HOME", str(tmp_path))
+    with _pytest.raises(FileNotFoundError, match="Astaxanthin/KEEP"):
+        registry.resolve("keep")
+    with _pytest.raises(KeyError, match="unknown pretrained name"):
+        registry.resolve("nope")
+
+    # file entry with sha check
+    ckpt = tmp_path / "model.bin"
+    ckpt.write_bytes(b"weights!")
+    good = registry.sha256_file(str(ckpt))
+    registry.register("m", str(ckpt), source="local", sha256=good, kind="file")
+    assert registry.resolve("m") == str(ckpt)
+    registry.register("bad", str(ckpt), sha256="0" * 64, kind="file")
+    with _pytest.raises(ValueError, match="sha256 mismatch"):
+        registry.resolve("bad")
+
+    # registry.json extension
+    (tmp_path / "registry.json").write_text(_json.dumps(
+        {"extra": {"path": "sub", "kind": "dir", "source": "s"}}))
+    (tmp_path / "sub").mkdir()
+    assert registry.resolve("extra") == str(tmp_path / "sub")
+
+
+def test_imagenet_metadata():
+    from keep_tpu.zeroshot.imagenet_metadata import (
+        IMAGENET_CLASSNAMES,
+        OPENAI_IMAGENET_TEMPLATES,
+        SIMPLE_IMAGENET_TEMPLATES,
+        apply_templates,
+        imagenet_classifier_texts,
+    )
+
+    assert len(IMAGENET_CLASSNAMES) == 1000
+    assert len(OPENAI_IMAGENET_TEMPLATES) == 80
+    assert len(SIMPLE_IMAGENET_TEMPLATES) == 7
+    texts = apply_templates("dog", SIMPLE_IMAGENET_TEMPLATES)
+    assert texts[0] == "itap of a dog."
+    all_texts = imagenet_classifier_texts(SIMPLE_IMAGENET_TEMPLATES)
+    assert len(all_texts) == 1000 and len(all_texts[0]) == 7

@@ -104,3 +104,26 @@ def test_init_and_model_wrapper(rng):
     assert img.shape == (2, TINY.projection_dim)
     assert txt.shape == (2, TINY.text.hidden_size)
     assert abs(model.logit_scale - 25.0) < 1e-3  # exp(ln(1/0.04)) = 25
+
+
+def test_converter_released_key_quirks(rng):
+    """Checkpoint quirk round-trip: DDP ``module.`` prefixes on every key,
+    ``position_ids`` buffers (older transformers), and the training
+    ``{'state_dict': ...}`` wrapper must all convert to the identical pytree
+    (reference main.py:306-326, factory.py:101-109)."""
+    *_, sd = build_torch_keep(TINY)
+    clean = convert_keep_state_dict(sd, TINY)
+
+    quirky = {f"module.{k}": v for k, v in sd.items()}
+    quirky["module.text.embeddings.position_ids"] = torch.arange(64)[None]
+    wrapped = {"state_dict": quirky, "epoch": 3, "name": "exp"}
+    got = convert_keep_state_dict(wrapped, TINY)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(clean)
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(got)}
+    assert len(flat_a) == len(flat_b)
+    for p, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat_b[jax.tree_util.keystr(p)]),
+                                      err_msg=jax.tree_util.keystr(p))

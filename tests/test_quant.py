@@ -152,3 +152,36 @@ def test_fused_qmlp_matches_emulation(rng):
     ))
     cos = np.sum(got * full) / (np.linalg.norm(got) * np.linalg.norm(full))
     assert cos > 0.999, cos
+
+
+def test_bsd_kernels_match_flat(rng):
+    """[B, S, D] batch-gridded kernels == flattened [B*S, D] kernels (they
+    avoid the S=197 relayout in-model but must compute the same thing)."""
+    from keep_tpu.kernels.qmatmul import quantized_matmul, quantized_matmul_bsd
+    from keep_tpu.kernels.qmlp import quantized_mlp, quantized_mlp_bsd
+    from keep_tpu.quant import quantize_kernel
+
+    b, s, d, f = 3, 37, 64, 128
+    x = jnp.asarray((rng.standard_normal((b, s, d)) * 0.5).astype(np.float32))
+    q1 = quantize_kernel(jnp.asarray((rng.standard_normal((d, f)) * 0.05
+                                      ).astype(np.float32)))
+    b1 = jnp.asarray((rng.standard_normal(f) * 0.01).astype(np.float32))
+    q2 = quantize_kernel(jnp.asarray((rng.standard_normal((f, d)) * 0.05
+                                      ).astype(np.float32)))
+    b2 = jnp.asarray((rng.standard_normal(d) * 0.01).astype(np.float32))
+
+    flat = np.asarray(quantized_matmul(
+        x.reshape(-1, d), q1["kernel_q"], q1["scale"], b1,
+        activation="gelu_tanh", out_dtype=jnp.float32)).reshape(b, s, f)
+    bsd = np.asarray(quantized_matmul_bsd(
+        x, q1["kernel_q"], q1["scale"], b1,
+        activation="gelu_tanh", out_dtype=jnp.float32))
+    np.testing.assert_allclose(bsd, flat, atol=2e-4, rtol=1e-4)
+
+    flat_mlp = np.asarray(quantized_mlp(
+        x.reshape(-1, d), q1["kernel_q"], q1["scale"], b1,
+        q2["kernel_q"], q2["scale"], b2, out_dtype=jnp.float32)).reshape(b, s, d)
+    bsd_mlp = np.asarray(quantized_mlp_bsd(
+        x, q1["kernel_q"], q1["scale"], b1,
+        q2["kernel_q"], q2["scale"], b2, out_dtype=jnp.float32))
+    np.testing.assert_allclose(bsd_mlp, flat_mlp, atol=2e-4, rtol=1e-4)

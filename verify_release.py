@@ -1,0 +1,150 @@
+"""Validate keep_tpu against the RELEASED KEEP checkpoint, the moment one
+exists on disk (zero-egress image: weights can't be downloaded here).
+
+Given a weights dir (HF layout: config.json + pytorch_model.bin + vocab.txt —
+hf.co/Astaxanthin/KEEP), this reproduces the quick_start similarity row
+(reference quick_start/keep_inference.py:96-104) and cross-checks the text
+tower against the REAL `transformers.BertModel` loaded with the same released
+weights (a true oracle — not our own reimplementation).
+
+Usage:
+  python verify_release.py --model-dir /path/to/KEEP_release \
+      [--image /root/reference/quick_start/example.tif] \
+      [--expected "0.39,0.12,0.08"] \
+      [--h5 slide.h5 --prompts prompts.json --label '{"Normal":0,"Tumor":1}']
+
+Exit code 0 = all checks passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def check_text_tower_vs_transformers(model_dir: str, model, tokenizer) -> bool:
+    """encode_text parity vs the real HF BertModel on the released weights."""
+    try:
+        import torch
+        from transformers import BertConfig, BertModel
+    except ImportError:
+        print("[skip] transformers not available — text-tower oracle skipped")
+        return True
+
+    from keep_tpu.compat.torch_loader import normalize_state_dict, strip_prefix
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    sd = torch.load(os.path.join(model_dir, "pytorch_model.bin"),
+                    map_location="cpu", weights_only=True)
+    sd = strip_prefix(normalize_state_dict(sd), "text.")
+    bert = BertModel(BertConfig(**hf_cfg["text_config"]))
+    missing, unexpected = bert.load_state_dict(sd, strict=False)
+    real_missing = [k for k in missing if not k.endswith("position_ids")]
+    if real_missing or unexpected:
+        print(f"[FAIL] BertModel load: missing={real_missing} unexpected={unexpected}")
+        return False
+    bert.eval()
+
+    texts = ["an H&E image of breast invasive carcinoma.",
+             "an H&E image of normal tissue.",
+             "an H&E image of lung adenocarcinoma."]
+    enc = tokenizer(texts, max_length=256)
+    with torch.no_grad():
+        ref = bert(input_ids=torch.from_numpy(np.asarray(enc["input_ids"])),
+                   attention_mask=torch.from_numpy(np.asarray(enc["attention_mask"]))
+                   ).pooler_output
+        ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+    got = np.asarray(model.encode_text_ids(enc["input_ids"],
+                                           enc["attention_mask"]))
+    err = np.abs(got - ref).max()
+    ok = err < 5e-3  # bf16 tower tolerance; fp32 towers pass at ~2e-5
+    print(f"[{'ok' if ok else 'FAIL'}] text tower vs real transformers "
+          f"BertModel: max abs err {err:.2e}")
+    return bool(ok)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--image",
+                    default="/root/reference/quick_start/example.tif")
+    ap.add_argument("--expected",
+                    help="comma-separated expected similarity row to compare")
+    ap.add_argument("--tol", type=float, default=2e-2)
+    ap.add_argument("--h5", help="CLAM h5 slide for a WSI detection check")
+    ap.add_argument("--prompts", help="prompt JSON for the WSI check")
+    ap.add_argument("--label", default='{"Normal": 0, "Tumor": 1}')
+    ap.add_argument("--fp32", action="store_true",
+                    help="run towers in fp32 (tightest parity)")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from keep_tpu.factory import get_tokenizer
+    from keep_tpu.models.keep import KEEPModel
+    from keep_tpu.ops.preprocess import preprocess
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = KEEPModel.from_pretrained(args.model_dir, dtype=dtype)
+    tokenizer = get_tokenizer("bert", args.model_dir)
+    ok = True
+
+    # 1) quick_start similarity row (keep_inference.py:96-104)
+    if os.path.exists(args.image):
+        from PIL import Image
+
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        pixels = preprocess(img)
+        texts = ["an H&E image of breast invasive carcinoma.",
+                 "an H&E image of normal tissue.",
+                 "an H&E image of lung adenocarcinoma."]
+        enc = tokenizer(texts, max_length=256)
+        img_f = model.encode_image(pixels)
+        txt_f = model.encode_text_ids(enc["input_ids"], enc["attention_mask"])
+        row = np.asarray(img_f @ txt_f.T)[0]
+        print(f"[info] similarity row: {row.tolist()}")
+        if args.expected:
+            want = np.array([float(v) for v in args.expected.split(",")])
+            err = np.abs(row - want).max()
+            good = err < args.tol
+            ok &= good
+            print(f"[{'ok' if good else 'FAIL'}] vs expected row: "
+                  f"max abs err {err:.3e} (tol {args.tol})")
+    else:
+        print(f"[skip] image {args.image} not found")
+
+    # 2) text tower vs the real transformers oracle
+    ok &= check_text_tower_vs_transformers(args.model_dir, model, tokenizer)
+
+    # 3) optional WSI detection AUROC on a real slide
+    if args.h5 and args.prompts:
+        import h5py
+
+        from keep_tpu.metrics.classification import auroc
+        from keep_tpu.wsi.pipelines import score_tiles
+        from keep_tpu.zeroshot.classifier import (
+            build_classifiers_batched, prompt_select)
+
+        with h5py.File(args.h5) as f:
+            feats = np.asarray(f["features"])
+        with open(args.prompts) as f:
+            prompts = json.load(f)
+        cls_stack = build_classifiers_batched(
+            model.encode_text_ids, tokenizer, prompts,
+            json.loads(args.label), first_template_only=True)
+        merged = prompt_select(cls_stack, jnp.asarray(feats))
+        probs = np.asarray(score_tiles(merged, jnp.asarray(feats)))
+        print(f"[info] slide tumor fraction (thr 0.5): "
+              f"{float((probs[:, 1] > 0.5).mean()):.4f}")
+
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
