@@ -111,45 +111,80 @@ def quantized_mlp(
     )
 
 
-def _qmlp_bsd_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                     o_ref):
-    xq, a1 = _quant_rows(x_ref[0].astype(jnp.float32))  # [S, D]
-    h = _int8_dot(xq, w1_ref).astype(jnp.float32)
-    h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
-    h = _gelu_tanh(h)
-    hq, a2 = _quant_rows(h)
-    out = _int8_dot(hq, w2_ref).astype(jnp.float32)
-    out = out * (a2 * s2_ref[0][None, :]) + b2_ref[0][None, :]
-    o_ref[0] = out.astype(o_ref.dtype)
+def _ln_rows(xf, g_row, b_row, eps):
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * g_row + b_row
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float):
+    def kernel(*refs):
+        if with_ln:
+            (x_ref, g_ref, bln_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+             b2_ref, o_ref) = refs
+        else:
+            (x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+             o_ref) = refs
+        xf = x_ref[0].astype(jnp.float32)  # [S, D]
+        y = _ln_rows(xf, g_ref[0][None, :], bln_ref[0][None, :], eps) \
+            if with_ln else xf
+        xq, a1 = _quant_rows(y)
+        h = _int8_dot(xq, w1_ref).astype(jnp.float32)
+        h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
+        h = _gelu_tanh(h)
+        hq, a2 = _quant_rows(h)
+        out = _int8_dot(hq, w2_ref).astype(jnp.float32)
+        out = out * (a2 * s2_ref[0][None, :]) + b2_ref[0][None, :]
+        if residual:
+            out = out + xf
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "eps", "residual"))
 def quantized_mlp_bsd(
     x: Array,
     w1_q: Array, w1_scale: Array, b1: Array,
     w2_q: Array, w2_scale: Array, b2: Array,
     out_dtype=jnp.bfloat16,
+    ln_scale: Array | None = None,
+    ln_bias: Array | None = None,
+    eps: float = 1e-6,
+    residual: bool = False,
 ) -> Array:
     """``quantized_mlp`` over [B, S, D] activations in their natural layout
     (no [B·S, D] flatten — a physical relayout when S isn't sublane-aligned;
-    see kernels/qmatmul.quantized_matmul_bsd)."""
+    see kernels/qmatmul.quantized_matmul_bsd).
+
+    Optional fusions (both exact — fp32 math identical to separate ops):
+    ``ln_scale``/``ln_bias`` apply a pre-LayerNorm to the input in-kernel;
+    ``residual=True`` adds the RAW input to the output (the transformer
+    block's ``x + mlp(ln(x))``) — each saves an [B, S, D] HBM round trip."""
     b, s, d = x.shape
     _, f = w1_q.shape
+    with_ln = ln_scale is not None
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x]
+    if with_ln:
+        in_specs += [const((1, d)), const((1, d))]
+        args += [jnp.asarray(ln_scale, jnp.float32).reshape(1, d),
+                 jnp.asarray(ln_bias, jnp.float32).reshape(1, d)]
+    in_specs += [const((d, f)), const((1, f)), const((1, f)),
+                 const((f, d)), const((1, d)), const((1, d))]
+    args += [w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
+             b1.reshape(1, f).astype(jnp.float32),
+             w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
+             b2.reshape(1, d).astype(jnp.float32)]
     return pl.pallas_call(
-        _qmlp_bsd_kernel,
+        _make_qmlp_bsd_kernel(with_ln, residual, eps),
         out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const((d, f)),
-            const((1, f)),
-            const((1, f)),
-            const((f, d)),
-            const((1, d)),
-            const((1, d)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -158,13 +193,7 @@ def quantized_mlp_bsd(
             transcendentals=b * s * f,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(
-        x,
-        w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
-        b1.reshape(1, f).astype(jnp.float32),
-        w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
-        b2.reshape(1, d).astype(jnp.float32),
-    )
+    )(*args)
 
 
 def qmlp_fused(p_fc1: dict, p_fc2: dict, x: Array) -> Array:

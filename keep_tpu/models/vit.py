@@ -91,6 +91,30 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
     h, dh = cfg.num_heads, cfg.head_dim
 
     quantized = "kernel_q" in p["attn"]["qkv"]
+    if (
+        quantized and use_flash and gelu_approx
+        and "ls1" not in p and "kernel_q" in p["mlp"]["fc1"]
+    ):
+        # int8 megakernel path (LayerScale pre-folded — KEEPModel.quantize):
+        # whole attention sub-block in one kernel (LN → int8 qkv → MHA →
+        # int8 proj → +residual), then the MLP pair with fused LN+residual —
+        # each layer reads/writes the [B, S, D] stream exactly twice
+        from keep_tpu.kernels.qblock import quantized_attention_block
+        from keep_tpu.kernels.qmlp import quantized_mlp_bsd
+
+        x = quantized_attention_block(
+            x, p["norm1"], p["attn"]["qkv"], p["attn"]["proj"],
+            num_heads=h, eps=cfg.ln_eps,
+        )
+        m = p["mlp"]
+        return quantized_mlp_bsd(
+            x,
+            m["fc1"]["kernel_q"], m["fc1"]["scale"], m["fc1"]["bias"],
+            m["fc2"]["kernel_q"], m["fc2"]["scale"], m["fc2"]["bias"],
+            out_dtype=x.dtype,
+            ln_scale=p["norm2"]["scale"], ln_bias=p["norm2"]["bias"],
+            eps=cfg.ln_eps, residual=True,
+        )
     if fuse_ln and use_flash and not quantized:
         # inference fast path: LN computed in-kernel, feeding the MXU
         # directly (no materialized normalized activations)

@@ -185,3 +185,89 @@ def test_bsd_kernels_match_flat(rng):
         x, q1["kernel_q"], q1["scale"], b1,
         q2["kernel_q"], q2["scale"], b2, out_dtype=jnp.float32))
     np.testing.assert_allclose(bsd_mlp, flat_mlp, atol=2e-4, rtol=1e-4)
+
+
+def test_quantized_megakernel_block_matches_composition(rng):
+    """The fused LN→int8 qkv→MHA→int8 proj→residual megakernel and the
+    LN+residual-fused MLP pair == the op-by-op composition (interpret mode)."""
+    from keep_tpu.kernels.qblock import quantized_attention_block
+    from keep_tpu.kernels.qmlp import quantized_mlp_bsd
+    from keep_tpu.ops.nn import layer_norm, mha_attention
+    from keep_tpu.quant import quantize_kernel
+
+    b, s, d, heads, eps = 2, 37, 64, 4, 1e-6
+    x = jnp.asarray((rng.standard_normal((b, s, d)) * 0.3).astype(np.float32))
+    norm1 = {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(d).astype(np.float32)),
+             "bias": jnp.asarray(0.05 * rng.standard_normal(d).astype(np.float32))}
+    qkv_p = {**quantize_kernel(jnp.asarray(
+        (rng.standard_normal((d, 3 * d)) * 0.08).astype(np.float32))),
+        "bias": jnp.asarray((rng.standard_normal(3 * d) * 0.01).astype(np.float32))}
+    proj_p = {**quantize_kernel(jnp.asarray(
+        (rng.standard_normal((d, d)) * 0.08).astype(np.float32))),
+        "bias": jnp.asarray((rng.standard_normal(d) * 0.01).astype(np.float32))}
+
+    got = np.asarray(quantized_attention_block(
+        x, norm1, qkv_p, proj_p, num_heads=heads, eps=eps))
+
+    # composition with the same quantization points
+    def qlin(p, v):
+        vf = np.asarray(v, np.float32)
+        a = np.maximum(np.abs(vf).max(-1, keepdims=True), 1e-8) / 127.0
+        vq = np.clip(np.round(vf / a), -127, 127).astype(np.int32)
+        acc = vq @ np.asarray(p["kernel_q"], np.int32)
+        return acc.astype(np.float32) * (a * np.asarray(p["scale"])[None, :]) \
+            + np.asarray(p["bias"])
+
+    y = np.asarray(layer_norm(norm1, x, eps))
+    slab = np.stack([qlin(qkv_p, y[i]) for i in range(b)]).astype(np.float32)
+    slab = jnp.asarray(slab).astype(jnp.bfloat16)
+    dh = d // heads
+    qh = slab[..., :d].reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    kh = slab[..., d:2 * d].reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    vh = slab[..., 2 * d:].reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    attn = mha_attention(qh, kh, vh)
+    attn = np.asarray(attn.transpose(0, 2, 1, 3).reshape(b, s, d), np.float32)
+    ref = np.asarray(x) + np.stack([qlin(proj_p, attn[i]) for i in range(b)])
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-3)
+
+    # MLP with fused LN + residual vs composition
+    f = 2 * d
+    fc1 = {**quantize_kernel(jnp.asarray(
+        (rng.standard_normal((d, f)) * 0.08).astype(np.float32))),
+        "bias": jnp.zeros((f,), jnp.float32)}
+    fc2 = {**quantize_kernel(jnp.asarray(
+        (rng.standard_normal((f, d)) * 0.08).astype(np.float32))),
+        "bias": jnp.zeros((d,), jnp.float32)}
+    norm2 = norm1
+    got2 = np.asarray(quantized_mlp_bsd(
+        x, fc1["kernel_q"], fc1["scale"], fc1["bias"],
+        fc2["kernel_q"], fc2["scale"], fc2["bias"], out_dtype=jnp.float32,
+        ln_scale=norm2["scale"], ln_bias=norm2["bias"], eps=eps,
+        residual=True))
+    from keep_tpu.kernels.qmlp import quantized_mlp
+
+    y2 = np.asarray(layer_norm(norm2, x, eps))
+    ref2 = np.asarray(quantized_mlp(
+        jnp.asarray(y2.reshape(-1, d)),
+        fc1["kernel_q"], fc1["scale"], fc1["bias"],
+        fc2["kernel_q"], fc2["scale"], fc2["bias"],
+        out_dtype=jnp.float32)).reshape(b, s, d) + np.asarray(x)
+    np.testing.assert_allclose(got2, ref2, atol=1e-3, rtol=1e-3)
+
+
+def test_vit_megakernel_path_matches_unfused(rng):
+    """Full quantized+folded ViT forward: the megakernel path (use_flash) ==
+    the unfused quantized path (use_flash=False) on the same weights."""
+    from keep_tpu.models import vit as vitm
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4)
+    params = vitm.fold_layerscale(vit.init(jax.random.PRNGKey(3), cfg))
+    qp = quantize_linear_weights(params)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    mega = np.asarray(vit.forward(qp, x, cfg, use_flash=True, gelu_approx=True))
+    ref = np.asarray(vit.forward(qp, x, cfg, use_flash=False, gelu_approx=True))
+    np.testing.assert_allclose(mega, ref, atol=2e-2, rtol=2e-2)
+    cos = np.mean(np.sum(mega * ref, 1) / (np.linalg.norm(mega, axis=1)
+                                           * np.linalg.norm(ref, axis=1)))
+    assert cos > 0.9999, cos
