@@ -53,30 +53,27 @@ def infer_clip_config(sd) -> CLIPConfig:
     )
 
 
-def convert_openai_clip_visual(sd, cfg: ViTConfig) -> dict:
-    """OpenAI ViT tower keys (visual.conv1 / class_embedding / ln_pre / ln_post
-    / transformer.resblocks.N / proj) → our vit pytree + proj.
-
-    Note: OpenAI's ViT applies ln_pre after embedding; our vit has no ln_pre —
-    it is folded into... no fold exists, so we keep it explicit via an extra
-    'ln_pre' entry consumed by models.clip when present.
-    """
-    depth = cfg.depth
-    conv = _g(sd, "visual.conv1.weight")  # [D, 3, P, P], no bias in OpenAI ViT
-    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, cfg.embed_dim)
+def convert_openclip_vit_trunk(sd, embed_dim: int, depth: int,
+                               prefix: str = "visual.") -> dict:
+    """Shared open_clip/OpenAI ViT trunk keys (conv1 / class_embedding /
+    positional_embedding / ln_pre / transformer.resblocks.N) → our vit pytree
+    WITHOUT the final norm/proj (those differ between the CLIP and CoCa
+    attn-pool tower variants — transformer.py:489-495)."""
+    conv = _g(sd, prefix + "conv1.weight")  # [D, 3, P, P], no bias
+    kernel = conv.transpose(2, 3, 1, 0).reshape(-1, embed_dim)
 
     def stack(fmt, transpose=False):
         mats = [_g(sd, fmt.format(i)) for i in range(depth)]
         return np.stack([m.T if transpose else m for m in mats])
 
-    pre = "visual.transformer.resblocks.{}."
+    pre = prefix + "transformer.resblocks.{}."
     return {
         "patch_embed": {"kernel": kernel,
-                        "bias": np.zeros(cfg.embed_dim, np.float32)},
-        "cls_token": _g(sd, "visual.class_embedding").reshape(1, 1, -1),
-        "pos_embed": _g(sd, "visual.positional_embedding")[None],
-        "ln_pre": {"scale": _g(sd, "visual.ln_pre.weight"),
-                   "bias": _g(sd, "visual.ln_pre.bias")},
+                        "bias": np.zeros(embed_dim, np.float32)},
+        "cls_token": _g(sd, prefix + "class_embedding").reshape(1, 1, -1),
+        "pos_embed": _g(sd, prefix + "positional_embedding")[None],
+        "ln_pre": {"scale": _g(sd, prefix + "ln_pre.weight"),
+                   "bias": _g(sd, prefix + "ln_pre.bias")},
         "blocks": {
             "norm1": {"scale": stack(pre + "ln_1.weight"),
                       "bias": stack(pre + "ln_1.bias")},
@@ -95,10 +92,22 @@ def convert_openai_clip_visual(sd, cfg: ViTConfig) -> dict:
                         "bias": stack(pre + "mlp.c_proj.bias")},
             },
         },
-        "norm": {"scale": _g(sd, "visual.ln_post.weight"),
-                 "bias": _g(sd, "visual.ln_post.bias")},
-        "proj": _g(sd, "visual.proj"),
     }
+
+
+def convert_openai_clip_visual(sd, cfg: ViTConfig) -> dict:
+    """OpenAI ViT tower keys (visual.conv1 / class_embedding / ln_pre / ln_post
+    / transformer.resblocks.N / proj) → our vit pytree + proj.
+
+    Note: OpenAI's ViT applies ln_pre after embedding; our vit has no ln_pre —
+    it is folded into... no fold exists, so we keep it explicit via an extra
+    'ln_pre' entry consumed by models.clip when present.
+    """
+    out = convert_openclip_vit_trunk(sd, cfg.embed_dim, cfg.depth)
+    out["norm"] = {"scale": _g(sd, "visual.ln_post.weight"),
+                   "bias": _g(sd, "visual.ln_post.bias")}
+    out["proj"] = _g(sd, "visual.proj")
+    return out
 
 
 def load_openai_clip(path_or_sd, cfg: CLIPConfig | None = None):

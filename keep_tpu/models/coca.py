@@ -1,20 +1,29 @@
 """CoCa — contrastive captioner (alternative model family; reference
 training/path_open_clip/coca_model.py + transformer.py:634-726).
 
-Structure (CoCa paper / open_clip semantics):
-- vision tower (our ViT, token outputs) + attentional pooler over image
-  tokens (n_queries learned queries); the first pooled token projects to the
-  contrastive latent, all pooled tokens feed the decoder's cross-attention;
-- text tower: causal transformer with a learned CLS token appended at the
-  END of the sequence — CLS output → contrastive text latent, the other
-  token outputs feed the decoder;
+Structure (exact open_clip/reference semantics, so full-model checkpoints
+convert losslessly — parity-tested against the reference torch CoCa):
+- vision tower: open_clip VisionTransformer variant of our ViT (ln_pre, NO
+  trunk-final LN — the converted ``norm`` is identity) + attentional pooler
+  at ``embed_dim`` with kdim=vision width and ln_q/ln_k
+  (transformer.py:163-187); ``ln_post`` applies AFTER pooling, the first
+  pooled token @ ``visual_proj`` is the contrastive latent, pooled tokens
+  [1:] feed the decoder's cross-attention (transformer.py:489-495);
+- text tower: causal transformer; input is trimmed to S-1 and a learned CLS
+  token is appended at the END; positions cover all S slots (CLS included);
+  pad positions are masked from the CLS query's attention row exactly as
+  ``build_cls_mask`` does (transformer.py:587-594, including its shift-by-one
+  column quirk); ``ln_final`` applies ONLY to the pooled CLS output — the
+  decoder sees un-normalized token states (transformer.py:618-620);
 - multimodal decoder: per layer a causal self-attention block then a
   cross-attention block over the pooled image tokens; final LN + projection
-  to vocab logits;
+  to vocab logits (transformer.py:634-726);
 - captioning loss: next-token CE on ``labels = text[:, -T:]``; training
   combines it with the contrastive loss;
 - generation: greedy / top-k sampling (host loop over a jitted step; the
-  reference delegates to HF GenerationMixin utilities).
+  reference delegates to HF GenerationMixin utilities) with
+  ``embed_cls=False`` — which only skips the input trim; the CLS append,
+  pad mask, and pooling are identical (coca_model.py:136-141).
 """
 
 from __future__ import annotations
@@ -85,49 +94,80 @@ def _attn_block(p, x, bias, cfg, heads, kv=None):
 
 def encode_text(params, input_ids, cfg: CoCaConfig, *, dtype=jnp.float32,
                 embed_cls: bool = True):
-    """→ (text_latent [B, E] normalized, token_embs [B, S, W])."""
-    if embed_cls:
-        input_ids = input_ids[:, :-1]  # make room for the CLS slot
+    """→ (text_latent [B, E] normalized, token_embs [B, T, W]).
+
+    ``embed_cls`` only controls the input trim, exactly as the reference's
+    ``_encode_text`` (coca_model.py:136-141): True drops the last token to
+    make room for the CLS slot (training), False keeps all tokens
+    (generation). Either way the tower appends the learned CLS at the END,
+    adds positions over all slots (CLS included), masks pads from the CLS
+    attention row via build_cls_mask (transformer.py:587-594 — including its
+    shift-by-one column quirk), pools ln_final(x[:, -1]) @ text_projection,
+    and returns tokens = x[:, :-1] WITHOUT ln_final (transformer.py:598-625)."""
     t = params["text"]
-    b, s = input_ids.shape
-    x = jnp.take(t["token_embedding"], input_ids, axis=0).astype(dtype)
-    x = x + t["pos_embed"][:s].astype(dtype)
-    cls = jnp.broadcast_to(t["cls_emb"].astype(dtype), (b, 1, x.shape[-1]))
+    w = t["token_embedding"].shape[-1]
+    ids = input_ids[:, :-1] if embed_cls else input_ids
+    b, s = ids.shape
+    x = jnp.take(t["token_embedding"], ids, axis=0).astype(dtype)
+    cls = jnp.broadcast_to(t["cls_emb"].reshape(1, 1, w).astype(dtype),
+                           (b, 1, w))
     x = jnp.concatenate([x, cls], axis=1)  # CLS at the END
     sl = s + 1
-    causal = jnp.triu(jnp.full((sl, sl), -1e9, jnp.float32), k=1)[None, None]
+    x = x + t["pos_embed"][:sl].astype(dtype)  # positions cover CLS too
+    causal = jnp.triu(jnp.full((sl, sl), -1e9, jnp.float32), k=1)
+    # build_cls_mask: only the LAST row (the CLS query) masks pads; the
+    # column index is shifted by the 1-left pad — key j is gated by
+    # ids[:, j-1] != pad, col 0 always open.
+    valid = jnp.pad(ids != cfg.pad_id, ((0, 0), (1, 0)),
+                    constant_values=True)  # [B, sl]
+    cls_row = jnp.where(valid, 0.0, -1e9)[:, None, :]  # [B, 1, sl]
+    rows = jnp.concatenate(
+        [jnp.zeros((b, s, sl), jnp.float32), cls_row], axis=1
+    )
+    bias = (causal[None] + rows)[:, None]  # [B, 1, sl, sl]
 
     def body(carry, lp):
-        return _attn_block(lp, carry, causal, cfg, cfg.text_heads), None
+        return _attn_block(lp, carry, bias, cfg, cfg.text_heads), None
 
     x, _ = jax.lax.scan(body, x, t["blocks"])
-    x = layer_norm(t["ln_final"], x, cfg.ln_eps)
-    latent = jnp.dot(x[:, -1], t["text_projection"].astype(x.dtype),
+    pooled = layer_norm(t["ln_final"], x[:, -1], cfg.ln_eps)
+    tokens = x[:, :-1]
+    latent = jnp.dot(pooled, t["text_projection"].astype(pooled.dtype),
                      preferred_element_type=jnp.float32).astype(dtype)
-    return l2_normalize(latent.astype(jnp.float32)), x[:, :-1]
+    return l2_normalize(latent.astype(jnp.float32)), tokens
 
 
 def encode_image(params, pixels, cfg: CoCaConfig, *, dtype=jnp.float32,
                  use_flash=False):
-    """→ (image_latent [B, E] normalized, image_embs [B, n_queries, W])."""
+    """→ (image_latent [B, E] normalized, image_embs [B, n_queries-1, E]).
+
+    AttentionalPooler at d_model=embed_dim with kdim=vision width
+    (transformer.py:163-187): q = ln_q(query), k = v = ln_k(trunk tokens),
+    separate q/k/v projections (torch MHA with kdim != embed_dim), out_proj;
+    then ln_post over ALL pooled tokens, latent = x[:, 0] @ visual_proj,
+    decoder context = x[:, 1:] (transformer.py:489-495). The converted trunk
+    carries ln_pre and an identity final ``norm`` (open_clip has no
+    trunk-final LN on the attn-pool path)."""
     tokens = vit.forward(params["visual"], pixels, cfg.vision,
                          dtype=dtype, use_flash=use_flash)  # pool='none'
     p = params["attn_pool"]
     b = tokens.shape[0]
     heads = cfg.attn_pooler_heads
-    w = p["query"].shape[-1]
-    dh = w // heads
-    q = jnp.broadcast_to(p["query"].astype(dtype), (b,) + p["query"].shape)
+    e = p["query"].shape[-1]
+    dh = e // heads
+    q = layer_norm(p["ln_q"], p["query"].astype(dtype), cfg.ln_eps)
+    q = jnp.broadcast_to(q[None], (b,) + q.shape)
     kv = layer_norm(p["ln_k"], tokens, cfg.ln_eps)
     qh = linear(p["q"], q).reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
     kh = linear(p["k"], kv).reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
     vh = linear(p["v"], kv).reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
     pooled = mha_attention(qh, kh, vh)
-    pooled = pooled.transpose(0, 2, 1, 3).reshape(b, -1, w)
+    pooled = pooled.transpose(0, 2, 1, 3).reshape(b, -1, e)
     pooled = linear(p["proj"], pooled)
-    latent = jnp.dot(pooled[:, 0], params["image_projection"].astype(dtype),
+    x = layer_norm(params["ln_post"], pooled, cfg.ln_eps)
+    latent = jnp.dot(x[:, 0], params["visual_proj"].astype(dtype),
                      preferred_element_type=jnp.float32).astype(dtype)
-    return l2_normalize(latent.astype(jnp.float32)), pooled
+    return l2_normalize(latent.astype(jnp.float32)), x[:, 1:]
 
 
 def decode(params, token_embs, image_embs, cfg: CoCaConfig, *, dtype=jnp.float32):
@@ -307,21 +347,30 @@ def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
     }
     ln = lambda n: {"scale": jnp.ones((n,), dtype), "bias": jnp.zeros((n,), dtype)}
     vw = cfg.vision.embed_dim
+    visual = vit.init(next(keys), cfg.vision, dtype)
+    # open_clip vision trunk: ln_pre after embedding, NO trunk-final LN —
+    # vit.init's ``norm`` starts as identity (scale 1, bias 0) which matches
+    # the attn-pool path (transformer.py:489-495); converters keep it identity.
+    visual["ln_pre"] = ln(vw)
     return {
-        "visual": vit.init(next(keys), cfg.vision, dtype),
+        "visual": visual,
         "attn_pool": {
-            "query": normal(next(keys), (cfg.n_queries, vw), vw**-0.5),
+            "query": normal(next(keys), (cfg.n_queries, e), e**-0.5),
+            "ln_q": ln(e),
             "ln_k": ln(vw),
-            "q": lin(next(keys), vw, vw),
-            "k": lin(next(keys), vw, vw),
-            "v": lin(next(keys), vw, vw),
-            "proj": lin(next(keys), vw, w),
+            "q": lin(next(keys), e, e),
+            "k": lin(next(keys), vw, e),
+            "v": lin(next(keys), vw, e),
+            "proj": lin(next(keys), e, e),
         },
-        "image_projection": normal(next(keys), (w, e), w**-0.5),
+        "ln_post": ln(e),
+        "visual_proj": normal(next(keys), (e, e), e**-0.5),
         "text": {
             "token_embedding": normal(next(keys), (cfg.vocab_size, w), 0.02),
-            "pos_embed": normal(next(keys), (cfg.context_length, w), 0.01),
-            "cls_emb": normal(next(keys), (1, w), 0.01),
+            # num_pos = context_length + 1: positions cover the appended CLS
+            # (transformer.py:530-532)
+            "pos_embed": normal(next(keys), (cfg.context_length + 1, w), 0.01),
+            "cls_emb": normal(next(keys), (w,), 0.01),
             "blocks": _stack_blocks(
                 jax.random.split(next(keys), cfg.text_layers),
                 w, cfg.mlp_ratio, dtype,

@@ -12,8 +12,11 @@ from keep_tpu.models.coca import CoCaConfig, caption_loss
 
 pytestmark = pytest.mark.slow
 
+# embed_dim must equal text_width: the decoder cross-attends over pooled
+# image tokens at embed_dim with d_model = text width (reference constraint,
+# transformer.py:658-669 / open_clip CoCa presets)
 CFG = CoCaConfig(
-    embed_dim=16,
+    embed_dim=32,
     vocab_size=64,
     context_length=12,
     text_width=32,
@@ -39,8 +42,8 @@ def test_forward_shapes(params, rng):
     pixels = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
     ids = jnp.asarray(rng.integers(1, 60, size=(2, 12)))
     out = coca.forward(params, pixels, ids, CFG)
-    assert out["image_features"].shape == (2, 16)
-    assert out["text_features"].shape == (2, 16)
+    assert out["image_features"].shape == (2, 32)
+    assert out["text_features"].shape == (2, 32)
     # decoder sees S-1 tokens (CLS takes the last slot)
     assert out["logits"].shape == (2, 11, 64)
     assert out["labels"].shape == (2, 11)
