@@ -34,6 +34,12 @@ class TextTransformerConfig:
     mlp_ratio: float = 4.0
     output_dim: int = 512
     ln_eps: float = 1e-5
+    # CustomResidualAttentionBlock options (transformer.py:246-285) — the
+    # reference's experimental block variant (unused by the KEEP config):
+    scaled_cosine: bool = False  # cosine attention w/ learned per-head temp
+    scale_heads: bool = False  # learned per-head output gain
+    scale_attn: bool = False  # extra LN on the attention output (ln_attn)
+    scale_fc: bool = False  # extra LN inside the MLP, after fc1 (mlp.ln)
 
     @property
     def head_dim(self) -> int:
@@ -45,10 +51,27 @@ def _block(p, x, causal_bias, cfg: TextTransformerConfig):
     h, dh = cfg.heads, cfg.head_dim
     y = layer_norm(p["norm1"], x, cfg.ln_eps)
     qkv = linear(p["attn"]["qkv"], y).reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
-    attn = mha_attention(qkv[0], qkv[1], qkv[2], bias=causal_bias)
+    if "logit_scale" in p["attn"]:  # scaled-cosine custom block
+        from keep_tpu.ops.nn import cosine_attention
+
+        attn = cosine_attention(
+            qkv[0], qkv[1], qkv[2], p["attn"]["logit_scale"],
+            bias=causal_bias, head_scale=p["attn"].get("head_scale"),
+        )
+    else:
+        attn = mha_attention(qkv[0], qkv[1], qkv[2], bias=causal_bias)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
-    x = x + linear(p["attn"]["proj"], attn)
-    return x + mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps))
+    attn = linear(p["attn"]["proj"], attn)
+    if "ln_attn" in p:  # scale_attn: LN on the attention branch output
+        attn = layer_norm(p["ln_attn"], attn, cfg.ln_eps)
+    x = x + attn
+    y = layer_norm(p["norm2"], x, cfg.ln_eps)
+    if "ln" in p["mlp"]:  # scale_fc: LN after fc1, before the GELU
+        from keep_tpu.ops.nn import gelu
+
+        hid = layer_norm(p["mlp"]["ln"], linear(p["mlp"]["fc1"], y), cfg.ln_eps)
+        return x + linear(p["mlp"]["fc2"], gelu(hid))
+    return x + mlp(p["mlp"], y)
 
 
 def forward(
@@ -91,15 +114,27 @@ def init(key: jax.Array, cfg: TextTransformerConfig, dtype=jnp.float32) -> dict:
                 "bias": jnp.zeros((l, fo), dtype)}
 
     ln = lambda: {"scale": jnp.ones((l, w), dtype), "bias": jnp.zeros((l, w), dtype)}
+    attn = {"qkv": lin(next(keys), w, 3 * w), "proj": lin(next(keys), w, w)}
+    if cfg.scaled_cosine:
+        # per-head log temperature, init log(10) (transformer.py:116)
+        attn["logit_scale"] = jnp.full((l, cfg.heads), jnp.log(10.0), dtype)
+    if cfg.scale_heads:
+        attn["head_scale"] = jnp.ones((l, cfg.heads), dtype)
+    blocks = {
+        "norm1": ln(),
+        "attn": attn,
+        "norm2": ln(),
+        "mlp": {"fc1": lin(next(keys), w, f), "fc2": lin(next(keys), f, w)},
+    }
+    if cfg.scale_attn:
+        blocks["ln_attn"] = ln()
+    if cfg.scale_fc:
+        blocks["mlp"]["ln"] = {"scale": jnp.ones((l, f), dtype),
+                               "bias": jnp.zeros((l, f), dtype)}
     return {
         "token_embedding": normal(next(keys), (cfg.vocab_size, w), 0.02),
         "pos_embed": normal(next(keys), (cfg.context_length, w), 0.01),
-        "blocks": {
-            "norm1": ln(),
-            "attn": {"qkv": lin(next(keys), w, 3 * w), "proj": lin(next(keys), w, w)},
-            "norm2": ln(),
-            "mlp": {"fc1": lin(next(keys), w, f), "fc2": lin(next(keys), f, w)},
-        },
+        "blocks": blocks,
         "ln_final": {"scale": jnp.ones((w,), dtype), "bias": jnp.zeros((w,), dtype)},
         "text_projection": normal(next(keys), (w, cfg.output_dim), w**-0.5),
     }
@@ -108,7 +143,9 @@ def init(key: jax.Array, cfg: TextTransformerConfig, dtype=jnp.float32) -> dict:
 def convert_openclip_text(sd, cfg: TextTransformerConfig) -> dict:
     """OpenCLIP/OpenAI text-tower state dict → pytree (keys:
     token_embedding.weight, positional_embedding, transformer.resblocks.N.*,
-    ln_final.*, text_projection)."""
+    ln_final.*, text_projection). Also picks up the
+    CustomResidualAttentionBlock extras when present (attn.logit_scale,
+    attn.head_scale, ln_attn.*, mlp.ln.* — transformer.py:246-285)."""
     import numpy as np
 
     g = lambda k: (sd[k].detach().cpu().numpy() if hasattr(sd[k], "detach") else np.asarray(sd[k]))
@@ -119,7 +156,7 @@ def convert_openclip_text(sd, cfg: TextTransformerConfig) -> dict:
         return np.stack([m.T if transpose else m for m in mats])
 
     pre = "transformer.resblocks.{}."
-    return {
+    out = {
         "token_embedding": g("token_embedding.weight"),
         "pos_embed": g("positional_embedding"),
         "blocks": {
@@ -141,3 +178,16 @@ def convert_openclip_text(sd, cfg: TextTransformerConfig) -> dict:
         "ln_final": {"scale": g("ln_final.weight"), "bias": g("ln_final.bias")},
         "text_projection": g("text_projection"),
     }
+    if pre.format(0) + "attn.logit_scale" in sd:
+        out["blocks"]["attn"]["logit_scale"] = stack(
+            pre + "attn.logit_scale").reshape(L, -1)
+    if pre.format(0) + "attn.head_scale" in sd:
+        out["blocks"]["attn"]["head_scale"] = stack(
+            pre + "attn.head_scale").reshape(L, -1)
+    if pre.format(0) + "ln_attn.weight" in sd:
+        out["blocks"]["ln_attn"] = {"scale": stack(pre + "ln_attn.weight"),
+                                    "bias": stack(pre + "ln_attn.bias")}
+    if pre.format(0) + "mlp.ln.weight" in sd:
+        out["blocks"]["mlp"]["ln"] = {"scale": stack(pre + "mlp.ln.weight"),
+                                      "bias": stack(pre + "mlp.ln.bias")}
+    return out

@@ -130,3 +130,44 @@ def l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
     """torch ``F.normalize(x, dim=-1)`` semantics: x / max(||x||, eps)."""
     norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
     return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+def cosine_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    logit_scale: Array,
+    *,
+    bias: Array | None = None,
+    logit_scale_max: float = 4.6051702,  # ln(1/0.01), the reference default
+    head_scale: Array | None = None,
+) -> Array:
+    """Scaled-cosine multi-head attention over [B, H, S, Dh] tensors
+    (reference custom ``Attention``, transformer.py:87-160).
+
+    Scores are cosine similarities — L2-normalized q and k — multiplied by a
+    LEARNED per-head temperature ``exp(min(logit_scale, logit_scale_max))``
+    (``logit_scale`` enters in log space, shape [H] or [H, 1, 1]), instead of
+    the fixed Dh^-0.5. ``head_scale`` [H] is a learned per-head output gain
+    (``scale_heads``; the reference's own head_scale multiply reshapes
+    [B·H, S, Dh] as [B, H, S, dim] and only runs at H==1 — we apply the gain
+    on the per-head outputs, the evident intent).
+    """
+    scale = jnp.exp(
+        jnp.minimum(logit_scale.reshape(-1).astype(jnp.float32), logit_scale_max)
+    )  # [H]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", l2_normalize(q.astype(jnp.float32)),
+        l2_normalize(k.astype(jnp.float32)),
+        preferred_element_type=jnp.float32,
+    ) * scale[None, :, None, None]
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    if head_scale is not None:
+        out = out * head_scale.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out.astype(v.dtype)

@@ -279,3 +279,97 @@ def test_pmc_clip_full_model_parity(ref_pkg):
                                ref["bert_prediction"].numpy(), atol=1e-4)
     np.testing.assert_allclose(float(out["logit_scale"]),
                                float(ref["logit_scale"]), rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Scaled-cosine attention (CustomResidualAttentionBlock option)
+# --------------------------------------------------------------------------
+
+
+def test_scaled_cosine_block_parity(ref_pkg):
+    """Our custom-block path (scaled_cosine + scale_attn + scale_fc) vs the
+    reference's own CustomResidualAttentionBlock (transformer.py:246-285).
+    scale_heads is excluded from the oracle: the reference's head_scale
+    multiply reshapes [B*H, L, Dh] as [B, H, L, dim] and only runs at H==1
+    (a latent defect); we apply the per-head gain as evidently intended."""
+    import jax.numpy as jnp
+
+    from path_open_clip.transformer import CustomResidualAttentionBlock
+
+    from keep_tpu.models import text_transformer as tt
+
+    torch.manual_seed(5)
+    blk = CustomResidualAttentionBlock(
+        d_model=16, n_head=4, scale_cosine_attn=True, scale_heads=False,
+        scale_attn=True, scale_fc=True,
+    ).eval()
+    sd = blk.state_dict()
+
+    def g(k):
+        return sd[k].numpy()
+
+    p = {
+        "norm1": {"scale": g("ln_1.weight")[None], "bias": g("ln_1.bias")[None]},
+        "attn": {
+            "qkv": {"kernel": g("attn.in_proj_weight").T[None],
+                    "bias": g("attn.in_proj_bias")[None]},
+            "proj": {"kernel": g("attn.out_proj.weight").T[None],
+                     "bias": g("attn.out_proj.bias")[None]},
+            "logit_scale": g("attn.logit_scale").reshape(1, -1),
+        },
+        "ln_attn": {"scale": g("ln_attn.weight")[None],
+                    "bias": g("ln_attn.bias")[None]},
+        "norm2": {"scale": g("ln_2.weight")[None], "bias": g("ln_2.bias")[None]},
+        "mlp": {
+            "fc1": {"kernel": g("mlp.c_fc.weight").T[None],
+                    "bias": g("mlp.c_fc.bias")[None]},
+            "ln": {"scale": g("mlp.ln.weight")[None],
+                   "bias": g("mlp.ln.bias")[None]},
+            "fc2": {"kernel": g("mlp.c_proj.weight").T[None],
+                    "bias": g("mlp.c_proj.bias")[None]},
+        },
+    }
+    p = {k: _squeeze_layer(v) for k, v in p.items()}
+
+    torch.manual_seed(6)
+    x = torch.randn(5, 2, 16)  # [L, N, C]
+    mask = torch.triu(torch.full((5, 5), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        ref = blk(x, attn_mask=mask).numpy()
+
+    cfg = tt.TextTransformerConfig(width=16, heads=4, layers=1,
+                                   scaled_cosine=True, scale_attn=True,
+                                   scale_fc=True)
+    causal = jnp.triu(jnp.full((5, 5), -1e9, jnp.float32), k=1)[None, None]
+    got = tt._block(p, jnp.asarray(x.numpy().transpose(1, 0, 2)), causal, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(1, 0, 2), ref, atol=2e-5)
+
+
+def _squeeze_layer(v):
+    """Drop the layer axis the stacked-block layout would carry (the test
+    drives _block directly with one layer)."""
+    import jax
+
+    return jax.tree.map(lambda a: a[0] if hasattr(a, "ndim") else a, v)
+
+
+def test_scaled_cosine_init_and_forward():
+    """init() creates the custom params and forward runs with all options."""
+    import jax
+    import jax.numpy as jnp
+
+    from keep_tpu.models import text_transformer as tt
+
+    cfg = tt.TextTransformerConfig(
+        vocab_size=32, context_length=10, width=16, heads=4, layers=2,
+        output_dim=8, scaled_cosine=True, scale_heads=True, scale_attn=True,
+        scale_fc=True,
+    )
+    params = tt.init(jax.random.PRNGKey(0), cfg)
+    assert params["blocks"]["attn"]["logit_scale"].shape == (2, 4)
+    assert params["blocks"]["attn"]["head_scale"].shape == (2, 4)
+    assert "ln_attn" in params["blocks"] and "ln" in params["blocks"]["mlp"]
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 32, (3, 10)))
+    out = tt.forward(params, ids, cfg)
+    assert out.shape == (3, 8) and bool(jnp.isfinite(out).all())
