@@ -352,6 +352,27 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     )
     state = put_state(state)
 
+    # per-phase static-freeze steps: stop-gradienting the frozen leaves at
+    # compile time lets XLA drop the frozen towers' backward+remat entirely
+    # (bit-identical updates, one extra compile per phase; trainer docstring)
+    _phase_steps: dict = {}
+    base_step_fn = step_fn
+
+    def phase_step_fn(epoch: int):
+        if accum > 1:
+            return base_step_fn  # accum path keeps the single dynamic-mask compile
+        key = tuple(sorted(fs.frozen_towers(epoch)))
+        if key not in _phase_steps:
+            static = None
+            if key:
+                m = optim.freeze_mask(state.params, fs.frozen_fn(epoch))
+                static = jax.tree.map(lambda x: bool(np.asarray(x) > 0.5), m)
+            _phase_steps[key] = make_train_step(
+                cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
+                donate=False, static_frozen=static,
+            )
+        return _phase_steps[key]
+
     cur_phase = None
     frozen = None
     results = {"epoch": start_epoch - 1, "resumed": start_epoch > 0}
@@ -363,6 +384,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         phase = fs.frozen_towers(epoch)
         if phase != cur_phase:
             frozen = put_repl(optim.freeze_mask(state.params, fs.frozen_fn(epoch)))
+            step_fn = phase_step_fn(epoch)
             cur_phase = phase
             logging.info("epoch %d: frozen towers = %s", epoch, sorted(phase) or "none")
         pre_snapshot = snapshot(state.params)

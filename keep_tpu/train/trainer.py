@@ -117,15 +117,31 @@ def make_train_step(
     dtype=jnp.bfloat16,
     use_flash: bool = False,
     donate: bool = True,
+    static_frozen=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """One optimizer step. Shard the batch over 'dp' (NamedSharding) and keep
     params replicated. The optional third ``frozen`` argument (a
     ``optim.freeze_mask`` pytree of 0/1 scalars) is a dynamic input — one
     compile serves every freeze phase and the optimizer state (Adam moments +
-    schedule count) is continuous across phases."""
+    schedule count) is continuous across phases.
+
+    ``static_frozen`` (a pytree of python BOOLS matching params) additionally
+    stop-gradients the frozen leaves at COMPILE time: when a whole tower is
+    frozen (the shipped config freezes visual+text for epoch 1,
+    keep_config.yml) nothing consumes its cotangents — pixels/ids are leaf
+    inputs — so XLA dead-code-eliminates the entire tower backward
+    (+rematerialization). Grads for those leaves become exactly the zeros the
+    dynamic mask would produce, so training is bit-identical; the cost is one
+    extra compile per freeze phase. Keep passing the dynamic ``frozen`` mask
+    too — it also masks the post-optimizer update (decoupled weight decay)."""
 
     def step(state: TrainState, batch: dict, frozen=None):
         def loss_fn(params):
+            if static_frozen is not None:
+                params = jax.tree.map(
+                    lambda p, f: jax.lax.stop_gradient(p) if f else p,
+                    params, static_frozen,
+                )
             return compute_loss(
                 params, batch, cfg, loss_cfg, dtype=dtype, use_flash=use_flash
             )

@@ -265,3 +265,29 @@ def test_freeze_mask_single_optimizer(rng):
     state, _ = step(state, batch, frozen1)
     assert diff_report(before1, state.params)["visual"] == "open"
     assert int(state.step) == 4
+
+
+def test_static_freeze_bit_identical(rng):
+    """static_frozen (compile-time stop_gradient on frozen leaves, letting
+    XLA drop the frozen tower's backward) produces bit-identical params to
+    the dynamic-mask-only step."""
+    params = keep.init(jax.random.PRNGKey(3), TINY)
+    fs = FreezeSchedule(freeze_visual_epochs=1, freeze_text_epochs=1)
+    tx = optim.adamw(1e-2, weight_decay=0.05)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 4).items()}
+    mask = optim.freeze_mask(params, fs.frozen_fn(epoch=0))
+    static = jax.tree.map(lambda x: bool(np.asarray(x) > 0.5), mask)
+
+    dyn = make_train_step(TINY, LossConfig(kind="clip"), tx,
+                          dtype=jnp.float32, donate=False)
+    sta = make_train_step(TINY, LossConfig(kind="clip"), tx,
+                          dtype=jnp.float32, donate=False,
+                          static_frozen=static)
+    s_d = tree_state(params, tx)
+    s_s = tree_state(params, tx)
+    for _ in range(2):
+        s_d, m_d = dyn(s_d, batch, mask)
+        s_s, m_s = sta(s_s, batch, mask)
+    for a, b in zip(jax.tree.leaves(s_d.params), jax.tree.leaves(s_s.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m_d["loss"]) == pytest.approx(float(m_s["loss"]), rel=1e-6)
