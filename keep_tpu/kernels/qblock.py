@@ -134,3 +134,105 @@ def quantized_attention_block(
         proj_p["kernel_q"], row(proj_p["scale"]), row(proj_p["bias"]),
         num_heads=num_heads, eps=eps,
     )
+
+
+# ---------------------------------------------------------------------------
+# post-LN (BERT) variant: attn on the RAW input, LN applied to the residual
+# sum at the exit, additive key-padding mask on the scores
+# ---------------------------------------------------------------------------
+
+
+def _sdpa_masked(q, k, v, scale, bias_row):
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+def _make_qattn_postln_kernel(heads: int, dh: int, eps: float):
+    scale = dh**-0.5
+    d = heads * dh
+
+    def kernel(x_ref, mask_ref, g_ref, bln_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+               wout_ref, sout_ref, bout_ref, o_ref, attn_scratch):
+        xf = x_ref[0].astype(jnp.float32)  # [S, D]
+        # the mask is passed whole ([B, S] is tiny) and indexed by program —
+        # a (1, S) block would violate the 8-sublane block rule
+        bias_row = mask_ref[pl.program_id(0)][None, :]  # [1, S]
+        yq, a1 = _quant_rows(xf)
+        slab = _int8_dot(yq, wqkv_ref[:]).astype(jnp.float32)
+        slab = slab * (a1 * sqkv_ref[0][None, :]) + bqkv_ref[0][None, :]
+        slab = slab.astype(jnp.bfloat16)
+        for h in range(heads):
+            q = slab[:, h * dh : (h + 1) * dh]
+            k = slab[:, d + h * dh : d + (h + 1) * dh]
+            v = slab[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+            attn_scratch[:, h * dh : (h + 1) * dh] = _sdpa_masked(
+                q, k, v, scale, bias_row)
+        aq, a2 = _quant_rows(attn_scratch[:])
+        out = _int8_dot(aq, wout_ref[:]).astype(jnp.float32)
+        out = out * (a2 * sout_ref[0][None, :]) + bout_ref[0][None, :]
+        o_ref[0] = _ln(xf + out, g_ref[0][None, :], bln_ref[0][None, :],
+                       eps).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps"))
+def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
+                       *, num_heads: int, eps: float):
+    b, s, d = x.shape
+    dh = d // num_heads
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_qattn_postln_kernel(num_heads, dh, eps),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const((b, s)),  # whole mask, indexed by program id
+            const((1, d)), const((1, d)),
+            const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
+            const((d, d)), const((1, d)), const((1, d)),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * d * 4 * d + 4 * b * num_heads * s * s * dh,
+            bytes_accessed=2 * b * s * d * 2 + d * 4 * d,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout)
+
+
+def quantized_attention_block_postln(
+    x: Array,
+    key_mask: Array,
+    norm: dict,
+    qkv_p: dict,
+    out_p: dict,
+    *,
+    num_heads: int,
+    eps: float,
+) -> Array:
+    """x [B, S, D] → LN(x + out(MHA(qkv(x)))) with int8 qkv/out — the BERT
+    post-LN attention sub-block (models/bert.block), additive ``key_mask``
+    [B, S] (0 valid, -1e9 padded) applied to the scores.
+
+    ``qkv_p``/``out_p``: {kernel_q, scale, bias}; ``norm``: the block's
+    attention LayerNorm (applied at the EXIT, over the residual sum)."""
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    return _qattn_postln_call(
+        x, jnp.asarray(key_mask, jnp.float32),
+        row(norm["scale"]), row(norm["bias"]),
+        qkv_p["kernel_q"], row(qkv_p["scale"]), row(qkv_p["bias"]),
+        out_p["kernel_q"], row(out_p["scale"]), row(out_p["bias"]),
+        num_heads=num_heads, eps=eps,
+    )

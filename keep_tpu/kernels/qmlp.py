@@ -117,7 +117,8 @@ def _ln_rows(xf, g_row, b_row, eps):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * g_row + b_row
 
 
-def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float):
+def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
+                          post_ln: bool = False):
     def kernel(*refs):
         if with_ln:
             (x_ref, g_ref, bln_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
@@ -127,7 +128,7 @@ def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float):
              o_ref) = refs
         xf = x_ref[0].astype(jnp.float32)  # [S, D]
         y = _ln_rows(xf, g_ref[0][None, :], bln_ref[0][None, :], eps) \
-            if with_ln else xf
+            if with_ln and not post_ln else xf
         xq, a1 = _quant_rows(y)
         h = _int8_dot(xq, w1_ref).astype(jnp.float32)
         h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
@@ -135,14 +136,19 @@ def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float):
         hq, a2 = _quant_rows(h)
         out = _int8_dot(hq, w2_ref).astype(jnp.float32)
         out = out * (a2 * s2_ref[0][None, :]) + b2_ref[0][None, :]
-        if residual:
+        if post_ln:
+            # post-LN (BERT) block tail: LN(x + mlp(x))
+            out = _ln_rows(out + xf, g_ref[0][None, :], bln_ref[0][None, :],
+                           eps)
+        elif residual:
             out = out + xf
         o_ref[0] = out.astype(o_ref.dtype)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "eps", "residual"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "eps", "residual", "post_ln"))
 def quantized_mlp_bsd(
     x: Array,
     w1_q: Array, w1_scale: Array, b1: Array,
@@ -152,18 +158,23 @@ def quantized_mlp_bsd(
     ln_bias: Array | None = None,
     eps: float = 1e-6,
     residual: bool = False,
+    post_ln: bool = False,
 ) -> Array:
     """``quantized_mlp`` over [B, S, D] activations in their natural layout
     (no [B·S, D] flatten — a physical relayout when S isn't sublane-aligned;
     see kernels/qmatmul.quantized_matmul_bsd).
 
-    Optional fusions (both exact — fp32 math identical to separate ops):
+    Optional fusions (all exact — fp32 math identical to separate ops):
     ``ln_scale``/``ln_bias`` apply a pre-LayerNorm to the input in-kernel;
-    ``residual=True`` adds the RAW input to the output (the transformer
-    block's ``x + mlp(ln(x))``) — each saves an [B, S, D] HBM round trip."""
+    ``residual=True`` adds the RAW input to the output (the pre-LN block's
+    ``x + mlp(ln(x))``); ``post_ln=True`` instead computes the post-LN (BERT)
+    tail ``LN(x + mlp(x))`` with ``ln_scale``/``ln_bias`` as the EXIT norm —
+    each saves an [B, S, D] HBM round trip."""
     b, s, d = x.shape
     _, f = w1_q.shape
     with_ln = ln_scale is not None
+    if post_ln and not with_ln:
+        raise ValueError("post_ln=True needs ln_scale/ln_bias (the exit norm)")
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_specs = [
@@ -181,7 +192,7 @@ def quantized_mlp_bsd(
              w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
              b2.reshape(1, d).astype(jnp.float32)]
     return pl.pallas_call(
-        _make_qmlp_bsd_kernel(with_ln, residual, eps),
+        _make_qmlp_bsd_kernel(with_ln, residual, eps, post_ln),
         out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
         grid=(b,),
         in_specs=in_specs,

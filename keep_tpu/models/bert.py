@@ -43,6 +43,30 @@ def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bo
     b, s, d = x.shape
     h, dh = cfg.num_attention_heads, cfg.head_dim
 
+    if (
+        use_flash and gelu_approx
+        and "kernel_q" in p["attn"]["qkv"] and "kernel_q" in p["mlp"]["fc1"]
+    ):
+        # int8 megakernel path (mirrors vit.block): the whole post-LN
+        # attention sub-block in one kernel (int8 qkv → masked MHA → int8
+        # out → LN(x+·)), then the int8 MLP pair with the exit LN fused —
+        # each layer reads/writes the [B, S, D] stream exactly twice
+        from keep_tpu.kernels.qblock import quantized_attention_block_postln
+        from keep_tpu.kernels.qmlp import quantized_mlp_bsd
+
+        x = quantized_attention_block_postln(
+            x, mask_bias.reshape(b, s), p["attn"]["norm"],
+            p["attn"]["qkv"], p["attn"]["out"], num_heads=h, eps=cfg.ln_eps,
+        )
+        m = p["mlp"]
+        return quantized_mlp_bsd(
+            x,
+            m["fc1"]["kernel_q"], m["fc1"]["scale"], m["fc1"]["bias"],
+            m["fc2"]["kernel_q"], m["fc2"]["scale"], m["fc2"]["bias"],
+            out_dtype=x.dtype,
+            ln_scale=p["norm"]["scale"], ln_bias=p["norm"]["bias"],
+            eps=cfg.ln_eps, post_ln=True,
+        )
     if use_flash:
         from keep_tpu.kernels.flash_attention import attention_qkv_slab
 

@@ -271,3 +271,82 @@ def test_vit_megakernel_path_matches_unfused(rng):
     cos = np.mean(np.sum(mega * ref, 1) / (np.linalg.norm(mega, axis=1)
                                            * np.linalg.norm(ref, axis=1)))
     assert cos > 0.9999, cos
+
+
+def test_bert_megakernel_path_matches_unfused(rng):
+    """Quantized BERT forward: the post-LN megakernel path (use_flash) ==
+    the unfused quantized path (use_flash=False), padding mask respected."""
+    from keep_tpu.configs import BertConfig
+    from keep_tpu.models import bert
+
+    cfg = BertConfig(vocab_size=64, hidden_size=64, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=128,
+                     max_position_embeddings=64)
+    params = bert.init(jax.random.PRNGKey(5), cfg)
+    qp = quantize_linear_weights(params)
+    ids = jnp.asarray(rng.integers(1, 64, size=(3, 16)))
+    mask = np.ones((3, 16), np.int32)
+    mask[0, 10:] = 0  # padded row exercises the in-kernel key mask
+    mask = jnp.asarray(mask)
+    mega = bert.forward(qp, ids, mask, cfg=cfg, use_flash=True,
+                        gelu_approx=True)
+    ref = bert.forward(qp, ids, mask, cfg=cfg, use_flash=False,
+                       gelu_approx=True)
+    for k in ("last_hidden_state", "pooler_output"):
+        a, b = np.asarray(mega[k]), np.asarray(ref[k])
+        np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
+        cos = float((a.ravel() @ b.ravel())
+                    / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.9999, (k, cos)
+
+
+def test_bert_megakernel_mask_changes_padded_rows(rng):
+    """The fused path actually honors the padding mask (masking a key
+    position must change other positions' outputs)."""
+    from keep_tpu.configs import BertConfig
+    from keep_tpu.models import bert
+
+    cfg = BertConfig(vocab_size=64, hidden_size=64, num_hidden_layers=1,
+                     num_attention_heads=4, intermediate_size=128,
+                     max_position_embeddings=64)
+    qp = quantize_linear_weights(bert.init(jax.random.PRNGKey(6), cfg))
+    ids = jnp.asarray(rng.integers(1, 64, size=(1, 12)))
+    full = np.asarray(bert.forward(qp, ids, jnp.ones((1, 12), jnp.int32),
+                                   cfg=cfg, use_flash=True,
+                                   gelu_approx=True)["last_hidden_state"])
+    m = np.ones((1, 12), np.int32)
+    m[0, 6:] = 0
+    part = np.asarray(bert.forward(qp, ids, jnp.asarray(m), cfg=cfg,
+                                   use_flash=True,
+                                   gelu_approx=True)["last_hidden_state"])
+    assert np.abs(full[0, :6] - part[0, :6]).max() > 1e-4
+
+
+def test_qmlp_post_ln_matches_emulation(rng):
+    """quantized_mlp_bsd(post_ln=True) == LN(x + int8-mlp(x)) composed from
+    the flat kernels."""
+    from keep_tpu.kernels.qmlp import quantized_mlp, quantized_mlp_bsd
+    from keep_tpu.ops.nn import layer_norm
+
+    d, f = 64, 128
+    x = jnp.asarray(rng.standard_normal((2, 16, d), dtype=np.float32))
+    w1 = quantize_kernel(jnp.asarray(
+        rng.standard_normal((d, f), dtype=np.float32) * 0.05))
+    w2 = quantize_kernel(jnp.asarray(
+        rng.standard_normal((f, d), dtype=np.float32) * 0.05))
+    b1 = jnp.asarray(rng.standard_normal(f, dtype=np.float32) * 0.01)
+    b2 = jnp.asarray(rng.standard_normal(d, dtype=np.float32) * 0.01)
+    ln = {"scale": jnp.asarray(rng.standard_normal(d, dtype=np.float32) * 0.1 + 1.0),
+          "bias": jnp.asarray(rng.standard_normal(d, dtype=np.float32) * 0.05)}
+    got = quantized_mlp_bsd(
+        x, w1["kernel_q"], w1["scale"], b1, w2["kernel_q"], w2["scale"], b2,
+        out_dtype=jnp.float32, ln_scale=ln["scale"], ln_bias=ln["bias"],
+        eps=1e-12, post_ln=True,
+    )
+    inner = quantized_mlp(
+        x.reshape(-1, d), w1["kernel_q"], w1["scale"], b1,
+        w2["kernel_q"], w2["scale"], b2, out_dtype=jnp.float32,
+    ).reshape(x.shape)
+    ref = layer_norm(ln, x + inner, 1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
