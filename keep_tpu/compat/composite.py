@@ -282,3 +282,98 @@ def load_pmc_clip_checkpoint(path_or_sd, cfg: PMCCLIPConfig | None = None):
     sd = normalize_state_dict(sd)
     cfg = cfg or infer_pmc_clip_config(sd)
     return jax.tree.map(jnp.asarray, convert_pmc_clip_state_dict(sd, cfg)), cfg
+
+
+# --------------------------------------------------------------------------
+# KEP (the training-time model the reference's main.py checkpoints)
+# --------------------------------------------------------------------------
+
+
+def _mlp_head(sd, prefix: str) -> dict:
+    """torch ``nn.Sequential(Linear, GELU, Linear)`` (KEP heads / PATH_BERT
+    mlp_embed — model.py:295-313, knowledge_bert.py:25-29) → {fc1, fc2}."""
+    return {
+        "fc1": {"kernel": _g(sd, prefix + ".0.weight").T,
+                "bias": _g(sd, prefix + ".0.bias")},
+        "fc2": {"kernel": _g(sd, prefix + ".2.weight").T,
+                "bias": _g(sd, prefix + ".2.bias")},
+    }
+
+
+def infer_kep_config(sd):
+    """Shape-sniff a KEP training checkpoint (timm-ViT 'uni' image encoder —
+    the KEEP config path, factory.py:211-217)."""
+    from keep_tpu.models.kep import KEPConfig
+
+    conv = _g(sd, "visual.patch_embed.proj.weight")  # [D, 3, P, P]
+    vw, patch = conv.shape[0], conv.shape[-1]
+    depth = _count_layers(sd, r"visual\.blocks\.(\d+)\.norm1\.weight")
+    grid = int(round((_g(sd, "visual.pos_embed").shape[1] - 1) ** 0.5))
+    ls = 1e-5 if "visual.blocks.0.ls1.gamma" in sd else None
+    e = _g(sd, "text.mlp_embed.0.weight").shape[0]
+    vocab, hidden = _g(sd, "text.bert_model.embeddings.word_embeddings.weight").shape
+    return KEPConfig(
+        vision=ViTConfig(img_size=grid * patch, patch_size=patch,
+                         embed_dim=vw, depth=depth,
+                         num_heads=max(1, vw // 64), layerscale_init=ls),
+        text=BertConfig(
+            vocab_size=vocab, hidden_size=hidden,
+            num_hidden_layers=_count_layers(
+                sd, r"text\.bert_model\.encoder\.layer\.(\d+)\.output\.dense\.weight"),
+            num_attention_heads=max(1, hidden // 64),
+            intermediate_size=_g(
+                sd, "text.bert_model.encoder.layer.0.intermediate.dense.weight"
+            ).shape[0],
+            max_position_embeddings=_g(
+                sd, "text.bert_model.embeddings.position_embeddings.weight"
+            ).shape[0],
+        ),
+        embed_dim=e,
+        visual_embedding_head="visual_head.0.weight" in sd,
+        text_embedding_head="text_head.0.weight" in sd,
+        with_knowledge="knowledge.mlp_embed.0.weight" in sd,
+    )
+
+
+def convert_kep_state_dict(sd, cfg) -> dict:
+    """Full reference KEP training state dict (main.py:424-431 layout after
+    normalize_state_dict) → models.kep pytree."""
+    from keep_tpu.compat.torch_loader import convert_hf_bert, convert_timm_vit
+
+    def path_bert(prefix: str) -> dict:
+        return {
+            "bert": convert_hf_bert(_sub(sd, prefix + ".bert_model."), cfg.text),
+            "mlp_embed": _mlp_head(sd, prefix + ".mlp_embed"),
+        }
+
+    params = {
+        "visual": convert_timm_vit(_sub(sd, "visual."), cfg.vision),
+        "text": path_bert("text"),
+        "logit_scale": _g(sd, "logit_scale").reshape(()),
+    }
+    if cfg.visual_embedding_head and "visual_head.0.weight" in sd:
+        params["visual_head"] = _mlp_head(sd, "visual_head")
+    if cfg.text_embedding_head and "text_head.0.weight" in sd:
+        params["text_head"] = _mlp_head(sd, "text_head")
+    if cfg.with_knowledge and "knowledge.mlp_embed.0.weight" in sd:
+        params["knowledge"] = path_bert("knowledge")
+    return params
+
+
+def load_kep_checkpoint(path_or_sd, cfg=None):
+    """(params, cfg) for ``keep_tpu.models.kep`` from a reference KEP
+    training checkpoint (``{epoch, name, state_dict}`` dict, bare state dict,
+    or torch file path; DDP prefixes handled)."""
+    import jax
+    import jax.numpy as jnp
+
+    from keep_tpu.compat.torch_loader import normalize_state_dict
+
+    sd = path_or_sd
+    if isinstance(path_or_sd, str):
+        import torch
+
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+    sd = normalize_state_dict(sd)
+    cfg = cfg or infer_kep_config(sd)
+    return jax.tree.map(jnp.asarray, convert_kep_state_dict(sd, cfg)), cfg

@@ -373,3 +373,111 @@ def test_scaled_cosine_init_and_forward():
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 32, (3, 10)))
     out = tt.forward(params, ids, cfg)
     assert out.shape == (3, 8) and bool(jnp.isfinite(out).all())
+
+
+# --------------------------------------------------------------------------
+# KEP training checkpoint
+# --------------------------------------------------------------------------
+
+
+class _TinyKEP(torch.nn.Module):
+    """The reference KEP (model/model.py:258-376) assembled constructor-side
+    only (the real class downloads an HF BERT via PATH_BERT): timm-semantics
+    ViT (the factory swaps in the 'uni' timm tower, factory.py:211-217) +
+    PATH_BERT text/knowledge towers + visual MLP head; forward transcribes
+    encode_image/encode_text/encode_knowledge."""
+
+    def __init__(self, embed_dim=16, vocab=50):
+        super().__init__()
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tests")
+        from torch_fixtures import TorchViT
+        from transformers import BertConfig, BertModel
+
+        from keep_tpu.configs import ViTConfig
+
+        torch.manual_seed(0)
+        self.vcfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32,
+                              depth=2, num_heads=4, layerscale_init=1e-5,
+                              ln_eps=1e-6)
+        self.visual = TorchViT(self.vcfg)
+
+        def path_bert():
+            m = torch.nn.Module()
+            m.bert_model = BertModel(BertConfig(
+                vocab_size=vocab, hidden_size=24, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=48,
+                max_position_embeddings=64))
+            m.mlp_embed = torch.nn.Sequential(
+                torch.nn.Linear(24, embed_dim), torch.nn.GELU(),
+                torch.nn.Linear(embed_dim, embed_dim))
+            return m
+
+        self.text = path_bert()
+        self.knowledge = path_bert()
+        self.visual_head = torch.nn.Sequential(
+            torch.nn.Linear(32, embed_dim), torch.nn.GELU(),
+            torch.nn.Linear(embed_dim, embed_dim))
+        self.logit_scale = torch.nn.Parameter(
+            torch.ones([]) * np.log(1 / 0.04))
+
+    @torch.no_grad()
+    def forward(self, image, ids, mask):
+        img = self.visual_head(self.visual(image))
+        img = torch.nn.functional.normalize(img, dim=-1)
+
+        def enc(tower):
+            out = tower.bert_model(input_ids=ids, attention_mask=mask)
+            return torch.nn.functional.normalize(
+                tower.mlp_embed(out.pooler_output), dim=-1)
+
+        return img, enc(self.text), enc(self.knowledge)
+
+
+def test_kep_training_checkpoint_parity():
+    import jax.numpy as jnp
+
+    from keep_tpu.compat.composite import infer_kep_config, load_kep_checkpoint
+    from keep_tpu.models import kep
+
+    model = _TinyKEP().eval()
+    sd = {"state_dict": {f"module.{k}": v  # the main.py:424-431 layout
+                         for k, v in model.state_dict().items()},
+          "epoch": 4, "name": "kep-run"}
+    from keep_tpu.compat.torch_loader import normalize_state_dict
+
+    cfg = infer_kep_config(normalize_state_dict(sd))
+    assert cfg.embed_dim == 16 and cfg.with_knowledge
+    assert cfg.visual_embedding_head and not cfg.text_embedding_head
+    assert cfg.vision.embed_dim == 32 and cfg.vision.depth == 2
+    assert cfg.vision.layerscale_init is not None
+    assert cfg.text.hidden_size == 24 and cfg.text.num_hidden_layers == 2
+    import dataclasses
+
+    # head counts are not recorded in state dicts (infer assumes width//64,
+    # correct for the full-size towers); the tiny fixture uses 4 and 2
+    cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, num_heads=4),
+        text=dataclasses.replace(cfg.text, num_attention_heads=2),
+    )
+    params, _ = load_kep_checkpoint(sd, cfg)
+
+    torch.manual_seed(4)
+    img = torch.randn(2, 3, 16, 16)
+    ids = torch.randint(1, 50, (2, 10))
+    mask = torch.ones(2, 10, dtype=torch.long)
+    r_img, r_txt, r_kn = model(img, ids, mask)
+
+    g_img = kep.encode_image(params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+                             cfg, normalize=True)
+    g_txt = kep.encode_text(params, jnp.asarray(ids.numpy()),
+                            jnp.asarray(mask.numpy()), cfg, normalize=True)
+    g_kn = kep.encode_knowledge(params, jnp.asarray(ids.numpy()),
+                                jnp.asarray(mask.numpy()), cfg, normalize=True)
+    np.testing.assert_allclose(np.asarray(g_img), r_img.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_txt), r_txt.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_kn), r_kn.numpy(), atol=2e-5)
+    np.testing.assert_allclose(float(np.exp(params["logit_scale"])), 25.0,
+                               rtol=1e-5)
