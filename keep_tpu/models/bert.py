@@ -45,7 +45,8 @@ def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bo
 
     if (
         use_flash and gelu_approx
-        and "kernel_q" in p["attn"]["qkv"] and "kernel_q" in p["mlp"]["fc1"]
+        and "kernel_q" in p["attn"]["qkv"] and "kernel_q" in p["attn"]["out"]
+        and "kernel_q" in p["mlp"]["fc1"] and "kernel_q" in p["mlp"]["fc2"]
     ):
         # int8 megakernel path (mirrors vit.block): the whole post-LN
         # attention sub-block in one kernel (int8 qkv → masked MHA → int8

@@ -60,6 +60,9 @@ def _block(p, x, causal_bias, cfg: TextTransformerConfig):
         )
     else:
         attn = mha_attention(qkv[0], qkv[1], qkv[2], bias=causal_bias)
+        if "head_scale" in p["attn"]:  # scale_heads without scaled_cosine
+            attn = attn * p["attn"]["head_scale"].reshape(1, -1, 1, 1).astype(
+                attn.dtype)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     attn = linear(p["attn"]["proj"], attn)
     if "ln_attn" in p:  # scale_attn: LN on the attention branch output

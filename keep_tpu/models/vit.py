@@ -93,7 +93,9 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
     quantized = "kernel_q" in p["attn"]["qkv"]
     if (
         quantized and use_flash and gelu_approx
-        and "ls1" not in p and "kernel_q" in p["mlp"]["fc1"]
+        and "ls1" not in p
+        and "kernel_q" in p["attn"]["proj"]
+        and "kernel_q" in p["mlp"]["fc1"] and "kernel_q" in p["mlp"]["fc2"]
     ):
         # int8 megakernel path (LayerScale pre-folded — KEEPModel.quantize):
         # whole attention sub-block in one kernel (LN → int8 qkv → MHA →

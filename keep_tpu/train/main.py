@@ -292,14 +292,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     if accum > 1:
         # cached-negative accumulation (train_hierarchy.py:127-165):
         # accum_freq host batches form one optimizer step
-        step_fn = make_accum_train_step(
+        base_step_fn = make_accum_train_step(
             cfg.keep, loss_cfg, tx, accum, dtype=dtype, use_flash=use_flash
         )
     else:
-        step_fn = make_train_step(
-            cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
-            donate=False,
-        )
+        base_step_fn = None  # built per freeze phase by phase_step_fn below
     state = tree_state(params, tx)
 
     start_epoch = 0
@@ -356,7 +353,6 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     # compile time lets XLA drop the frozen towers' backward+remat entirely
     # (bit-identical updates, one extra compile per phase; trainer docstring)
     _phase_steps: dict = {}
-    base_step_fn = step_fn
 
     def phase_step_fn(epoch: int):
         if accum > 1:

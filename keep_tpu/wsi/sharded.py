@@ -18,7 +18,6 @@ screening mean stays EXACTLY the reference's mean over real tiles.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,12 +27,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from keep_tpu.ops.nn import l2_normalize
 from keep_tpu.parallel import make_mesh, pad_to_multiple
 from keep_tpu.wsi.grid import CoordGrid, refine_grid
-from keep_tpu.zeroshot.classifier import rank_cls_scores
 
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("topn",))
 def _prompt_select_masked(
     classifiers: Array, features: Array, valid: Array, topn: int
 ) -> tuple:
@@ -103,7 +100,7 @@ def refined_probs_sharded(
     n_dev = mesh.shape["dp"]
     grid = CoordGrid.from_coords(coords, patch_size)
 
-    padded, n = pad_to_multiple(np.asarray(features), n_dev)
+    padded, _ = pad_to_multiple(np.asarray(features), n_dev)
     feats = jax.device_put(jnp.asarray(padded), NamedSharding(mesh, P("dp")))
     cls = jax.device_put(jnp.asarray(classifier), NamedSharding(mesh, P()))
     cell_index = jax.device_put(
@@ -114,16 +111,16 @@ def refined_probs_sharded(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("n", "rows", "cols", "overlap", "scale"),
+        static_argnames=("rows", "cols", "overlap", "scale"),
         out_shardings=NamedSharding(mesh, P()),
     )
-    def sweep(cl, f, cell_idx, keep_idx, n, rows, cols, overlap, scale):
+    def sweep(cl, f, cell_idx, keep_idx, rows, cols, overlap, scale):
         feats_n = l2_normalize(f.astype(jnp.float32))
         probs = jax.nn.softmax(
             jnp.dot(feats_n, cl.astype(jnp.float32),
                     preferred_element_type=jnp.float32) * scale, axis=-1
         )
-        vals = probs[keep_idx]  # padded rows are never indexed (keep < n)
+        vals = probs[keep_idx]  # padded rows are never indexed (keep < N real)
         c = vals.shape[-1]
         g = jnp.zeros((rows * cols, c), vals.dtype).at[cell_idx].set(vals)
         occ = jnp.zeros((rows * cols,), jnp.float32).at[cell_idx].set(1.0)
@@ -133,5 +130,5 @@ def refined_probs_sharded(
             g = refine_grid(g, occ)
         return g.reshape(rows * cols, c)[cell_idx]
 
-    out = sweep(cls, feats, cell_index, keep, n, rows, cols, overlap, scale)
+    out = sweep(cls, feats, cell_index, keep, rows, cols, overlap, scale)
     return np.asarray(out)

@@ -481,3 +481,23 @@ def test_kep_training_checkpoint_parity():
     np.testing.assert_allclose(np.asarray(g_kn), r_kn.numpy(), atol=2e-5)
     np.testing.assert_allclose(float(np.exp(params["logit_scale"])), 25.0,
                                rtol=1e-5)
+
+
+def test_scale_heads_without_scaled_cosine():
+    """head_scale must apply even when scaled_cosine is off (the reference's
+    custom Attention creates them independently, transformer.py:116-123)."""
+    import jax
+    import jax.numpy as jnp
+
+    from keep_tpu.models import text_transformer as tt
+
+    cfg = tt.TextTransformerConfig(vocab_size=32, context_length=8, width=16,
+                                   heads=4, layers=1, output_dim=8,
+                                   scale_heads=True)
+    params = tt.init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 32, (2, 8)))
+    base = np.asarray(tt.forward(params, ids, cfg))
+    params["blocks"]["attn"]["head_scale"] = (
+        params["blocks"]["attn"]["head_scale"] * 7.0)
+    scaled = np.asarray(tt.forward(params, ids, cfg))
+    assert np.abs(base - scaled).max() > 1e-4

@@ -350,3 +350,28 @@ def test_qmlp_post_ln_matches_emulation(rng):
     ref = layer_norm(ln, x + inner, 1e-12)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_partial_quantization_skips_megakernels(rng):
+    """Quantizing only a subset of the dense kernels (e.g. fc1 without fc2)
+    must fall back to the generic dispatch, not crash the megakernel path."""
+    from keep_tpu.configs import BertConfig
+    from keep_tpu.models import bert, vit as vitm
+
+    cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                    num_heads=4)
+    params = vitm.fold_layerscale(vit.init(jax.random.PRNGKey(7), cfg))
+    qp = quantize_linear_weights(params, targets=("qkv", "proj", "fc1"))
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3), dtype=np.float32))
+    out = vit.forward(qp, x, cfg, use_flash=True, gelu_approx=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+    bcfg = BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_position_embeddings=32)
+    bqp = quantize_linear_weights(bert.init(jax.random.PRNGKey(8), bcfg),
+                                  targets=("qkv", "fc1", "fc2"))
+    ids = jnp.asarray(rng.integers(1, 32, size=(1, 8)))
+    bout = bert.forward(bqp, ids, jnp.ones((1, 8), jnp.int32), cfg=bcfg,
+                        use_flash=True, gelu_approx=True)
+    assert np.isfinite(np.asarray(bout["pooler_output"])).all()
