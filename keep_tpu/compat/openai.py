@@ -39,16 +39,21 @@ def infer_clip_config(sd) -> CLIPConfig:
     )
     vocab = _g(sd, "token_embedding.weight").shape[0]
     ctx = _g(sd, "positional_embedding").shape[0]
+    # every original OpenAI checkpoint uses QuickGELU (the reference's
+    # build_model_from_openai_state_dict hardcodes quick_gelu=True,
+    # model/model.py:487-544); open_clip retrains use plain GELU — pass an
+    # explicit cfg to load_openai_clip for those
     return CLIPConfig(
         embed_dim=embed_dim,
         vision=ViTConfig(
             img_size=grid * patch, patch_size=patch, embed_dim=vision_width,
             depth=vision_layers, num_heads=vision_width // 64,
-            layerscale_init=None, ln_eps=1e-5,
+            layerscale_init=None, ln_eps=1e-5, act="quick_gelu",
         ),
         text=TextTransformerConfig(
             vocab_size=vocab, context_length=ctx, width=text_width,
             heads=text_width // 64, layers=text_layers, output_dim=embed_dim,
+            act="quick_gelu",
         ),
     )
 

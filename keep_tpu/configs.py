@@ -31,6 +31,7 @@ class ViTConfig:
     ln_eps: float = 1e-6
     num_prefix_tokens: int = 1  # CLS
     pool: str = "token"  # 'token' | 'avg' | 'none'
+    act: str = "gelu"  # 'gelu' | 'quick_gelu' (OpenAI-CLIP '-quickgelu' arches)
 
     @property
     def head_dim(self) -> int:

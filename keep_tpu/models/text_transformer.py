@@ -34,6 +34,7 @@ class TextTransformerConfig:
     mlp_ratio: float = 4.0
     output_dim: int = 512
     ln_eps: float = 1e-5
+    act: str = "gelu"  # 'gelu' | 'quick_gelu' (OpenAI '-quickgelu' arches)
     # CustomResidualAttentionBlock options (transformer.py:246-285) — the
     # reference's experimental block variant (unused by the KEEP config):
     scaled_cosine: bool = False  # cosine attention w/ learned per-head temp
@@ -73,8 +74,12 @@ def _block(p, x, causal_bias, cfg: TextTransformerConfig):
         from keep_tpu.ops.nn import gelu
 
         hid = layer_norm(p["mlp"]["ln"], linear(p["mlp"]["fc1"], y), cfg.ln_eps)
+        if cfg.act == "quick_gelu":
+            from keep_tpu.ops.nn import quick_gelu
+
+            return x + linear(p["mlp"]["fc2"], quick_gelu(hid))
         return x + linear(p["mlp"]["fc2"], gelu(hid))
-    return x + mlp(p["mlp"], y)
+    return x + mlp(p["mlp"], y, act=cfg.act)
 
 
 def forward(

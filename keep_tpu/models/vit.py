@@ -93,6 +93,7 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
     quantized = "kernel_q" in p["attn"]["qkv"]
     if (
         quantized and use_flash and gelu_approx
+        and cfg.act == "gelu"
         and "ls1" not in p
         and "kernel_q" in p["attn"]["proj"]
         and "kernel_q" in p["mlp"]["fc1"] and "kernel_q" in p["mlp"]["fc2"]
@@ -117,7 +118,7 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
             ln_scale=p["norm2"]["scale"], ln_bias=p["norm2"]["bias"],
             eps=cfg.ln_eps, residual=True,
         )
-    if fuse_ln and use_flash and not quantized:
+    if fuse_ln and use_flash and not quantized and cfg.act == "gelu":
         # inference fast path: LN computed in-kernel, feeding the MXU
         # directly (no materialized normalized activations)
         from keep_tpu.kernels.flash_attention import attention_qkv_slab
@@ -148,7 +149,8 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
         attn = attn * p["ls1"].astype(attn.dtype)
     x = x + attn
 
-    if fuse_ln and use_flash and "kernel_q" not in p["mlp"]["fc1"]:
+    if (fuse_ln and use_flash and "kernel_q" not in p["mlp"]["fc1"]
+            and cfg.act == "gelu"):
         from keep_tpu.kernels.ln_matmul import ln_matmul
         from keep_tpu.ops.nn import gelu as _gelu
 
@@ -160,7 +162,8 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
         hdn = _gelu(hdn, approximate=gelu_approx)
         y = linear(p["mlp"]["fc2"], hdn).reshape(b, s, d)
     else:
-        y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps), gelu_approx=gelu_approx)
+        y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps),
+                gelu_approx=gelu_approx, act=cfg.act)
     if "ls2" in p:
         y = y * p["ls2"].astype(y.dtype)
     return x + y

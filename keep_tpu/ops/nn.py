@@ -104,12 +104,22 @@ def mha_attention(
     return out.astype(v.dtype)
 
 
-def mlp(p: dict, x: Array, gelu_approx: bool = False) -> Array:
-    """fc1 → GELU → fc2 (timm ``Mlp`` / BERT intermediate+output semantics).
+def quick_gelu(x: Array) -> Array:
+    """OpenCLIP ``QuickGELU`` — x·sigmoid(1.702x) (transformer.py:31); used
+    by the original OpenAI CLIP checkpoints (the ``-quickgelu`` presets)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp(p: dict, x: Array, gelu_approx: bool = False,
+        act: str = "gelu") -> Array:
+    """fc1 → act → fc2 (timm ``Mlp`` / BERT intermediate+output semantics).
+    ``act``: 'gelu' (erf or tanh per ``gelu_approx``) | 'quick_gelu'.
 
     Fully-quantized MLPs on TPU run the fused int8 pair kernel (the [M, F]
     hidden never leaves VMEM — ``kernels.qmlp``); a quantized fc1 alone fuses
     the tanh-GELU into the int8 matmul epilogue."""
+    if act == "quick_gelu":  # OpenAI-CLIP variant; no fused int8 epilogue
+        return linear(p["fc2"], quick_gelu(linear(p["fc1"], x)))
     if (
         gelu_approx
         and "kernel_q" in p["fc1"]

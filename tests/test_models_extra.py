@@ -415,3 +415,49 @@ def test_get_tokenizer_factory(tmp_path):
     assert out["input_ids"].shape == (1, 8)
     with pytest.raises(ValueError):
         get_tokenizer("nope", "x")
+
+
+def test_quick_gelu_parity(rng):
+    """act='quick_gelu' matches the torch x·sigmoid(1.702x) (OpenCLIP
+    QuickGELU, transformer.py:31) through a full text block; the OpenAI
+    loader must infer it (build_model_from_openai_state_dict hardcodes
+    quick_gelu=True, model/model.py:487-544)."""
+    import dataclasses
+
+    import torch
+
+    qcfg = dataclasses.replace(TT_CFG, act="quick_gelu")
+    tmodel = TorchOpenAIText(TT_CFG).eval()
+    for blk in tmodel.transformer.resblocks:
+
+        class QuickGELU(torch.nn.Module):
+            def forward(self, x):
+                return x * torch.sigmoid(1.702 * x)
+
+        blk.mlp.gelu = QuickGELU()
+    params = convert_openclip_text(tmodel.state_dict(), qcfg)
+    ids = rng.integers(1, 80, size=(3, 24))
+    ids[:, -1] = 99
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(ids)).numpy()
+    got = np.asarray(text_transformer.forward(params, jnp.asarray(ids), qcfg))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+    # erf-GELU forward must now disagree (guards against act being ignored)
+    plain = np.asarray(text_transformer.forward(params, jnp.asarray(ids), TT_CFG))
+    assert np.abs(plain - ref).max() > 1e-4
+
+    from keep_tpu.compat.openai import infer_clip_config
+
+    sd = {
+        "visual.conv1.weight": torch.randn(64, 3, 8, 8),
+        "visual.positional_embedding": torch.randn(17, 64),
+        "text_projection": torch.randn(32, 16),
+        "ln_final.weight": torch.rand(32),
+        "token_embedding.weight": torch.randn(96, 32),
+        "positional_embedding": torch.randn(20, 32),
+        "visual.transformer.resblocks.0.ln_1.weight": torch.rand(64),
+        "transformer.resblocks.0.ln_1.weight": torch.rand(32),
+    }
+    inferred = infer_clip_config(sd)
+    assert inferred.vision.act == "quick_gelu"
+    assert inferred.text.act == "quick_gelu"
