@@ -124,7 +124,7 @@ def convert_hf_bert(sd: Mapping, cfg: BertConfig) -> dict:
         }
 
     qkv_stacked = [qkv(i) for i in range(depth)]
-    return {
+    out = {
         "embeddings": {
             "word": g("embeddings.word_embeddings.weight"),
             "position": g("embeddings.position_embeddings.weight"),
@@ -149,11 +149,13 @@ def convert_hf_bert(sd: Mapping, cfg: BertConfig) -> dict:
             },
             "norm": stack_ln("encoder.layer.{}.output.LayerNorm"),
         },
-        "pooler": {
+    }
+    if "pooler.dense.weight" in sd:  # absent for add_pooling_layer=False
+        out["pooler"] = {
             "kernel": g("pooler.dense.weight").T,
             "bias": g("pooler.dense.bias"),
-        },
-    }
+        }
+    return out
 
 
 def normalize_state_dict(sd: Mapping) -> dict:

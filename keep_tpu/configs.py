@@ -32,6 +32,7 @@ class ViTConfig:
     num_prefix_tokens: int = 1  # CLS
     pool: str = "token"  # 'token' | 'avg' | 'none'
     act: str = "gelu"  # 'gelu' | 'quick_gelu' (OpenAI-CLIP '-quickgelu' arches)
+    fc_norm: bool = False  # timm gap-ViT: final LN AFTER pooling, not before
 
     @property
     def head_dim(self) -> int:

@@ -40,14 +40,35 @@ def register_model(name: str):
 
 
 def list_models() -> list[str]:
-    return sorted(_REGISTRY)
+    from keep_tpu import presets
+
+    return sorted(set(_REGISTRY) | set(presets.PRESETS))
 
 
 def create_model(name: str, seed: int = 0, dtype=None, **overrides):
-    """→ (params, ModelSpec). ``overrides`` replace top-level config fields."""
+    """→ (params, ModelSpec). ``overrides`` replace top-level config fields.
+
+    Names outside the curated registry resolve through the OpenCLIP preset
+    inventory (``keep_tpu.presets`` — the reference's model_configs/*.json)."""
     import jax.numpy as jnp
 
     if name not in _REGISTRY:
+        from keep_tpu import presets
+
+        if name in presets.PRESETS or name in presets.UNSUPPORTED:
+            if overrides:
+                raise ValueError(
+                    "config overrides are not supported for OpenCLIP presets;"
+                    " use presets.resolve() and build towers directly")
+            params, model = presets.create_preset(
+                name, seed=seed, dtype=dtype or jnp.float32)
+            spec = ModelSpec(
+                family=model.preset.family, config=model.preset,
+                init=lambda *a, **k: params,
+                encode_image=model.encode_image,
+                encode_text=model.encode_text, forward=model.forward,
+            )
+            return params, spec
         raise KeyError(f"unknown model {name!r}; have {list_models()}")
     spec = _REGISTRY[name]()
     if overrides:

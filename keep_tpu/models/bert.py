@@ -98,8 +98,12 @@ def forward(
     use_flash: bool = False,
     gelu_approx: bool = False,
     remat: bool = False,
+    position_ids: Array | None = None,
 ) -> dict:
-    """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}."""
+    """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}.
+
+    ``position_ids`` overrides the default 0..S-1 positions (RoBERTa-family
+    towers derive positions from the padding mask — ``models.hf_text``)."""
     b, s = input_ids.shape
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
@@ -107,9 +111,13 @@ def forward(
         token_type_ids = jnp.zeros((b, s), jnp.int32)
 
     emb = params["embeddings"]
+    if position_ids is None:
+        pos = emb["position"][None, :s]
+    else:
+        pos = jnp.take(emb["position"], position_ids, axis=0)
     x = (
         jnp.take(emb["word"], input_ids, axis=0)
-        + emb["position"][None, :s]
+        + pos
         + jnp.take(emb["token_type"], token_type_ids, axis=0)
     )
     x = layer_norm(emb["norm"], x, cfg.ln_eps).astype(dtype)
@@ -126,8 +134,10 @@ def forward(
 
     x, _ = jax.lax.scan(scan_body, x, params["blocks"])
 
-    pooled = jnp.tanh(linear(params["pooler"], x[:, 0]))
-    return {"last_hidden_state": x, "pooler_output": pooled}
+    out = {"last_hidden_state": x}
+    if "pooler" in params:  # absent for add_pooling_layer=False towers
+        out["pooler_output"] = jnp.tanh(linear(params["pooler"], x[:, 0]))
+    return out
 
 
 def init(key: jax.Array, cfg: BertConfig, dtype: jnp.dtype = jnp.float32) -> dict:

@@ -190,8 +190,10 @@ def forward(
 
     x = x.astype(dtype)
     tokens = patchify(params["patch_embed"], x, ps)
-    cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, cfg.embed_dim))
-    tokens = jnp.concatenate([cls, tokens], axis=1)
+    if "cls_token" in params:  # absent for gap ViTs (num_prefix_tokens=0)
+        cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                               (b, 1, cfg.embed_dim))
+        tokens = jnp.concatenate([cls, tokens], axis=1)
     pos = resample_pos_embed(
         params["pos_embed"], (h // ps, w // ps), cfg.num_prefix_tokens
     )
@@ -214,13 +216,18 @@ def forward(
         return block_fn(layer_params, carry), None
 
     tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
-    tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
+    if not cfg.fc_norm:
+        tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
 
     if cfg.pool == "token":
-        return tokens[:, 0]
-    if cfg.pool == "avg":
-        return jnp.mean(tokens[:, cfg.num_prefix_tokens :], axis=1)
-    return tokens
+        pooled = tokens[:, 0]
+    elif cfg.pool == "avg":
+        pooled = jnp.mean(tokens[:, cfg.num_prefix_tokens :], axis=1)
+    else:
+        return tokens
+    if cfg.fc_norm:  # timm gap-ViT order: pool first, then LN (fc_norm)
+        pooled = layer_norm(params["norm"], pooled, cfg.ln_eps)
+    return pooled
 
 
 def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict:
@@ -247,10 +254,10 @@ def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict
         return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
 
     ls_init = cfg.layerscale_init if cfg.layerscale_init is not None else 1.0
-    return {
+    out = {
         "patch_embed": lin(next(keys), pdim, d),
-        "cls_token": trunc(next(keys), (1, 1, d)),
-        "pos_embed": trunc(next(keys), (1, 1 + cfg.num_patches, d)),
+        "pos_embed": trunc(
+            next(keys), (1, cfg.num_prefix_tokens + cfg.num_patches, d)),
         "blocks": {
             "norm1": ln_params((l, d)),
             "attn": {
@@ -267,6 +274,9 @@ def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict
         },
         "norm": ln_params((d,)),
     }
+    if cfg.num_prefix_tokens >= 1:
+        out["cls_token"] = trunc(next(keys), (1, 1, d))
+    return out
 
 
 def fold_layerscale(params: dict) -> dict:

@@ -1,0 +1,445 @@
+"""OpenCLIP architecture presets — the reference's ``model_configs/*.json``
+inventory (62 entries, training/path_open_clip/factory.py:41-62) as native
+config data + builders.
+
+Each entry is the numeric data contract transcribed from the reference JSON
+(embed dim / tower shapes — data, not code). ``resolve(name)`` maps it onto
+our native towers:
+
+- plain ViT + CLIP text  → ``models.vit`` (OpenCLIP variant: ln_pre + proj
+  matrix) + ``models.text_transformer``
+- ``RN*``                → ``models.resnet.ModifiedResNet`` (attn-pool
+  projects to embed_dim)
+- ``convnext_*``         → ``models.convnext`` + linear/mlp head
+  (TimmModel head semantics, timm_model.py:95-106)
+- ``swin_base_*``        → ``models.swin`` + linear head
+- ``eva_giant`` (EVA01)  → ``models.vit`` (plain pre-LN trunk) + the timm
+  classifier head as projection (TimmModel builds the trunk with
+  ``num_classes=embed_dim`` when ``timm_proj`` is null, timm_model.py:58-67)
+- ``vit_medium_gap``     → ``models.vit`` with ``num_prefix_tokens=0``,
+  avg pool, post-pool fc_norm
+- ``*-bert``             → BERT trunk + tanh pooler + mlp_embed
+  (``models.kep.path_bert_encode``)
+- ``roberta/xlm-roberta`` → ``models.hf_text`` (mean pooler + mlp proj)
+- ``coca_*``             → ``models.coca``
+
+Unsupported presets raise :class:`UnsupportedPresetError` naming the exact
+missing tower (EVA02 rope/SwiGLU trunk, timm relpos ViT, mT5 encoder) —
+the reference itself delegates these to external ``timm``/HF downloads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.configs import BertConfig, ViTConfig
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# data: transcribed from /root/reference/training/path_open_clip/model_configs
+# ---------------------------------------------------------------------------
+
+_VIT = "vit"  # plain OpenCLIP VisionTransformer
+
+_T = {"context_length": 77, "vocab_size": 49408}  # the common CLIP text base
+
+
+def _vt(w, h, l):  # text_cfg shorthand
+    return dict(_T, width=w, heads=h, layers=l)
+
+
+PRESETS: dict[str, dict] = {
+    # --- plain ViT + CLIP text -------------------------------------------
+    "ViT-S-32": {"embed_dim": 384, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 384, "patch_size": 32}, "text": _vt(384, 6, 12)},
+    "ViT-S-32-alt": {"embed_dim": 256, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 384, "patch_size": 32}, "text": _vt(256, 4, 10)},
+    "ViT-S-16": {"embed_dim": 384, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 384, "patch_size": 16}, "text": _vt(384, 6, 12)},
+    "ViT-S-16-alt": {"embed_dim": 256, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 384, "patch_size": 16}, "text": _vt(256, 4, 10)},
+    "ViT-M-32": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 512, "patch_size": 32}, "text": _vt(512, 8, 12)},
+    "ViT-M-32-alt": {"embed_dim": 384, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 512, "patch_size": 32}, "text": _vt(384, 6, 12)},
+    "ViT-M-16": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 512, "patch_size": 16}, "text": _vt(512, 8, 12)},
+    "ViT-M-16-alt": {"embed_dim": 384, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 512, "patch_size": 16, "ls_init_value": 1e-4}, "text": _vt(384, 6, 12)},
+    "ViT-B-32": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": _vt(512, 8, 12)},
+    "ViT-B-32-quickgelu": {"embed_dim": 512, "quick_gelu": True, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": _vt(512, 8, 12)},
+    "ViT-B-32-plus-256": {"embed_dim": 640, "vision": {"kind": _VIT, "image_size": 256, "layers": 12, "width": 896, "patch_size": 32}, "text": _vt(640, 10, 12)},
+    "ViT-B-16": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 16}, "text": _vt(512, 8, 12)},
+    "ViT-B-16-plus": {"embed_dim": 640, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 896, "patch_size": 16}, "text": _vt(640, 10, 12)},
+    "ViT-B-16-plus-240": {"embed_dim": 640, "vision": {"kind": _VIT, "image_size": 240, "layers": 12, "width": 896, "patch_size": 16}, "text": _vt(640, 10, 12)},
+    "ViT-L-14": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 224, "layers": 24, "width": 1024, "patch_size": 14}, "text": _vt(768, 12, 12)},
+    "ViT-L-14-280": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 280, "layers": 24, "width": 1024, "patch_size": 14}, "text": _vt(768, 12, 12)},
+    "ViT-L-14-336": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 336, "layers": 24, "width": 1024, "patch_size": 14}, "text": _vt(768, 12, 12)},
+    "ViT-L-16": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 224, "layers": 24, "width": 1024, "patch_size": 16}, "text": _vt(768, 12, 12)},
+    "ViT-L-16-320": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 320, "layers": 24, "width": 1024, "patch_size": 16}, "text": _vt(768, 12, 12)},
+    "ViT-H-14": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 32, "width": 1280, "head_width": 80, "patch_size": 14}, "text": _vt(1024, 16, 24)},
+    "ViT-H-16": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 32, "width": 1280, "head_width": 80, "patch_size": 16}, "text": _vt(1024, 16, 24)},
+    "ViT-g-14": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 40, "width": 1408, "head_width": 88, "mlp_ratio": 4.3637, "patch_size": 14}, "text": _vt(1024, 16, 24)},
+    "ViT-bigG-14": {"embed_dim": 1280, "vision": {"kind": _VIT, "image_size": 224, "layers": 48, "width": 1664, "head_width": 104, "mlp_ratio": 4.9231, "patch_size": 14}, "text": _vt(1280, 20, 32)},
+    "ViT-e-14": {"embed_dim": 1280, "vision": {"kind": _VIT, "image_size": 224, "layers": 56, "width": 1792, "head_width": 112, "mlp_ratio": 8.5715, "patch_size": 14}, "text": _vt(1280, 20, 36)},
+    # --- ModifiedResNet ---------------------------------------------------
+    "RN50": {"embed_dim": 1024, "vision": {"kind": "rn", "image_size": 224, "layers": (3, 4, 6, 3), "width": 64}, "text": _vt(512, 8, 12)},
+    "RN50-quickgelu": {"embed_dim": 1024, "quick_gelu": True, "vision": {"kind": "rn", "image_size": 224, "layers": (3, 4, 6, 3), "width": 64}, "text": _vt(512, 8, 12)},
+    "RN101": {"embed_dim": 512, "vision": {"kind": "rn", "image_size": 224, "layers": (3, 4, 23, 3), "width": 64}, "text": _vt(512, 8, 12)},
+    "RN101-quickgelu": {"embed_dim": 512, "quick_gelu": True, "vision": {"kind": "rn", "image_size": 224, "layers": (3, 4, 23, 3), "width": 64}, "text": _vt(512, 8, 12)},
+    "RN50x4": {"embed_dim": 640, "vision": {"kind": "rn", "image_size": 288, "layers": (4, 6, 10, 6), "width": 80}, "text": _vt(640, 10, 12)},
+    "RN50x16": {"embed_dim": 768, "vision": {"kind": "rn", "image_size": 384, "layers": (6, 8, 18, 8), "width": 96}, "text": _vt(768, 12, 12)},
+    "RN50x64": {"embed_dim": 1024, "vision": {"kind": "rn", "image_size": 448, "layers": (3, 15, 36, 10), "width": 128}, "text": _vt(1024, 16, 12)},
+    # --- timm-delegated towers, implemented natively ----------------------
+    "convnext_tiny": {"embed_dim": 1024, "vision": {"kind": "convnext", "image_size": 224, "depths": (3, 3, 9, 3), "dims": (96, 192, 384, 768), "proj": "linear"}, "text": _vt(512, 8, 12)},
+    "convnext_small": {"embed_dim": 512, "vision": {"kind": "convnext", "image_size": 224, "depths": (3, 3, 27, 3), "dims": (96, 192, 384, 768), "proj": "linear"}, "text": _vt(512, 8, 12)},
+    "convnext_base": {"embed_dim": 512, "vision": {"kind": "convnext", "image_size": 224, "depths": (3, 3, 27, 3), "dims": (128, 256, 512, 1024), "proj": "linear"}, "text": _vt(512, 8, 12)},
+    "convnext_base_w": {"embed_dim": 640, "vision": {"kind": "convnext", "image_size": 256, "depths": (3, 3, 27, 3), "dims": (128, 256, 512, 1024), "proj": "linear"}, "text": _vt(640, 10, 12)},
+    "convnext_base_w_320": {"embed_dim": 640, "vision": {"kind": "convnext", "image_size": 320, "depths": (3, 3, 27, 3), "dims": (128, 256, 512, 1024), "proj": "linear"}, "text": _vt(640, 10, 12)},
+    "convnext_large": {"embed_dim": 768, "vision": {"kind": "convnext", "image_size": 224, "depths": (3, 3, 27, 3), "dims": (192, 384, 768, 1536), "proj": "linear"}, "text": _vt(768, 12, 12)},
+    "convnext_large_d": {"embed_dim": 768, "vision": {"kind": "convnext", "image_size": 256, "depths": (3, 3, 27, 3), "dims": (192, 384, 768, 1536), "proj": "mlp"}, "text": _vt(768, 12, 16)},
+    "convnext_large_d_320": {"embed_dim": 768, "vision": {"kind": "convnext", "image_size": 320, "depths": (3, 3, 27, 3), "dims": (192, 384, 768, 1536), "proj": "mlp"}, "text": _vt(768, 12, 16)},
+    "convnext_xlarge": {"embed_dim": 1024, "vision": {"kind": "convnext", "image_size": 256, "depths": (3, 3, 27, 3), "dims": (256, 512, 1024, 2048), "proj": "linear"}, "text": _vt(1024, 16, 20)},
+    "convnext_xxlarge": {"embed_dim": 1024, "vision": {"kind": "convnext", "image_size": 256, "depths": (3, 4, 30, 3), "dims": (384, 768, 1536, 3072), "proj": "linear"}, "text": _vt(1024, 16, 24)},
+    "convnext_xxlarge_320": {"embed_dim": 1024, "vision": {"kind": "convnext", "image_size": 320, "depths": (3, 4, 30, 3), "dims": (384, 768, 1536, 3072), "proj": "linear"}, "text": _vt(1024, 16, 24)},
+    "swin_base_patch4_window7_224": {"embed_dim": 640, "vision": {"kind": "swin", "image_size": 224, "proj": "linear"}, "text": _vt(640, 10, 12)},
+    "vit_medium_patch16_gap_256": {"embed_dim": 512, "vision": {"kind": "vit_gap", "image_size": 256, "layers": 12, "width": 512, "patch_size": 16, "proj": "linear"}, "text": _vt(512, 8, 12)},
+    "EVA01-g-14": {"embed_dim": 1024, "vision": {"kind": "eva01_g", "image_size": 224, "proj": "linear_bias"}, "text": _vt(768, 12, 12)},
+    "EVA01-g-14-plus": {"embed_dim": 1024, "vision": {"kind": "eva01_g", "image_size": 224, "proj": "linear_bias"}, "text": _vt(1024, 16, 24)},
+    # --- HF text towers ----------------------------------------------------
+    "ViT-B-32-bert": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "path_bert", "context_length": 256, "vocab_size": 30522, "width": 768, "heads": 12, "layers": 12}},
+    "roberta-ViT-B-32": {"embed_dim": 512, "quick_gelu": True, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "roberta", "vocab_size": 50265, "width": 768, "heads": 12, "layers": 12, "proj": "mlp"}},
+    "xlm-roberta-base-ViT-B-32": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "xlm-roberta", "vocab_size": 250002, "width": 768, "heads": 12, "layers": 12, "proj": "mlp"}},
+    "xlm-roberta-large-ViT-H-14": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 32, "width": 1280, "head_width": 80, "patch_size": 14}, "text": {"kind": "xlm-roberta", "vocab_size": 250002, "width": 1024, "heads": 16, "layers": 24, "proj": "mlp"}},
+    # --- CoCa --------------------------------------------------------------
+    "coca_ViT-B-32": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"width": 512, "heads": 8, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 8, "attn_pooler_heads": 8}},
+    "coca_ViT-L-14": {"embed_dim": 768, "family": "coca", "vision": {"image_size": 224, "layers": 24, "width": 1024, "patch_size": 14}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 12}},
+    "coca_base": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 288, "layers": 12, "width": 768, "patch_size": 18}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 64000}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 8, "n_queries": 256}},
+}
+
+UNSUPPORTED: dict[str, str] = {
+    "EVA02-B-16": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
+    "EVA02-L-14": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
+    "EVA02-L-14-336": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
+    "EVA02-E-14": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
+    "EVA02-E-14-plus": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
+    "vit_relpos_medium_patch16_cls_224": "timm relative-position-MLP ViT has no native tower yet; the reference delegates it to external timm",
+    "mt5-base-ViT-B-32": "mT5 text encoder (relative attention bias + RMSNorm + gated GELU) has no native tower yet",
+    "mt5-xl-ViT-H-14": "mT5 text encoder (relative attention bias + RMSNorm + gated GELU) has no native tower yet",
+    "coca_roberta-ViT-B-32": "CoCa with a RoBERTa token tower (decoder cross-attends RoBERTa hidden states) is not wired yet",
+}
+
+
+class UnsupportedPresetError(NotImplementedError):
+    pass
+
+
+def preset_names(include_unsupported: bool = False) -> list[str]:
+    names = sorted(PRESETS)
+    if include_unsupported:
+        names = sorted(set(names) | set(UNSUPPORTED))
+    return names
+
+
+# ---------------------------------------------------------------------------
+# resolution
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ResolvedPreset:
+    name: str
+    family: str  # 'clip' | 'coca'
+    embed_dim: int
+    vision_kind: str
+    vision_cfg: Any
+    vision_proj: str  # 'matrix' | 'linear' | 'linear_bias' | 'mlp' | 'none'
+    text_kind: str  # 'clip' | 'path_bert' | 'hf'
+    text_cfg: Any
+    quick_gelu: bool = False
+
+
+def resolve(name: str) -> ResolvedPreset:
+    if name in UNSUPPORTED:
+        raise UnsupportedPresetError(f"{name}: {UNSUPPORTED[name]}")
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {preset_names()} "
+                       f"(+{len(UNSUPPORTED)} unsupported)")
+    raw = PRESETS[name]
+    e = raw["embed_dim"]
+    qg = raw.get("quick_gelu", False)
+    act = "quick_gelu" if qg else "gelu"
+    v = raw["vision"]
+
+    if raw.get("family") == "coca":
+        from keep_tpu.models.coca import CoCaConfig
+
+        mm = raw["multimodal"]
+        t = raw["text"]
+        cfg = CoCaConfig(
+            embed_dim=e, vocab_size=t["vocab_size"], context_length=76,
+            text_width=t["width"], text_heads=t["heads"],
+            text_layers=t["layers"], decoder_layers=mm["layers"],
+            decoder_heads=mm["heads"],
+            attn_pooler_heads=mm.get("attn_pooler_heads", 8),
+            n_queries=mm.get("n_queries", 256),
+            vision=ViTConfig(
+                img_size=v["image_size"], patch_size=v["patch_size"],
+                embed_dim=v["width"], depth=v["layers"],
+                num_heads=v["width"] // v.get("head_width", 64),
+                layerscale_init=None, ln_eps=1e-5, pool="none",
+            ),
+            sot_id=t["vocab_size"] - 2, eos_id=t["vocab_size"] - 1,
+        )
+        return ResolvedPreset(name, "coca", e, "vit", cfg.vision, "none",
+                              "coca", cfg, qg)
+
+    kind = v["kind"]
+    if kind == "vit":
+        vcfg = ViTConfig(
+            img_size=v["image_size"], patch_size=v["patch_size"],
+            embed_dim=v["width"], depth=v["layers"],
+            num_heads=v["width"] // v.get("head_width", 64),
+            mlp_ratio=v.get("mlp_ratio", 4.0),
+            layerscale_init=v.get("ls_init_value"), ln_eps=1e-5, act=act,
+        )
+        vproj = "matrix"
+    elif kind == "rn":
+        from keep_tpu.models.resnet import ModifiedResNetConfig
+
+        vcfg = ModifiedResNetConfig(
+            layers=tuple(v["layers"]), width=v["width"],
+            image_size=v["image_size"], heads=v["width"] * 32 // 64,
+            output_dim=e,
+        )
+        vproj = "none"
+    elif kind == "convnext":
+        from keep_tpu.models.convnext import ConvNeXtConfig
+
+        vcfg = ConvNeXtConfig(img_size=v["image_size"],
+                              depths=tuple(v["depths"]),
+                              dims=tuple(v["dims"]))
+        vproj = v["proj"]
+    elif kind == "swin":
+        from keep_tpu.models.swin import SwinConfig
+
+        vcfg = SwinConfig(img_size=v["image_size"], embed_dim=128,
+                          depths=(2, 2, 18, 2), heads=(4, 8, 16, 32),
+                          conv_stem=False)
+        vproj = v["proj"]
+    elif kind == "vit_gap":
+        vcfg = ViTConfig(
+            img_size=v["image_size"], patch_size=v["patch_size"],
+            embed_dim=v["width"], depth=v["layers"],
+            num_heads=v["width"] // 64, layerscale_init=None, ln_eps=1e-6,
+            num_prefix_tokens=0, pool="avg", fc_norm=True,
+        )
+        vproj = v["proj"]
+    elif kind == "eva01_g":
+        # timm eva_giant_patch14_224: plain pre-LN ViT, width 1408, depth 40,
+        # heads 16, mlp 6144 (ratio 6144/1408), no LayerScale, CLS pool
+        vcfg = ViTConfig(
+            img_size=v["image_size"], patch_size=14, embed_dim=1408,
+            depth=40, num_heads=16, mlp_ratio=6144 / 1408,
+            layerscale_init=None, ln_eps=1e-6,
+        )
+        vproj = v["proj"]
+    else:  # pragma: no cover
+        raise ValueError(f"bad vision kind {kind!r}")
+
+    t = raw["text"]
+    tkind = t.get("kind", "clip")
+    if tkind == "clip":
+        from keep_tpu.models.text_transformer import TextTransformerConfig
+
+        tcfg = TextTransformerConfig(
+            vocab_size=t["vocab_size"], context_length=t["context_length"],
+            width=t["width"], heads=t["heads"], layers=t["layers"],
+            output_dim=e, act=act,
+        )
+    elif tkind == "path_bert":
+        tcfg = BertConfig(vocab_size=t["vocab_size"], hidden_size=t["width"],
+                          num_hidden_layers=t["layers"],
+                          num_attention_heads=t["heads"],
+                          intermediate_size=4 * t["width"])
+    elif tkind in ("roberta", "xlm-roberta"):
+        from keep_tpu.models.hf_text import HFTextConfig
+
+        tcfg = HFTextConfig(
+            arch=tkind,
+            trunk=BertConfig(
+                vocab_size=t["vocab_size"], hidden_size=t["width"],
+                num_hidden_layers=t["layers"],
+                num_attention_heads=t["heads"],
+                intermediate_size=4 * t["width"],
+                max_position_embeddings=514, type_vocab_size=1,
+                ln_eps=1e-5, pad_token_id=1,
+            ),
+            output_dim=e, pooler="mean", proj=t["proj"],
+        )
+        tkind = "hf"
+    else:  # pragma: no cover
+        raise ValueError(f"bad text kind {tkind!r}")
+    return ResolvedPreset(name, "clip", e, kind, vcfg, vproj, tkind, tcfg, qg)
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+
+def _head_init(key, kind: str, fin: int, fout: int, dtype) -> dict | None:
+    k1, k2 = jax.random.split(key)
+    n = lambda k, s, std: (jax.random.normal(k, s) * std).astype(dtype)
+    if kind == "matrix":
+        return {"proj": n(k1, (fin, fout), fin**-0.5)}
+    if kind == "linear":
+        return {"w": n(k1, (fin, fout), fin**-0.5)}
+    if kind == "linear_bias":
+        return {"w": n(k1, (fin, fout), fin**-0.5),
+                "b": jnp.zeros((fout,), dtype)}
+    if kind == "mlp":  # TimmModel mlp head: hidden = 2*embed_dim,
+        # fc1 biased, fc2 unbiased (timm_model.py:103)
+        hid = 2 * fout
+        return {"fc1": n(k1, (fin, hid), fin**-0.5),
+                "fc1_b": jnp.zeros((hid,), dtype),
+                "fc2": n(k2, (hid, fout), hid**-0.5)}
+    return None
+
+
+def _head_apply(head: dict | None, kind: str, x: Array) -> Array:
+    if kind in ("matrix", "none") and head is None:
+        return x
+    if kind == "matrix":
+        return jnp.dot(x, head["proj"].astype(x.dtype))
+    if kind == "linear":
+        return jnp.dot(x, head["w"].astype(x.dtype))
+    if kind == "linear_bias":
+        return jnp.dot(x, head["w"].astype(x.dtype)) + head["b"].astype(x.dtype)
+    if kind == "mlp":
+        from keep_tpu.ops.nn import gelu
+
+        h = gelu(jnp.dot(x, head["fc1"].astype(x.dtype))
+                 + head["fc1_b"].astype(x.dtype))
+        return jnp.dot(h, head["fc2"].astype(x.dtype))
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class PresetModel:
+    """encode_image/encode_text/forward closures for a resolved preset —
+    the CustomTextCLIP surface (model/model.py:379-432)."""
+
+    preset: ResolvedPreset
+    encode_image: Callable
+    encode_text: Callable
+    forward: Callable
+
+
+def create_preset(name: str, seed: int = 0, dtype=jnp.float32):
+    """→ (params, PresetModel). Raises UnsupportedPresetError with the exact
+    missing-tower reason for the inventory entries we do not implement."""
+    from keep_tpu.ops.nn import l2_normalize
+
+    r = resolve(name)
+
+    if r.family == "coca":
+        from keep_tpu.models import coca
+
+        params = coca.init(jax.random.PRNGKey(seed), r.text_cfg, dtype)
+        return params, PresetModel(
+            preset=r,
+            encode_image=lambda p, x, **kw: coca.encode_image(
+                p, x, r.text_cfg, **kw),
+            encode_text=lambda p, ids, **kw: coca.encode_text(
+                p, ids, r.text_cfg, **kw),
+            forward=lambda p, x, ids, **kw: coca.forward(
+                p, x, ids, r.text_cfg, **kw),
+        )
+
+    kv, kh, kt, kth = jax.random.split(jax.random.PRNGKey(seed), 4)
+
+    # --- vision -----------------------------------------------------------
+    vk = r.vision_kind
+    if vk == "rn":
+        from keep_tpu.models import resnet as _v
+
+        visual = _v.init(kv, r.vision_cfg, dtype)
+        vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg)
+        fin = r.embed_dim  # attnpool already projects
+    elif vk == "convnext":
+        from keep_tpu.models import convnext as _v
+
+        visual = _v.init(kv, r.vision_cfg, dtype)
+        vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg, **kw)
+        fin = r.vision_cfg.num_features
+    elif vk == "swin":
+        from keep_tpu.models import swin as _v
+
+        visual = _v.init(kv, r.vision_cfg, dtype)
+        vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg)
+        fin = r.vision_cfg.num_features
+    else:  # vit / vit_gap / eva01_g
+        from keep_tpu.models import vit as _v
+
+        visual = _v.init(kv, r.vision_cfg, dtype)
+        if r.vision_proj == "matrix":  # OpenCLIP ViT: ln_pre + proj matrix
+            visual["ln_pre"] = {
+                "scale": jnp.ones((r.vision_cfg.embed_dim,), dtype),
+                "bias": jnp.zeros((r.vision_cfg.embed_dim,), dtype)}
+        vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg, **kw)
+        fin = r.vision_cfg.embed_dim
+
+    head = _head_init(kh, r.vision_proj, fin, r.embed_dim, dtype)
+
+    # --- text ---------------------------------------------------------------
+    tk = r.text_kind
+    if tk == "clip":
+        from keep_tpu.models import text_transformer as _t
+
+        text = _t.init(kt, r.text_cfg, dtype)
+        tfeat = lambda p, ids, **kw: _t.forward(p, ids, r.text_cfg, **kw)
+    elif tk == "path_bert":
+        from keep_tpu.models import bert as _b
+        from keep_tpu.models.kep import path_bert_encode
+
+        text = {"bert": _b.init(kt, r.text_cfg, dtype)}
+        d = r.text_cfg.hidden_size
+        nrm = lambda k, s, std: (jax.random.normal(k, s) * std).astype(dtype)
+        k1, k2 = jax.random.split(kth)
+        text["mlp_embed"] = {  # knowledge_bert.py:33-40, init std=D^-0.5
+            "fc1": {"kernel": nrm(k1, (d, r.embed_dim), r.embed_dim**-0.5),
+                    "bias": jnp.zeros((r.embed_dim,), dtype)},
+            "fc2": {"kernel": nrm(k2, (r.embed_dim, r.embed_dim),
+                                  r.embed_dim**-0.5),
+                    "bias": jnp.zeros((r.embed_dim,), dtype)},
+        }
+        tfeat = lambda p, ids, **kw: path_bert_encode(
+            p, ids, (ids != 0).astype(jnp.int32), r.text_cfg, **kw)
+    else:  # hf (roberta family)
+        from keep_tpu.models import hf_text as _t
+
+        text = _t.init(kt, r.text_cfg, dtype)
+        tfeat = lambda p, ids, **kw: _t.forward(p, ids, r.text_cfg, **kw)
+
+    params = {"visual": visual, "text": text,
+              "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32)}
+    if head is not None:
+        params["visual_head"] = head
+
+    def encode_image(p, pixels, *, normalize=False, **kw):
+        f = _head_apply(p.get("visual_head"), r.vision_proj,
+                        vfeat(p["visual"], pixels, **kw))
+        return l2_normalize(f.astype(jnp.float32)) if normalize else f
+
+    def encode_text(p, ids, *, normalize=False, **kw):
+        f = tfeat(p["text"], ids, **kw)
+        return l2_normalize(f.astype(jnp.float32)) if normalize else f
+
+    def forward(p, pixels, ids, **kw):
+        return {
+            "image_features": encode_image(p, pixels, normalize=True, **kw),
+            "text_features": encode_text(p, ids, normalize=True),
+            "logit_scale": jnp.exp(p["logit_scale"]),
+        }
+
+    return params, PresetModel(preset=r, encode_image=encode_image,
+                               encode_text=encode_text, forward=forward)
