@@ -32,7 +32,7 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class HFTextConfig:
-    arch: str = "roberta"  # 'roberta' | 'xlm-roberta' | 'bert'
+    arch: str = "roberta"  # 'roberta' | 'xlm-roberta' | 'bert' | 'mt5'
     trunk: BertConfig = dataclasses.field(
         default_factory=lambda: BertConfig(
             vocab_size=50265, max_position_embeddings=514, type_vocab_size=1,
@@ -45,6 +45,8 @@ class HFTextConfig:
 
     @property
     def context_length(self) -> int:
+        if self.arch == "mt5":  # relative positions: no hard max
+            return 0
         # usable positions: roberta reserves pad_id+1 leading slots
         if self.arch in ("roberta", "xlm-roberta"):
             return self.trunk.max_position_embeddings - self.trunk.pad_token_id - 1
@@ -64,10 +66,15 @@ def forward(params: dict, input_ids: Array, cfg: HFTextConfig, *,
     matching HFTextEncoder.forward; the CLIP wrapper normalizes)."""
     tc = cfg.trunk
     mask = (input_ids != tc.pad_token_id).astype(jnp.int32)
-    pos = (roberta_position_ids(input_ids, tc.pad_token_id)
-           if cfg.arch in ("roberta", "xlm-roberta") else None)
-    out = bert.forward(params["trunk"], input_ids, mask, cfg=tc, dtype=dtype,
-                       position_ids=pos, **trunk_kw)
+    if cfg.arch == "mt5":
+        from keep_tpu.models import t5
+
+        out = t5.forward(params["trunk"], input_ids, mask, tc, dtype=dtype)
+    else:
+        pos = (roberta_position_ids(input_ids, tc.pad_token_id)
+               if cfg.arch in ("roberta", "xlm-roberta") else None)
+        out = bert.forward(params["trunk"], input_ids, mask, cfg=tc,
+                           dtype=dtype, position_ids=pos, **trunk_kw)
     h = out["last_hidden_state"]
     if cfg.pooler == "mean":
         m = mask[:, :, None].astype(h.dtype)
@@ -90,8 +97,15 @@ def forward(params: dict, input_ids: Array, cfg: HFTextConfig, *,
 
 def init(key: jax.Array, cfg: HFTextConfig, dtype=jnp.float32) -> dict:
     kt, k1, k2 = jax.random.split(key, 3)
-    d, o = cfg.trunk.hidden_size, cfg.output_dim
-    params = {"trunk": bert.init(kt, cfg.trunk, dtype)}
+    o = cfg.output_dim
+    if cfg.arch == "mt5":
+        from keep_tpu.models import t5
+
+        d = cfg.trunk.d_model
+        params = {"trunk": t5.init(kt, cfg.trunk, dtype)}
+    else:
+        d = cfg.trunk.hidden_size
+        params = {"trunk": bert.init(kt, cfg.trunk, dtype)}
     if cfg.proj == "mlp":
         hid = (d + o) // 2
         params["proj"] = {

@@ -109,6 +109,9 @@ PRESETS: dict[str, dict] = {
     "roberta-ViT-B-32": {"embed_dim": 512, "quick_gelu": True, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "roberta", "vocab_size": 50265, "width": 768, "heads": 12, "layers": 12, "proj": "mlp"}},
     "xlm-roberta-base-ViT-B-32": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "xlm-roberta", "vocab_size": 250002, "width": 768, "heads": 12, "layers": 12, "proj": "mlp"}},
     "xlm-roberta-large-ViT-H-14": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 32, "width": 1280, "head_width": 80, "patch_size": 14}, "text": {"kind": "xlm-roberta", "vocab_size": 250002, "width": 1024, "heads": 16, "layers": 24, "proj": "mlp"}},
+    # mt5 trunk shapes from the HF google/mt5-{base,xl} configs (data contract)
+    "mt5-base-ViT-B-32": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "mt5", "vocab_size": 250112, "width": 768, "heads": 12, "layers": 12, "d_ff": 2048, "proj": "mlp"}},
+    "mt5-xl-ViT-H-14": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 32, "width": 1280, "head_width": 80, "patch_size": 14}, "text": {"kind": "mt5", "vocab_size": 250112, "width": 2048, "heads": 32, "layers": 24, "d_ff": 5120, "proj": "mlp"}},
     # --- CoCa --------------------------------------------------------------
     "coca_ViT-B-32": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"width": 512, "heads": 8, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 8, "attn_pooler_heads": 8}},
     "coca_ViT-L-14": {"embed_dim": 768, "family": "coca", "vision": {"image_size": 224, "layers": 24, "width": 1024, "patch_size": 14}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 12}},
@@ -122,8 +125,6 @@ UNSUPPORTED: dict[str, str] = {
     "EVA02-E-14": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
     "EVA02-E-14-plus": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
     "vit_relpos_medium_patch16_cls_224": "timm relative-position-MLP ViT has no native tower yet; the reference delegates it to external timm",
-    "mt5-base-ViT-B-32": "mT5 text encoder (relative attention bias + RMSNorm + gated GELU) has no native tower yet",
-    "mt5-xl-ViT-H-14": "mT5 text encoder (relative attention bias + RMSNorm + gated GELU) has no native tower yet",
     "coca_roberta-ViT-B-32": "CoCa with a RoBERTa token tower (decoder cross-attends RoBERTa hidden states) is not wired yet",
 }
 
@@ -260,6 +261,20 @@ def resolve(name: str) -> ResolvedPreset:
                           num_hidden_layers=t["layers"],
                           num_attention_heads=t["heads"],
                           intermediate_size=4 * t["width"])
+    elif tkind == "mt5":
+        from keep_tpu.models.hf_text import HFTextConfig
+        from keep_tpu.models.t5 import T5EncoderConfig
+
+        tcfg = HFTextConfig(
+            arch="mt5",
+            trunk=T5EncoderConfig(
+                vocab_size=t["vocab_size"], d_model=t["width"],
+                num_heads=t["heads"], num_layers=t["layers"],
+                d_ff=t["d_ff"],
+            ),
+            output_dim=e, pooler="mean", proj=t["proj"],
+        )
+        tkind = "hf"
     elif tkind in ("roberta", "xlm-roberta"):
         from keep_tpu.models.hf_text import HFTextConfig
 

@@ -12,9 +12,9 @@ from keep_tpu import presets
 
 
 def test_inventory_is_complete():
-    """53 supported + 9 explicitly-unsupported = the reference's 62 JSONs."""
-    assert len(presets.PRESETS) == 53
-    assert len(presets.UNSUPPORTED) == 9
+    """55 supported + 7 explicitly-unsupported = the reference's 62 JSONs."""
+    assert len(presets.PRESETS) == 55
+    assert len(presets.UNSUPPORTED) == 7
     assert not set(presets.PRESETS) & set(presets.UNSUPPORTED)
 
 
@@ -52,10 +52,15 @@ def test_known_shapes():
 def test_unsupported_presets_raise_with_reason():
     with pytest.raises(presets.UnsupportedPresetError, match="EVA02"):
         presets.resolve("EVA02-L-14")
-    with pytest.raises(presets.UnsupportedPresetError, match="mT5"):
-        presets.resolve("mt5-base-ViT-B-32")
     with pytest.raises(KeyError, match="unknown preset"):
         presets.resolve("ViT-Z-99")
+
+
+def test_mt5_preset_resolves():
+    r = presets.resolve("mt5-xl-ViT-H-14")
+    assert r.text_cfg.trunk.d_model == 2048
+    assert r.text_cfg.trunk.num_layers == 24
+    assert r.text_cfg.context_length == 0  # relative positions: no hard max
 
 
 @pytest.mark.parametrize("name,img", [
