@@ -1,0 +1,82 @@
+"""Local hub publishing (compat.hub ← reference push_to_hf_hub.py:40-241):
+artifact layout, model-card generation format, registry wiring."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from keep_tpu.compat import hub
+
+
+def test_generate_readme_format():
+    card = {
+        "license": "apache-2.0",
+        "description": "A CLIP model for pathology.",
+        "details": {
+            "Dataset": "OpenPath",
+            "Architecture": ["ViT-L-16", "BERT-base"],
+            "Training": {"epochs": 10, "batch": 128},
+        },
+        "usage": "```python\nmodel.encode_image(x)\n```",
+        "citation": ["@article{keep2026}", "@misc{openclip}"],
+    }
+    text = hub.generate_readme(card, "KEEP-demo")
+    # frontmatter contract (push_to_hf_hub.py:195-204)
+    assert text.startswith("---\ntags:\n- clip\nlibrary_name: open_clip\n")
+    assert "pipeline_tag: zero-shot-image-classification" in text
+    assert "license: apache-2.0" in text
+    assert "datasets:\n- openpath\n" in text  # lowercased
+    assert "# Model card for KEEP-demo" in text
+    # nested details rendering
+    assert "- **Architecture:**\n  - ViT-L-16\n  - BERT-base" in text
+    assert "- **Training:**\n  - epochs: 10\n  - batch: 128" in text
+    assert text.count("```bibtex") == 2
+    # default license
+    assert "license: mit" in hub.generate_readme({}, "x")
+
+
+def test_push_to_hub_layout(tmp_path):
+    sd = {"visual.proj": np.ones((4, 2), np.float32),
+          "logit_scale": np.asarray(3.2, np.float32)}
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("[PAD]\n[UNK]\nhello\n")
+    repo = hub.push_to_hub(
+        "acme/keep-demo", sd,
+        model_config={"embed_dim": 2, "vision_cfg": {"width": 4}},
+        tokenizer_files=[str(vocab)],
+        model_card={"description": "demo"},
+        hub_root=str(tmp_path / "hubroot"),
+        register=False,
+    )
+    files = set(os.listdir(repo))
+    assert {"open_clip_config.json", "open_clip_pytorch_model.bin",
+            "weights.npz", "vocab.txt", "README.md"} <= files
+    cfg = json.loads(open(os.path.join(repo, "open_clip_config.json")).read())
+    assert cfg["model_cfg"]["embed_dim"] == 2
+    assert cfg["preprocess_cfg"]["mean"] == [0.485, 0.456, 0.406]
+    # round-trip the torch weights
+    import torch
+
+    back = torch.load(os.path.join(repo, "open_clip_pytorch_model.bin"),
+                      map_location="cpu", weights_only=True)
+    np.testing.assert_array_equal(back["visual.proj"].numpy(),
+                                  sd["visual.proj"])
+    # README is only generated when absent (has_readme semantics)
+    with open(os.path.join(repo, "README.md"), "w") as f:
+        f.write("CUSTOM")
+    hub.push_to_hub("acme/keep-demo", sd,
+                    hub_root=str(tmp_path / "hubroot"), register=False)
+    assert open(os.path.join(repo, "README.md")).read() == "CUSTOM"
+
+
+def test_push_registers_in_registry(tmp_path):
+    from keep_tpu.compat import registry
+
+    sd = {"w": np.zeros(3, np.float32)}
+    hub.push_to_hub("acme/reg-demo", sd, hub_root=str(tmp_path / "hub"))
+    path = registry.resolve("acme/reg-demo")
+    assert os.path.exists(path)
+    with pytest.raises(ValueError, match="owner/name"):
+        hub.push_to_hub("nade", sd)
