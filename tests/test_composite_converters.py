@@ -22,6 +22,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/training/path_open_clip"

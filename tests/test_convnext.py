@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from keep_tpu.models import convnext
 
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
+
 DIMS = (8, 16, 32, 64)
 DEPTHS = (1, 2, 2, 1)
 CFG = convnext.ConvNeXtConfig(img_size=64, depths=DEPTHS, dims=DIMS,

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from keep_tpu.configs import BertConfig
 from keep_tpu.models import hf_text
 
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
+
 TRUNK = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=2,
                    num_attention_heads=4, intermediate_size=64,
                    max_position_embeddings=40, type_vocab_size=1,

@@ -63,6 +63,7 @@ def test_mt5_preset_resolves():
     assert r.text_cfg.context_length == 0  # relative positions: no hard max
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,img", [
     ("ViT-S-32", 224),
     ("convnext_tiny", 224),

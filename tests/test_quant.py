@@ -10,10 +10,13 @@ from keep_tpu.configs import ViTConfig
 from keep_tpu.models import vit
 from keep_tpu.ops.nn import linear
 from keep_tpu.quant import (
+
     quantization_error,
     quantize_kernel,
     quantize_linear_weights,
 )
+
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
 
 
 def test_qlinear_accuracy(rng):

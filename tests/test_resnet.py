@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from keep_tpu.models import resnet
 from keep_tpu.models.resnet import ModifiedResNetConfig, convert_openai_resnet
 
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
+
 CFG = ModifiedResNetConfig(layers=(1, 1, 1, 1), width=16, image_size=64,
                            heads=4, output_dim=32)
 

@@ -6,10 +6,13 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from keep_tpu.parallel import batch_sharding, make_mesh, pad_to_multiple, shard_batch
 from keep_tpu.wsi.pipelines import score_tiles
+
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
 
 
 def test_mesh_helpers():

@@ -8,12 +8,15 @@ import jax.numpy as jnp
 
 from keep_tpu.models import swin
 from keep_tpu.models.swin import (
+
     SwinConfig,
     relative_position_index,
     shift_attn_mask,
     window_partition,
     window_reverse,
 )
+
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
 
 TINY = SwinConfig(
     img_size=32, embed_dim=16, depths=(1, 1), heads=(2, 4), window=4,

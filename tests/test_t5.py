@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from keep_tpu.models import t5
 
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
+
 CFG = t5.T5EncoderConfig(vocab_size=100, d_model=32, d_kv=8, num_heads=4,
                          d_ff=64, num_layers=2)
 

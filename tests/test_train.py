@@ -1,4 +1,6 @@
 """Trainer stack: schedules vs reference formulas, freeze masking,
+
+pytestmark = pytest.mark.slow  # oracle/parity tests; fast pass: -m 'not slow'
 train-step convergence, grad accumulation equivalence, checkpoint roundtrip."""
 
 import numpy as np
@@ -12,6 +14,7 @@ from keep_tpu.models import keep
 from keep_tpu.train import optim, schedules
 from keep_tpu.train.freeze import FreezeSchedule, diff_report, snapshot
 from keep_tpu.train.trainer import (
+
     LossConfig,
     make_accum_train_step,
     make_train_step,
