@@ -133,6 +133,37 @@ class UnsupportedPresetError(NotImplementedError):
     pass
 
 
+# per-encoder normalization stats (reference factory.py:246-258 +
+# constants.py): OpenCLIP presets default to the OpenAI CLIP stats; the
+# pathology encoders (uni/ctp/prov) use ImageNet; res_ssl uses lunit's.
+OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+RES_SSL_MEAN = (0.70322989, 0.53606487, 0.66096631)
+RES_SSL_STD = (0.21716536, 0.26081574, 0.20723464)
+
+ENCODER_STATS = {
+    "uni": (IMAGENET_MEAN, IMAGENET_STD),
+    "ctp": (IMAGENET_MEAN, IMAGENET_STD),
+    "prov": (IMAGENET_MEAN, IMAGENET_STD),
+    "res_ssl": (RES_SSL_MEAN, RES_SSL_STD),
+}
+
+
+def preprocess_config(name: str):
+    """→ ``PreprocessConfig`` (size + mean/std) for a preset — the
+    reference's ``image_transform(model.visual.image_size, mean, std)``
+    wiring (factory.py:323-337)."""
+    from keep_tpu.configs import PreprocessConfig
+
+    r = resolve(name)
+    size = getattr(r.vision_cfg, "img_size", None) or getattr(
+        r.vision_cfg, "image_size")
+    return PreprocessConfig(size=size, mean=OPENAI_DATASET_MEAN,
+                            std=OPENAI_DATASET_STD)
+
+
 def preset_names(include_unsupported: bool = False) -> list[str]:
     names = sorted(PRESETS)
     if include_unsupported:

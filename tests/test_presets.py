@@ -120,3 +120,15 @@ def test_factory_routes_presets():
     assert spec.encode_image(params, x).shape == (1, 384)
     with pytest.raises(ValueError, match="overrides"):
         factory.create_model("ViT-S-32", embed_dim=128)
+
+
+def test_preprocess_config_per_preset():
+    from keep_tpu.ops.preprocess import preprocess
+
+    pc = presets.preprocess_config("RN50x64")
+    assert pc.size == 448
+    assert pc.mean == presets.OPENAI_DATASET_MEAN  # CLIP stats, not ImageNet
+    pc = presets.preprocess_config("convnext_base_w_320")
+    assert pc.size == 320
+    out = preprocess(np.zeros((400, 360, 3), np.uint8), presets.preprocess_config("ViT-B-16-plus-240"))
+    assert out.shape == (1, 240, 240, 3)
