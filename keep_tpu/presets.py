@@ -151,6 +151,26 @@ ENCODER_STATS = {
 }
 
 
+def tokenizer_kind(name: str) -> str:
+    """→ the tokenizer family a preset's text tower expects (reference
+    factory.get_tokenizer, factory.py:85-98): 'clip' (byte-level BPE,
+    ``text/bpe.py``), 'bert' (WordPiece, ``text/tokenizer.py``). RoBERTa/
+    XLM-R/mT5 presets need their upstream HF tokenizers (byte-BPE /
+    SentencePiece vocabularies that ship with those models, not derivable
+    offline) — raises with that reason."""
+    r = resolve(name)
+    if r.text_kind == "clip" or r.family == "coca":
+        return "clip"
+    if r.text_kind == "path_bert":
+        return "bert"
+    arch = getattr(r.text_cfg, "arch", "?")
+    raise UnsupportedPresetError(
+        f"{name}: the {arch} text tower uses its upstream HF tokenizer "
+        f"({'SentencePiece' if arch in ('xlm-roberta', 'mt5') else 'byte-BPE'}"
+        f" vocabulary shipped with the checkpoint); load it via "
+        f"transformers.AutoTokenizer from a local checkout")
+
+
 def preprocess_config(name: str):
     """→ ``PreprocessConfig`` (size + mean/std) for a preset — the
     reference's ``image_transform(model.visual.image_size, mean, std)``

@@ -132,3 +132,11 @@ def test_preprocess_config_per_preset():
     assert pc.size == 320
     out = preprocess(np.zeros((400, 360, 3), np.uint8), presets.preprocess_config("ViT-B-16-plus-240"))
     assert out.shape == (1, 240, 240, 3)
+
+
+def test_tokenizer_kind():
+    assert presets.tokenizer_kind("ViT-B-16") == "clip"
+    assert presets.tokenizer_kind("coca_ViT-B-32") == "clip"
+    assert presets.tokenizer_kind("ViT-B-32-bert") == "bert"
+    with pytest.raises(presets.UnsupportedPresetError, match="SentencePiece"):
+        presets.tokenizer_kind("xlm-roberta-base-ViT-B-32")
