@@ -113,6 +113,7 @@ def save_pretrained(model_dir: str, params: dict, cfg: KEEPConfig) -> None:
     config = {
         "model_type": "keep",
         "projection_dim": cfg.projection_dim,
+        "max_text_length": cfg.max_text_length,
         "vision_config": dataclasses.asdict(cfg.vision),
         "text_config": {
             "vocab_size": cfg.text.vocab_size,

@@ -117,6 +117,7 @@ class KEEPConfig:
             vision=vision,
             text=BertConfig.from_hf_dict(d.get("text_config") or {}),
             projection_dim=d.get("projection_dim", 768),
+            max_text_length=d.get("max_text_length", 256),
         )
 
 

@@ -1,0 +1,298 @@
+"""Batching inference server — the production serving path for the KEEP
+inference API (reference quick_start/keep_inference.py exposes the model as
+a python object only; large-scale deployment needs a process boundary).
+
+Design (TPU-first):
+- **Fixed batch buckets.** Every request is padded up to the nearest bucket
+  (default 1/8/32/128) so a handful of compilations serve all traffic —
+  no dynamic shapes, no recompiles in steady state. ``warmup()`` compiles
+  every bucket before the server accepts traffic.
+- **Micro-batching.** Requests queue; a dispatcher thread drains up to the
+  largest bucket every ``max_delay_ms`` (or immediately when a full bucket
+  is waiting), runs ONE device dispatch, and fans results back out. Device
+  dispatch overhead (≈5 ms through the axon relay) amortizes across
+  concurrent callers.
+- **int8 option** (``quantize=True``): serves the W8A8 megakernel path —
+  1.58× bf16 on chip at cos 1.0000 (docs/PERF.md).
+
+HTTP layer: stdlib ThreadingHTTPServer with JSON endpoints —
+POST /encode_text  {"texts": ["...", ...]}            → {"embeddings": [[...]]}
+POST /encode_image {"images": [[H,W,3] uint8 lists]}  → {"embeddings": [[...]]}
+POST /similarity   {"texts": [...], "images": [...]}  → {"logits": [[...]]}
+GET  /healthz, GET /stats
+
+CLI: ``python -m keep_tpu.serve --model-dir <released ckpt> [--int8]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_BUCKETS = (1, 8, 32, 128)
+
+
+def _bucket(n: int, buckets=_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class _Request:
+    __slots__ = ("payload", "event", "result", "error")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchQueue:
+    """Micro-batching front of one jitted function: callers enqueue items,
+    the dispatcher drains + pads to a bucket + runs one device dispatch."""
+
+    def __init__(self, run_batch, max_batch: int, max_delay_ms: float = 3.0,
+                 name: str = "q"):
+        self.run_batch = run_batch  # (np stacked [N, ...]) -> np [N, D]
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self.q: queue.Queue[_Request] = queue.Queue()
+        self.name = name
+        self.served = 0
+        self.dispatches = 0
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True,
+                                       name=f"batcher-{name}")
+        self.thread.start()
+
+    def submit(self, items: np.ndarray) -> np.ndarray:
+        """Blocking: returns results for this caller's items."""
+        r = _Request(items)
+        self.q.put(r)
+        r.event.wait()
+        if r.error is not None:
+            raise r.error
+        return r.result
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            count = len(first.payload)
+            deadline = time.time() + self.max_delay
+            while count < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    r = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                batch.append(r)
+                count += len(r.payload)
+            try:
+                stacked = np.concatenate([r.payload for r in batch], axis=0)
+                out = self.run_batch(stacked)
+                self.served += len(stacked)
+                self.dispatches += 1
+                off = 0
+                for r in batch:
+                    n = len(r.payload)
+                    r.result = out[off: off + n]
+                    off += n
+            except Exception as e:  # propagate to every waiter
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=2)
+
+
+class InferenceServer:
+    """Model-side server core (HTTP-free; the handler below wraps it)."""
+
+    def __init__(self, model, tokenizer, *, max_length: int = 256,
+                 image_size: int = 224, buckets=_BUCKETS,
+                 max_delay_ms: float = 3.0):
+        import jax.numpy as jnp
+
+        from keep_tpu.configs import PreprocessConfig
+        from keep_tpu.ops.preprocess import preprocess
+
+        self.model = model
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.image_size = image_size
+        self.buckets = tuple(buckets)
+
+        def run_text(ids_mask: np.ndarray) -> np.ndarray:
+            n = len(ids_mask)
+            b = _bucket(n, self.buckets)
+            pad = np.zeros((b - n,) + ids_mask.shape[1:], ids_mask.dtype)
+            im = np.concatenate([ids_mask, pad], 0)
+            out = self.model.encode_text(
+                jnp.asarray(im[:, 0]), jnp.asarray(im[:, 1]))
+            return np.asarray(out)[:n]
+
+        def run_image(pixels: np.ndarray) -> np.ndarray:
+            n = len(pixels)
+            b = _bucket(n, self.buckets)
+            pad = np.zeros((b - n,) + pixels.shape[1:], pixels.dtype)
+            px = np.concatenate([pixels, pad], 0)
+            out = self.model.encode_image(jnp.asarray(px))
+            return np.asarray(out)[:n]
+
+        self.text_q = BatchQueue(run_text, self.buckets[-1], max_delay_ms,
+                                 "text")
+        self.image_q = BatchQueue(run_image, self.buckets[-1], max_delay_ms,
+                                  "image")
+        _pcfg = PreprocessConfig(size=image_size)
+        self._preprocess = lambda imgs: preprocess(imgs, _pcfg)
+        self.started = time.time()
+
+    # -- public API ---------------------------------------------------------
+
+    def encode_text(self, texts: list[str]) -> np.ndarray:
+        enc = self.tokenizer(texts, max_length=self.max_length)
+        ids_mask = np.stack(
+            [np.asarray(enc["input_ids"]), np.asarray(enc["attention_mask"])],
+            axis=1)  # [N, 2, S] so one queue payload carries both
+        return self.text_q.submit(ids_mask)
+
+    def encode_image(self, images: np.ndarray) -> np.ndarray:
+        """uint8 [N, H, W, 3] (any H/W — host-side fused resize to the model
+        size) → [N, D] unit features."""
+        pixels = np.asarray(self._preprocess(np.asarray(images)))
+        return self.image_q.submit(pixels)
+
+    def similarity(self, texts: list[str], images: np.ndarray) -> np.ndarray:
+        img = self.encode_image(images)
+        txt = self.encode_text(texts)
+        return img @ txt.T
+
+    def warmup(self) -> None:
+        """Compile every bucket for both towers before serving."""
+        for b in self.buckets:
+            self.encode_text(["warmup"] * b)
+            self.encode_image(
+                np.zeros((b, self.image_size, self.image_size, 3), np.uint8))
+
+    def stats(self) -> dict:
+        return {
+            "uptime_s": round(time.time() - self.started, 1),
+            "text": {"served": self.text_q.served,
+                     "dispatches": self.text_q.dispatches},
+            "image": {"served": self.image_q.served,
+                      "dispatches": self.image_q.dispatches},
+            "buckets": list(self.buckets),
+        }
+
+    def stop(self):
+        self.text_q.stop()
+        self.image_q.stop()
+
+
+def make_http_server(core: InferenceServer, port: int = 0,
+                     host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, core.stats())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/encode_text":
+                    out = core.encode_text(list(req["texts"]))
+                    self._json(200, {"embeddings": out.tolist()})
+                elif self.path == "/encode_image":
+                    imgs = np.asarray(req["images"], np.uint8)
+                    out = core.encode_image(imgs)
+                    self._json(200, {"embeddings": out.tolist()})
+                elif self.path == "/similarity":
+                    out = core.similarity(
+                        list(req["texts"]), np.asarray(req["images"], np.uint8))
+                    self._json(200, {"logits": out.tolist()})
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--model-dir", required=True,
+                    help="released-checkpoint dir (config.json + "
+                         "pytorch_model.bin + vocab.txt)")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the W8A8 megakernel path")
+    ap.add_argument("--max-delay-ms", type=float, default=3.0)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from keep_tpu.factory import get_tokenizer
+    from keep_tpu.models.keep import KEEPModel
+
+    model = KEEPModel.from_pretrained(args.model_dir, dtype=jnp.bfloat16)
+    if args.int8:
+        model = model.quantize()
+    tokenizer = get_tokenizer("bert", args.model_dir)
+    # the released config carries max_text_length=256 (keep_inference.py:99);
+    # never exceed the tower's learned positions either way
+    max_len = min(model.cfg.max_text_length,
+                  model.cfg.text.max_position_embeddings)
+    core = InferenceServer(model, tokenizer, max_length=max_len,
+                           image_size=model.cfg.vision.img_size,
+                           max_delay_ms=args.max_delay_ms)
+    print("warming up (compiling all buckets)...", flush=True)
+    core.warmup()
+    httpd = make_http_server(core, args.port, args.host)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]}",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        core.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

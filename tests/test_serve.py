@@ -1,0 +1,138 @@
+"""Batching inference server (keep_tpu.serve): bucket padding, concurrent
+micro-batching, HTTP endpoints, warmup — on a tiny KEEP model."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu import serve
+from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+from keep_tpu.models import keep
+
+VOCAB = "[PAD] [UNK] [CLS] [SEP] [MASK] lung tumor normal tissue image of a .".split()
+
+
+@pytest.fixture(scope="module")
+def core():
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                         num_heads=2),
+        text=BertConfig(vocab_size=len(VOCAB), hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, max_position_embeddings=32),
+        projection_dim=32, max_text_length=16,
+    )
+    model = keep.KEEPModel(params=keep.init(jax.random.PRNGKey(0), cfg),
+                           cfg=cfg)
+    from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(vocab={w: i for i, w in enumerate(VOCAB)})
+    c = serve.InferenceServer(model, tok, max_length=16, image_size=16,
+                              buckets=(2, 4), max_delay_ms=20.0)
+    yield c
+    c.stop()
+
+
+def test_bucket_selection():
+    assert serve._bucket(1, (2, 4)) == 2
+    assert serve._bucket(3, (2, 4)) == 4
+    assert serve._bucket(9, (2, 4)) == 4  # clamped to the largest
+
+
+def test_encode_and_similarity(core):
+    out = core.encode_text(["an image of lung tumor .", "normal tissue ."])
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-4)
+
+    imgs = np.random.default_rng(0).integers(0, 255, (3, 20, 24, 3)).astype(np.uint8)
+    emb = core.encode_image(imgs)
+    assert emb.shape == (3, 32)
+    sim = core.similarity(["a image of ."], imgs)
+    assert sim.shape == (3, 1)
+
+    # padding must not leak into results: 1-item call == slice of 3-item call
+    one = core.encode_image(imgs[:1])
+    np.testing.assert_allclose(one[0], emb[0], atol=1e-5)
+
+
+def test_concurrent_requests_microbatch(core):
+    """Concurrent callers coalesce into fewer device dispatches."""
+    d0 = core.text_q.dispatches
+    results = {}
+
+    def call(i):
+        results[i] = core.encode_text([f"image of tumor ."])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    for i in range(1, 4):
+        np.testing.assert_allclose(results[0], results[i], atol=1e-6)
+    # 4 singleton requests, 20ms window, bucket max 4 → fewer than 4 dispatches
+    assert core.text_q.dispatches - d0 < 4
+
+
+def test_http_endpoints(core):
+    httpd = serve.make_http_server(core, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, obj):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        out = post("/encode_text", {"texts": ["lung tumor ."]})
+        assert len(out["embeddings"]) == 1
+        assert len(out["embeddings"][0]) == 32
+
+        img = np.zeros((1, 16, 16, 3), np.uint8).tolist()
+        out = post("/similarity", {"texts": ["normal ."], "images": img})
+        assert len(out["logits"]) == 1
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["text"]["served"] >= 1
+        assert stats["buckets"] == [2, 4]
+
+        # bad route + bad payload → structured errors, server stays up
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/nope",
+                                     data=b"{}")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode_text", data=b'{"bad": 1}')
+        try:
+            urllib.request.urlopen(req, timeout=10)
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        out = post("/encode_text", {"texts": ["still alive ."]})
+        assert len(out["embeddings"]) == 1
+    finally:
+        httpd.shutdown()
+
+
+def test_warmup_compiles_buckets(core):
+    d0 = core.image_q.dispatches
+    core.warmup()
+    assert core.image_q.dispatches - d0 == len(core.buckets)
