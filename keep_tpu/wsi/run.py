@@ -53,9 +53,10 @@ def load_model(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("task", choices=["detection", "segmentation", "subtyping"])
+    parser.add_argument("task", choices=["detection", "segmentation",
+                                         "subtyping", "extract"])
     parser.add_argument("--model", required=True, help="HF model dir (config.json + pytorch_model.bin + vocab.txt)")
-    parser.add_argument("--prompts", required=True, help="prompt JSON (reference WSI_evaluation/prompts format)")
+    parser.add_argument("--prompts", help="prompt JSON (reference WSI_evaluation/prompts format; required for eval tasks)")
     parser.add_argument("--h5", help="one slide h5 (features+coords)")
     parser.add_argument("--cohort-csv", help="cohort CSV with slide_id/Diagnosis")
     parser.add_argument("--data-source", help="dir containing h5_files/ for the cohort")
@@ -71,12 +72,38 @@ def main(argv=None):
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 quantized inference (keep_tpu.quant)")
+    parser.add_argument("--image", help="extract: level-0 RGB image (PIL-readable)")
+    parser.add_argument("--out", help="extract: output h5 path (features+coords)")
+    parser.add_argument("--tissue-fraction", type=float, default=0.25)
+    parser.add_argument("--batch-size", type=int, default=256)
     args = parser.parse_args(argv)
     args.add_normal = args.task == "subtyping"
     if args.patch_size is None:
         args.patch_size = 224 if args.task == "segmentation" else 256
 
     logging.basicConfig(level=logging.INFO)
+
+    if args.task == "extract":
+        # pixels → CLAM-style h5: the feature-extraction step the reference
+        # outsources to CLAM (README.md:74 'precomputed patch features')
+        if not (args.image and args.out):
+            parser.error("extract needs --image and --out")
+        from PIL import Image
+
+        from keep_tpu.io.tiles import cut_tiles
+        from keep_tpu.wsi.extract import extract_to_h5
+
+        Image.MAX_IMAGE_PIXELS = None
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        tiles, coords = cut_tiles(img, patch_size=args.patch_size,
+                                  tissue_fraction=args.tissue_fraction)
+        logging.info("cut %d tissue tiles (%dpx) from %s", len(tiles),
+                     args.patch_size, args.image)
+        model, _ = load_model(args)
+        extract_to_h5(model, tiles, coords, args.out,
+                      batch_size=args.batch_size, resize=True)
+        print(f"wrote {len(tiles)} features to {args.out}")
+        return
     from keep_tpu.io.h5 import WSIDataset, read_h5_slide
     from keep_tpu.wsi import cohort as cohort_mod
     from keep_tpu.wsi.pipelines import (
@@ -85,6 +112,8 @@ def main(argv=None):
         zero_shot_subtyping,
     )
 
+    if not args.prompts:
+        parser.error(f"{args.task} needs --prompts")
     label_map = json.loads(args.label_map)
     with open(args.prompts) as f:
         prompts = json.load(f)

@@ -172,3 +172,45 @@ def test_wsi_cli_int8(model_dir, capsys):
     ])
     out = capsys.readouterr().out
     assert "Tumor probability:" in out
+
+
+def test_wsi_cli_extract_then_detect(model_dir, tmp_path, capsys):
+    from keep_tpu.wsi.run import main as run_main
+    """pixels → tissue tiles → features h5 → detection, all through the CLI
+    (the CLAM feature-extraction step the reference outsources,
+    README.md:74)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = np.full((200, 200, 3), 250, np.uint8)  # white background
+    img[40:160, 40:160] = rng.integers(80, 200, (120, 120, 3)).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "slide.png")
+
+    out_h5 = tmp_path / "extracted.h5"
+    run_main([
+        "extract", "--model", str(model_dir / "model"),
+        "--image", str(tmp_path / "slide.png"), "--out", str(out_h5),
+        "--patch-size", "32", "--batch-size", "8",
+    ])
+    assert "wrote" in capsys.readouterr().out
+    with h5py.File(out_h5) as f:
+        n = f["features"].shape[0]
+        assert n > 0 and f["features"].shape[1] == 32
+        assert f["coords"].shape == (n, 2)
+
+    run_main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--h5", str(out_h5), "--patch-size", "32",
+        "--max-length", "16", "--no-screening",
+    ])
+    assert "Tumor probability" in capsys.readouterr().out
+
+
+def test_wsi_cli_extract_requires_args(model_dir):
+    from keep_tpu.wsi.run import main as run_main
+    with pytest.raises(SystemExit):
+        run_main(["extract", "--model", str(model_dir / "model")])
+    with pytest.raises(SystemExit):  # eval tasks still require --prompts
+        run_main(["detection", "--model", str(model_dir / "model"),
+                  "--h5", "x.h5"])
