@@ -193,7 +193,10 @@ def main():
         vcfg = ViTConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
                          num_heads=4)
     params = vit.init(jax.random.PRNGKey(0), vcfg)
-    bs = 256 if on_tpu else 8
+    # measured batch scaling (int8, one v5e): 256→1744.6, 512→1768.3,
+    # 768→1776.0, 1024→1780.9 patches/s — 512 takes most of the win without
+    # doubling warmup compiles
+    bs = 512 if on_tpu else 8
 
     fwd = jax.jit(
         lambda p, x: vit.forward(
