@@ -17,7 +17,12 @@ Re-designed from scratch with the capabilities of MAGIC-AI4Med/KEEP
 - ``keep_tpu.metrics``  — AUROC / Dice / BACC / WF1 / retrieval metrics.
 - ``keep_tpu.train``    — contrastive + hierarchical-metric pretraining stack.
 - ``keep_tpu.parallel`` — mesh / sharding helpers (DP batch axis, WSI patch axis).
-- ``keep_tpu.compat``   — PyTorch checkpoint → JAX pytree converters.
+- ``keep_tpu.compat``   — PyTorch checkpoint → JAX pytree converters + local
+  hub publishing (``compat.hub``).
+- ``keep_tpu.presets``  — the reference's 62 OpenCLIP arch presets as native
+  config data (55 build natively; ``presets.UNSUPPORTED`` names the rest).
+- ``keep_tpu.serve``    — batching HTTP inference server
+  (``python -m keep_tpu.serve``).
 """
 
 __version__ = "0.1.0"

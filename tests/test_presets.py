@@ -140,3 +140,34 @@ def test_tokenizer_kind():
     assert presets.tokenizer_kind("ViT-B-32-bert") == "bert"
     with pytest.raises(presets.UnsupportedPresetError, match="SentencePiece"):
         presets.tokenizer_kind("xlm-roberta-base-ViT-B-32")
+
+
+@pytest.mark.slow
+def test_swin_and_eva01_towers_shrunken(rng):
+    """swin/EVA01 presets resolve to real tower configs; forward a shrunken
+    clone of each resolved config to prove the dispatch wiring (the full
+    towers are 88M/1B params — too heavy for unit tests)."""
+    import dataclasses
+
+    r = presets.resolve("swin_base_patch4_window7_224")
+    assert (r.vision_cfg.embed_dim, tuple(r.vision_cfg.depths)) == (128, (2, 2, 18, 2))
+    from keep_tpu.models import swin
+
+    scfg = dataclasses.replace(r.vision_cfg, img_size=56, embed_dim=8,
+                               depths=(1, 1), heads=(2, 4),
+                               num_features_mult=2)
+    sp = swin.init(jax.random.PRNGKey(0), scfg)
+    x = jnp.asarray(rng.standard_normal((1, 56, 56, 3), dtype=np.float32))
+    assert swin.forward(sp, x, scfg).shape == (1, scfg.num_features)
+
+    r = presets.resolve("EVA01-g-14")
+    assert (r.vision_cfg.embed_dim, r.vision_cfg.depth) == (1408, 40)
+    assert r.vision_cfg.mlp_ratio == pytest.approx(6144 / 1408)
+    assert r.vision_proj == "linear_bias"  # timm classifier head as proj
+    from keep_tpu.models import vit
+
+    ecfg = dataclasses.replace(r.vision_cfg, img_size=28, embed_dim=32,
+                               depth=2, num_heads=4)
+    ep = vit.init(jax.random.PRNGKey(1), ecfg)
+    xi = jnp.asarray(rng.standard_normal((1, 28, 28, 3), dtype=np.float32))
+    assert vit.forward(ep, xi, ecfg).shape == (1, 32)
