@@ -45,6 +45,13 @@ def _bucket(n: int, buckets=_BUCKETS) -> int:
     return buckets[-1]
 
 
+def dataclasses_replace_params(model, params):
+    """Rebuild the (frozen-dataclass) model around device-placed params."""
+    import dataclasses
+
+    return dataclasses.replace(model, params=params)
+
+
 class _Request:
     __slots__ = ("payload", "event", "result", "error")
 
@@ -128,7 +135,11 @@ class InferenceServer:
 
     def __init__(self, model, tokenizer, *, max_length: int = 256,
                  image_size: int = 224, buckets=_BUCKETS,
-                 max_delay_ms: float = 3.0):
+                 max_delay_ms: float = 3.0, mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a 'dp' axis → batches shard
+        over all its devices (params replicate; every bucket is rounded up
+        to a multiple of the axis size)."""
+        import jax
         import jax.numpy as jnp
 
         from keep_tpu.configs import PreprocessConfig
@@ -138,24 +149,38 @@ class InferenceServer:
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.image_size = image_size
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape["dp"]
+            buckets = sorted({max(b, n_dev) + (-max(b, n_dev)) % n_dev
+                              for b in buckets})
+            self._shard = NamedSharding(mesh, P("dp"))
+            rep = NamedSharding(mesh, P())
+            # replicate params once; jit reuses the placed copies
+            self.model = dataclasses_replace_params(
+                model, jax.device_put(model.params, rep))
         self.buckets = tuple(buckets)
 
-        def run_text(ids_mask: np.ndarray) -> np.ndarray:
-            n = len(ids_mask)
+        def _pad_put(arr: np.ndarray) -> "jnp.ndarray":
+            n = len(arr)
             b = _bucket(n, self.buckets)
-            pad = np.zeros((b - n,) + ids_mask.shape[1:], ids_mask.dtype)
-            im = np.concatenate([ids_mask, pad], 0)
-            out = self.model.encode_text(
-                jnp.asarray(im[:, 0]), jnp.asarray(im[:, 1]))
-            return np.asarray(out)[:n]
+            pad = np.zeros((b - n,) + arr.shape[1:], arr.dtype)
+            full = np.concatenate([arr, pad], 0)
+            if mesh is None:
+                return jnp.asarray(full)
+            return jax.device_put(full, self._shard)
+
+        def run_text(ids_mask: np.ndarray) -> np.ndarray:
+            im = _pad_put(ids_mask)
+            out = self.model.encode_text(im[:, 0], im[:, 1])
+            return np.asarray(out)[: len(ids_mask)]
 
         def run_image(pixels: np.ndarray) -> np.ndarray:
-            n = len(pixels)
-            b = _bucket(n, self.buckets)
-            pad = np.zeros((b - n,) + pixels.shape[1:], pixels.dtype)
-            px = np.concatenate([pixels, pad], 0)
-            out = self.model.encode_image(jnp.asarray(px))
-            return np.asarray(out)[:n]
+            px = _pad_put(pixels)
+            out = self.model.encode_image(px)
+            return np.asarray(out)[: len(pixels)]
 
         self.text_q = BatchQueue(run_text, self.buckets[-1], max_delay_ms,
                                  "text")
@@ -262,6 +287,9 @@ def main(argv=None) -> int:
     ap.add_argument("--int8", action="store_true",
                     help="serve the W8A8 megakernel path")
     ap.add_argument("--max-delay-ms", type=float, default=3.0)
+    ap.add_argument("--mesh-dp", type=int, default=0,
+                    help="shard request batches over this many devices "
+                         "(0 = single device)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -277,9 +305,14 @@ def main(argv=None) -> int:
     # never exceed the tower's learned positions either way
     max_len = min(model.cfg.max_text_length,
                   model.cfg.text.max_position_embeddings)
+    mesh = None
+    if args.mesh_dp:
+        from keep_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_dp)
     core = InferenceServer(model, tokenizer, max_length=max_len,
                            image_size=model.cfg.vision.img_size,
-                           max_delay_ms=args.max_delay_ms)
+                           max_delay_ms=args.max_delay_ms, mesh=mesh)
     print("warming up (compiling all buckets)...", flush=True)
     core.warmup()
     httpd = make_http_server(core, args.port, args.host)

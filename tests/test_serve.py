@@ -136,3 +136,35 @@ def test_warmup_compiles_buckets(core):
     d0 = core.image_q.dispatches
     core.warmup()
     assert core.image_q.dispatches - d0 == len(core.buckets)
+
+
+def test_mesh_sharded_server(core):
+    """mesh= shards request batches over 'dp' (params replicated); results
+    match the single-device server bit-for-bit at fp32."""
+    from keep_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    sharded = serve.InferenceServer(core.model, core.tokenizer,
+                                    max_length=16, image_size=16,
+                                    buckets=(2, 4), max_delay_ms=5.0,
+                                    mesh=mesh)
+    try:
+        # buckets rounded up to multiples of the dp axis
+        assert all(b % 8 == 0 for b in sharded.buckets), sharded.buckets
+        texts = ["an image of lung tumor .", "normal tissue ."]
+        a = core.encode_text(texts)
+        b = sharded.encode_text(texts)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+        imgs = np.random.default_rng(3).integers(
+            0, 255, (3, 16, 16, 3)).astype(np.uint8)
+        np.testing.assert_allclose(core.encode_image(imgs),
+                                   sharded.encode_image(imgs), atol=1e-5)
+        # the device_put really committed to the dp sharding
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        placed = jax.device_put(np.zeros((8, 4)), NamedSharding(mesh, P("dp")))
+        assert len(placed.addressable_shards) == 8
+    finally:
+        sharded.stop()
