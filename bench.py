@@ -144,6 +144,41 @@ def bench_wsi_configs(rng):
     })
 
 
+def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
+    """BERT-base text tower @256 tokens, batch 512 — the prompt-classifier
+    builder's workload (docs/PERF.md 'Text tower')."""
+    import jax
+    import jax.numpy as jnp
+
+    from keep_tpu.models import keep
+
+    bs = 512 if on_tpu else 8
+    ids = jnp.asarray(rng.integers(1, cfg.text.vocab_size, (bs, 256)))
+    mask = jnp.ones((bs, 256), jnp.int32)
+
+    p = params
+    precision = "bf16"
+    if on_tpu:
+        from keep_tpu.quant import quantize_linear_weights
+
+        p = dict(params)
+        p["text"] = quantize_linear_weights(params["text"])
+        precision = "int8_w8a8"
+
+    @jax.jit
+    def encode(p, i, m):
+        return keep.encode_text(p, i, m, cfg=cfg, dtype=jnp.bfloat16,
+                                use_flash=use_flash, gelu_approx=True)
+
+    dt = _timed(encode, p, ids, mask, iters=10 if on_tpu else 2)
+    _emit({
+        "metric": "bert_text_tower_256tok",
+        "value": round(bs / dt, 1), "unit": "texts/s",
+        "ms": round(dt * 1e3, 2), "batch_size": bs,
+        "precision": precision, "vs_baseline": None,
+    })
+
+
 def bench_single_tile(params, cfg, rng, use_flash):
     """Config 1: the quick_start path — preprocess one tile, encode both
     towers, similarity row (keep_inference.py:88-104)."""
@@ -232,6 +267,7 @@ def main():
         kparams = keep.init(jax.random.PRNGKey(0), kcfg)
         for fn, args in (
             (bench_single_tile, (kparams, kcfg, rng, on_tpu)),
+            (bench_text_tower, (kparams, kcfg, rng, on_tpu, on_tpu)),
             (bench_wsi_configs, (rng,)),
         ):
             try:
