@@ -65,6 +65,11 @@ class SolverConfig:
     freeze_visual_epochs: int = 1
     freeze_text_epochs: int = 1
     freeze_knowledge_epochs: int = 0
+    # FSDP-style param/optimizer sharding over the 'dp' mesh axis (ZeRO-3
+    # analog; parallel/fsdp.py). The reference replicates state on every
+    # rank; this shards each large leaf's biggest divisible axis instead.
+    fsdp: bool = False
+    fsdp_min_size: int = 1 << 16  # leaves below this many elements replicate
 
 
 @dataclasses.dataclass

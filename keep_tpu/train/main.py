@@ -347,7 +347,16 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     put_state, put_batch, put_repl = make_placement(
         mesh, batch_axis=1 if accum > 1 else 0
     )
-    state = put_state(state)
+    if mesh is not None and cfg.solver.fsdp:
+        from keep_tpu.parallel.fsdp import place_state, sharded_fraction
+
+        state = place_state(state, mesh, min_size=cfg.solver.fsdp_min_size)
+        logging.info(
+            "FSDP: %.0f%% of param elements sharded over %d devices",
+            100 * sharded_fraction(state.params, mesh,
+                                   min_size=cfg.solver.fsdp_min_size), n_dev)
+    else:
+        state = put_state(state)
 
     # per-phase static-freeze steps: stop-gradienting the frozen leaves at
     # compile time lets XLA drop the frozen towers' backward+remat entirely

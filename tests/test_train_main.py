@@ -182,3 +182,60 @@ def test_train_accum_hierarchy(run_dirs, tmp_path):
     cfg.dataloader = DataloaderConfig(batch_size=4, caption_num=2, workers=1)
     res = tmain.train(cfg)
     assert np.isfinite(res["train_loss"])
+
+
+def test_train_fsdp_equivalence(run_dirs, tmp_path):
+    """solver.fsdp shards the training state over the 8-device mesh (ZeRO-3
+    analog, parallel/fsdp.py) and produces the SAME trajectory as replicated
+    DP — XLA's SPMD partitioner inserts the gathers/reduce-scatters."""
+    import json as _json
+
+    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
+                       freeze_visual_epochs=0)
+    tmain.train(cfg_rep)
+    cfg_f = make_cfg(run_dirs, tmp_path / "fsdp", epochs=2,
+                     freeze_visual_epochs=0)
+    cfg_f = dataclasses.replace(
+        cfg_f, solver=dataclasses.replace(cfg_f.solver, fsdp=True,
+                                          fsdp_min_size=256))
+    tmain.train(cfg_f)
+
+    def losses(d):
+        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
+        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
+        return [v for v in vals if v is not None]
+
+    a, b = losses(tmp_path / "rep"), losses(tmp_path / "fsdp")
+    assert a and len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fsdp_placement_unit():
+    """fsdp_spec/place_state/sharded_fraction mechanics on the virtual mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from keep_tpu.parallel.fsdp import (
+        fsdp_spec,
+        place_state,
+        sharded_fraction,
+        state_shardings,
+    )
+    from keep_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    assert fsdp_spec((1024, 333), 8, min_size=1024) == P("dp", None)
+    assert fsdp_spec((333, 1024), 8, min_size=1024) == P(None, "dp")
+    assert fsdp_spec((16, 16), 8, min_size=1024) == P()  # below min_size
+    assert fsdp_spec((333, 333), 8, min_size=1) == P()  # nothing divides
+
+    tree = {"big": np.ones((64, 48), np.float32),
+            "small": np.ones((4,), np.float32),
+            "scalar": np.float32(3.0)}
+    placed = place_state(tree, mesh, min_size=512)
+    assert len({s.data.shape for s in placed["big"].addressable_shards}) == 1
+    assert placed["big"].addressable_shards[0].data.shape == (8, 48)
+    assert placed["small"].addressable_shards[0].data.shape == (4,)
+    frac = sharded_fraction(tree, mesh, min_size=512)
+    assert frac == pytest.approx((64 * 48) / (64 * 48 + 4 + 1))
+    sh = state_shardings(tree, mesh, min_size=512)
+    assert sh["scalar"].spec == P()
