@@ -1,0 +1,77 @@
+"""Tensor-parallel parameter shardings for the transformer towers — the
+'mp' mesh axis SURVEY §2.4 reserves ("leave room via mesh axis"; the
+reference has no TP at all).
+
+Megatron-style layout expressed purely as NamedShardings — XLA's SPMD
+partitioner derives the math: qkv/fc1 kernels split on the OUTPUT features
+(column parallel; each shard computes its heads / its slice of the hidden),
+proj/fc2 on the INPUT features (row parallel; the residual add becomes the
+all-reduce). Biases of column-parallel layers split too; row-parallel
+biases and everything else (LN, embeddings, patchify) replicate on 'mp'.
+
+Stacked-layer pytrees (the ``blocks`` dicts are [L, ...] arrays) shard on
+the feature axes AFTER the leading layer axis — handled by matching on the
+trailing dimensions.
+
+Compose with data parallelism over a 2-D mesh ``Mesh(devices, ('dp','mp'))``:
+batches shard on 'dp' (``mesh_batch_sharding``), params on 'mp' via
+:func:`tp_shardings`, optionally ALSO on 'dp' via ``parallel.fsdp``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# leaf-name → which feature axis splits: 'col' = last axis (output),
+# 'row' = second-to-last (input). Keys match both vit and bert pytrees.
+_COL = {"qkv", "fc1"}
+_ROW = {"proj", "out", "fc2"}
+
+
+def _spec_for(path: tuple, shape: tuple, n_dev: int, axis: str) -> P:
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    leaf = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
+    owner = parent if leaf in ("kernel", "bias", "kernel_q", "scale") else leaf
+    nd = len(shape)
+    if owner in _COL:
+        ax = nd - 1  # kernels [.., in, out] and biases [.., out]: both last
+        if shape[ax] % n_dev == 0:
+            return P(*([None] * ax), axis)
+    elif owner in _ROW and leaf in ("kernel", "kernel_q") and nd >= 2:
+        ax = nd - 2  # input axis of row-parallel kernels
+        if shape[ax] % n_dev == 0:
+            return P(*([None] * ax), axis, None)
+    return P()
+
+
+def tp_shardings(params, mesh: Mesh, axis: str = "mp"):
+    """Pytree of NamedShardings implementing the Megatron layout over
+    ``axis``; leaves that don't match (LN, embeddings, heads) replicate."""
+    n_dev = mesh.shape[axis]
+
+    def one(path, leaf):
+        return NamedSharding(mesh, _spec_for(path, np.shape(leaf), n_dev, axis))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def place_tp(params, mesh: Mesh, axis: str = "mp"):
+    """device_put the params with their tensor-parallel shardings."""
+    return jax.tree.map(jax.device_put, params, tp_shardings(params, mesh, axis))
+
+
+def tp_fraction(params, mesh: Mesh, axis: str = "mp") -> float:
+    """Fraction of parameter elements that actually split over ``axis``."""
+    import math
+
+    n_dev = mesh.shape[axis]
+    total = split = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        n = math.prod(np.shape(leaf)) or 1
+        total += n
+        if _spec_for(path, np.shape(leaf), n_dev, axis) != P():
+            split += n
+    return split / max(total, 1)
