@@ -80,3 +80,17 @@ def test_identity_resize(rng):
     got = np.asarray(preprocess(img, CFG))[0]
     ref = (img.astype(np.float32) / 255.0 - np.array(CFG.mean)) / np.array(CFG.std)
     assert np.max(np.abs(got - ref)) < 1e-4
+
+
+@pytest.mark.parametrize("target", [240, 256, 288, 320, 336, 448])
+def test_matches_pil_at_preset_sizes(target, rng):
+    """The OpenCLIP presets run at 240–448px (presets.preprocess_config);
+    PIL parity must hold at every target size, not just 224."""
+    img = rng.integers(0, 256, size=(500, 470, 3), dtype=np.uint8)
+    from keep_tpu.configs import PreprocessConfig
+
+    cfg = PreprocessConfig(size=target)
+    got = np.asarray(preprocess(img, cfg))[0]
+    ref = pil_reference(img, size=target, crop=target)
+    assert got.shape == (target, target, 3)
+    assert np.abs(got - ref).max() <= 1.5 / 255 / 0.225 + 1e-6
