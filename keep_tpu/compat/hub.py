@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 HF_WEIGHTS_NAME = "open_clip_pytorch_model.bin"
+HF_SAFE_WEIGHTS_NAME = "open_clip_model.safetensors"
 HF_CONFIG_NAME = "open_clip_config.json"
 
 # the eval transform's normalization (reference keep_inference.py:88-93)
@@ -53,26 +54,35 @@ def save_for_hub(
     preprocess_cfg: Optional[dict] = None,
     tokenizer_files: Optional[list[str]] = None,
     skip_weights: bool = False,
+    safe_serialization=False,  # False | True | 'both' (push_to_hf_hub.py:71-75)
 ) -> None:
     """``save_for_hf`` (push_to_hf_hub.py:57-81): weights + tokenizer +
     open_clip_config.json into one directory.
 
     ``state_dict`` is a flat name→array mapping (e.g. from
     ``compat.export.to_keep_state_dict`` or any ``*_to_*_state_dict``
-    converter). Saved as torch ``.bin`` when torch is importable, and always
-    additionally as ``weights.npz`` (framework-neutral)."""
+    converter). Saved as torch ``.bin`` (and/or ``.safetensors`` per
+    ``safe_serialization``) plus always ``weights.npz`` (framework-neutral)."""
     os.makedirs(save_directory, exist_ok=True)
     if not skip_weights:
         arrays = {k: np.asarray(v) for k, v in state_dict.items()}
         np.savez(os.path.join(save_directory, "weights.npz"), **arrays)
-        try:
-            import torch
+        if safe_serialization in (True, "both"):
+            from safetensors.numpy import save_file
 
-            sd = {k: torch.from_numpy(np.asarray(v, np.float32).copy())
-                  for k, v in arrays.items()}
-            torch.save(sd, os.path.join(save_directory, HF_WEIGHTS_NAME))
-        except ImportError:
-            pass
+            save_file(
+                {k: np.ascontiguousarray(v, np.float32) for k, v in
+                 arrays.items()},
+                os.path.join(save_directory, HF_SAFE_WEIGHTS_NAME))
+        if safe_serialization in (False, "both"):
+            try:
+                import torch
+
+                sd = {k: torch.from_numpy(np.asarray(v, np.float32).copy())
+                      for k, v in arrays.items()}
+                torch.save(sd, os.path.join(save_directory, HF_WEIGHTS_NAME))
+            except ImportError:
+                pass
     for f in tokenizer_files or []:
         shutil.copy(f, os.path.join(save_directory, os.path.basename(f)))
     save_config_for_hub(os.path.join(save_directory, HF_CONFIG_NAME),

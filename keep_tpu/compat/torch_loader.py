@@ -194,11 +194,22 @@ def convert_keep_state_dict(sd: Mapping, cfg: KEEPConfig) -> dict:
     }
 
 
-def load_keep_checkpoint(path: str, cfg: KEEPConfig) -> dict:
-    """Load ``pytorch_model.bin`` (or a training checkpoint dict) and convert."""
+def load_state_dict_file(path: str) -> dict:
+    """Read a weights file by extension: ``.safetensors`` (HF releases
+    increasingly ship these exclusively) or a torch ``.bin``/``.pt``."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_keep_checkpoint(path: str, cfg: KEEPConfig) -> dict:
+    """Load ``pytorch_model.bin`` / ``model.safetensors`` (or a training
+    checkpoint dict) and convert."""
+    sd = load_state_dict_file(path)
     import jax
     import jax.numpy as jnp
 

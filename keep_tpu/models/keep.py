@@ -177,7 +177,12 @@ class KEEPModel:
         from keep_tpu.compat.torch_loader import load_keep_checkpoint
 
         cfg = cfg or KEEPConfig.from_hf_json(os.path.join(model_dir, "config.json"))
-        params = load_keep_checkpoint(
-            os.path.join(model_dir, "pytorch_model.bin"), cfg
-        )
+        for name in ("pytorch_model.bin", "model.safetensors"):
+            weights = os.path.join(model_dir, name)
+            if os.path.exists(weights):
+                break
+        else:
+            raise FileNotFoundError(
+                f"no pytorch_model.bin or model.safetensors in {model_dir}")
+        params = load_keep_checkpoint(weights, cfg)
         return cls(params=params, cfg=cfg, dtype=dtype, use_flash=use_flash)

@@ -80,3 +80,52 @@ def test_push_registers_in_registry(tmp_path):
     assert os.path.exists(path)
     with pytest.raises(ValueError, match="owner/name"):
         hub.push_to_hub("nade", sd)
+
+
+def test_safetensors_roundtrip(tmp_path):
+    """safe_serialization='both' writes .safetensors + .bin; the
+    safetensors file round-trips through the checkpoint reader, and
+    KEEPModel.from_pretrained loads a safetensors-only model dir (the
+    layout new HF releases ship)."""
+    from safetensors.numpy import load_file
+
+    sd = {"a.w": np.arange(6, dtype=np.float32).reshape(2, 3),
+          "b": np.asarray(2.5, np.float32)}
+    hub.save_for_hub(str(tmp_path / "repo"), sd, safe_serialization="both")
+    files = set(os.listdir(tmp_path / "repo"))
+    assert {"open_clip_model.safetensors", "open_clip_pytorch_model.bin"} <= files
+    back = load_file(str(tmp_path / "repo" / "open_clip_model.safetensors"))
+    np.testing.assert_array_equal(back["a.w"], sd["a.w"])
+
+    from keep_tpu.compat.torch_loader import load_state_dict_file
+
+    via_reader = load_state_dict_file(
+        str(tmp_path / "repo" / "open_clip_model.safetensors"))
+    np.testing.assert_array_equal(np.asarray(via_reader["a.w"]), sd["a.w"])
+
+    # safetensors-only KEEP model dir loads through from_pretrained
+    import jax
+
+    from keep_tpu.compat.export import save_pretrained, to_keep_state_dict
+    from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+    from keep_tpu.models import keep
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                         num_heads=2),
+        text=BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=16),
+        projection_dim=32, max_text_length=8)
+    params = keep.init(jax.random.PRNGKey(0), cfg)
+    d = tmp_path / "model"
+    save_pretrained(str(d), params, cfg)
+    from safetensors.numpy import save_file
+
+    full = {k: np.ascontiguousarray(np.asarray(v, np.float32))
+            for k, v in to_keep_state_dict(params, cfg).items()}
+    save_file(full, str(d / "model.safetensors"))
+    os.remove(d / "pytorch_model.bin")
+    m = keep.KEEPModel.from_pretrained(str(d))
+    out = m.encode_image(np.zeros((1, 16, 16, 3), np.float32))
+    assert np.isfinite(np.asarray(out)).all()
