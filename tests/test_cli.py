@@ -214,3 +214,21 @@ def test_wsi_cli_extract_requires_args(model_dir):
     with pytest.raises(SystemExit):  # eval tasks still require --prompts
         run_main(["detection", "--model", str(model_dir / "model"),
                   "--h5", "x.h5"])
+
+
+def test_verify_release_runs(model_dir, capsys):
+    """verify_release.py must execute end-to-end on any exported model dir
+    (it previously shipped with a dead encode_text_ids call): text tower
+    cross-checked against the REAL transformers BertModel."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from verify_release import main as vr_main
+
+    rc = vr_main(["--model-dir", str(model_dir / "model"), "--fp32",
+                  "--image", "/nonexistent.tif"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "text tower vs real transformers" in out
+    assert "PASS" in out

@@ -26,6 +26,12 @@ import sys
 import numpy as np
 
 
+def _max_len(model) -> int:
+    # the release tokenizes at 256 (keep_inference.py:99); never exceed the
+    # tower's learned positions (lets this script run on tiny test exports)
+    return min(256, model.cfg.text.max_position_embeddings)
+
+
 def check_text_tower_vs_transformers(model_dir: str, model, tokenizer) -> bool:
     """encode_text parity vs the real HF BertModel on the released weights."""
     try:
@@ -39,8 +45,14 @@ def check_text_tower_vs_transformers(model_dir: str, model, tokenizer) -> bool:
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_cfg = json.load(f)
-    sd = torch.load(os.path.join(model_dir, "pytorch_model.bin"),
-                    map_location="cpu", weights_only=True)
+    from keep_tpu.compat.torch_loader import load_state_dict_file
+
+    weights = os.path.join(model_dir, "pytorch_model.bin")
+    if not os.path.exists(weights):
+        weights = os.path.join(model_dir, "model.safetensors")
+    sd = load_state_dict_file(weights)
+    sd = {k: (torch.from_numpy(np.asarray(v)) if not hasattr(v, "dim") else v)
+          for k, v in sd.items()}
     sd = strip_prefix(normalize_state_dict(sd), "text.")
     bert = BertModel(BertConfig(**hf_cfg["text_config"]))
     missing, unexpected = bert.load_state_dict(sd, strict=False)
@@ -53,14 +65,16 @@ def check_text_tower_vs_transformers(model_dir: str, model, tokenizer) -> bool:
     texts = ["an H&E image of breast invasive carcinoma.",
              "an H&E image of normal tissue.",
              "an H&E image of lung adenocarcinoma."]
-    enc = tokenizer(texts, max_length=256)
+    enc = tokenizer(texts, max_length=_max_len(model))
     with torch.no_grad():
         ref = bert(input_ids=torch.from_numpy(np.asarray(enc["input_ids"])),
                    attention_mask=torch.from_numpy(np.asarray(enc["attention_mask"]))
                    ).pooler_output
         ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
-    got = np.asarray(model.encode_text_ids(enc["input_ids"],
-                                           enc["attention_mask"]))
+    import jax.numpy as jnp
+
+    got = np.asarray(model.encode_text(jnp.asarray(enc["input_ids"]),
+                                       jnp.asarray(enc["attention_mask"])))
     err = np.abs(got - ref).max()
     ok = err < 5e-3  # bf16 tower tolerance; fp32 towers pass at ~2e-5
     print(f"[{'ok' if ok else 'FAIL'}] text tower vs real transformers "
@@ -103,9 +117,10 @@ def main(argv=None):
         texts = ["an H&E image of breast invasive carcinoma.",
                  "an H&E image of normal tissue.",
                  "an H&E image of lung adenocarcinoma."]
-        enc = tokenizer(texts, max_length=256)
+        enc = tokenizer(texts, max_length=_max_len(model))
         img_f = model.encode_image(pixels)
-        txt_f = model.encode_text_ids(enc["input_ids"], enc["attention_mask"])
+        txt_f = model.encode_text(jnp.asarray(enc["input_ids"]),
+                                  jnp.asarray(enc["attention_mask"]))
         row = np.asarray(img_f @ txt_f.T)[0]
         print(f"[info] similarity row: {row.tolist()}")
         if args.expected:
@@ -135,7 +150,9 @@ def main(argv=None):
         with open(args.prompts) as f:
             prompts = json.load(f)
         cls_stack = build_classifiers_batched(
-            model.encode_text_ids, tokenizer, prompts,
+            lambda ids, mask: model.encode_text(jnp.asarray(ids),
+                                                jnp.asarray(mask)),
+            tokenizer, prompts,
             json.loads(args.label), first_template_only=True)
         merged = prompt_select(cls_stack, jnp.asarray(feats))
         probs = np.asarray(score_tiles(merged, jnp.asarray(feats)))
