@@ -84,3 +84,20 @@ def test_profiler_trace_smoke(tmp_path):
 
     found = any("plugins" in r or f for r, d, f in os.walk(tmp_path / "prof"))
     assert found  # a profile directory structure was written
+
+
+def test_metric_writer(tmp_path):
+    """MetricWriter fans out to JSONL (always) and degrades cleanly when
+    TB/wandb are absent; torch's SummaryWriter is picked up when available."""
+    import json
+
+    from keep_tpu.utils.writers import MetricWriter
+
+    w = MetricWriter(str(tmp_path))
+    w.write(1, {"loss": 2.5, "lr": 1e-4, "tag": "not-a-scalar"})
+    w.write(2, {"loss": 2.0})
+    w.close()
+    lines = [json.loads(ln) for ln in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 2.5
+    assert lines[1]["loss"] == 2.0
