@@ -96,9 +96,6 @@ def init(key: jax.Array, cfg: ConvNeXtConfig, dtype=jnp.float32) -> dict:
         return {"kernel": trunc(k, (kh, kw, ci, co)),
                 "bias": jnp.zeros((co,), dtype)}
 
-    def lin_p(k, fi, fo):
-        return {"kernel": trunc(k, (fi, fo)), "bias": jnp.zeros((fo,), dtype)}
-
     def ln_p(c):
         return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
 

@@ -149,7 +149,11 @@ def load_knowledge_bert(params: dict, torch_path: str, cfg: KEPConfig,
     tower (factory.py:200-208: state dict with bert_model.* / mlp_embed.*)."""
     import torch
 
-    from keep_tpu.compat.torch_loader import convert_hf_bert, strip_prefix
+    from keep_tpu.compat.torch_loader import (
+        _to_numpy,
+        convert_hf_bert,
+        strip_prefix,
+    )
 
     sd = torch.load(torch_path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
@@ -157,10 +161,10 @@ def load_knowledge_bert(params: dict, torch_path: str, cfg: KEPConfig,
     tower = {
         "bert": convert_hf_bert(strip_prefix(sd, "bert_model."), cfg.text),
         "mlp_embed": {
-            "fc1": {"kernel": np.asarray(sd["mlp_embed.0.weight"]).T,
-                    "bias": np.asarray(sd["mlp_embed.0.bias"])},
-            "fc2": {"kernel": np.asarray(sd["mlp_embed.2.weight"]).T,
-                    "bias": np.asarray(sd["mlp_embed.2.bias"])},
+            "fc1": {"kernel": _to_numpy(sd["mlp_embed.0.weight"]).T,
+                    "bias": _to_numpy(sd["mlp_embed.0.bias"])},
+            "fc2": {"kernel": _to_numpy(sd["mlp_embed.2.weight"]).T,
+                    "bias": _to_numpy(sd["mlp_embed.2.bias"])},
         },
     }
     out = dict(params)

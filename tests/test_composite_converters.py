@@ -503,3 +503,70 @@ def test_scale_heads_without_scaled_cosine():
         params["blocks"]["attn"]["head_scale"] * 7.0)
     scaled = np.asarray(tt.forward(params, ids, cfg))
     assert np.abs(base - scaled).max() > 1e-4
+
+
+def test_load_knowledge_bert_roundtrip():
+    """kep.load_knowledge_bert (factory.py:200-208 semantics): a knowledge-
+    BERT torch checkpoint (bert_model.* + mlp_embed.*) loads into the text
+    tower and encodes identically to the reference composition."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from keep_tpu.configs import BertConfig, ViTConfig
+    from keep_tpu.models import kep as kep_mod
+
+    torch.manual_seed(3)
+    tcfg = BertConfig(vocab_size=48, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=16)
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    hf = BertModel(HFBertConfig(
+        vocab_size=48, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=16, type_vocab_size=2)).eval()
+    D = 24
+    mlp = torch.nn.Sequential(torch.nn.Linear(32, D), torch.nn.GELU(),
+                              torch.nn.Linear(D, D)).eval()
+    sd = {"state_dict": {
+        **{f"bert_model.{k}": v for k, v in hf.state_dict().items()},
+        "mlp_embed.0.weight": mlp[0].weight, "mlp_embed.0.bias": mlp[0].bias,
+        "mlp_embed.2.weight": mlp[2].weight, "mlp_embed.2.bias": mlp[2].bias,
+    }}
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pt") as f:
+        torch.save(sd, f.name)
+        cfg = kep_mod.KEPConfig(text=tcfg, embed_dim=D,
+                                vision=ViTConfig(img_size=16, patch_size=8,
+                                                 embed_dim=32, depth=1,
+                                                 num_heads=2))
+        params = kep_mod.init(jax.random.PRNGKey(0), cfg)
+        params = kep_mod.load_knowledge_bert(params, f.name, cfg)
+
+    ids = np.arange(1, 9)[None]
+    mask = np.ones((1, 8), np.int64)
+    with torch.no_grad():
+        ref = mlp(hf(input_ids=torch.from_numpy(ids),
+                     attention_mask=torch.from_numpy(mask)).pooler_output)
+    got = kep_mod.path_bert_encode(params["text"], jnp.asarray(ids),
+                                   jnp.asarray(mask), tcfg)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+
+def test_dograph_from_json(tmp_path):
+    import json as _json
+
+    from keep_tpu.train.loss import DOGraph
+
+    (tmp_path / "kg.json").write_text(_json.dumps({
+        "DOID:root": {"name": "root", "parent": []},
+        "DOID:a": {"name": "a", "parent": ["DOID:root"]},
+        "DOID:b": {"name": "b", "parent": ["DOID:a"]},
+    }))
+    g = DOGraph.from_json(str(tmp_path / "kg.json"))
+    assert g.reachable("DOID:root", "DOID:b")
+    assert g.reachable("DOID:a", "DOID:b")
+    assert not g.reachable("DOID:b", "DOID:a")
