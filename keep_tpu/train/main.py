@@ -396,6 +396,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
 
         dataset.resample_epoch(epoch)
         loss_meter, step_time = AverageMeter(), AverageMeter()
+        pending_losses: list = []
         t0 = time.time()
         pending = []
         for i, batch in enumerate(Prefetcher(make_iter())):
@@ -426,15 +427,25 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 }
             arrays = put_batch(arrays)
             state, metrics = step_fn(state, arrays, frozen)
-            loss_meter.update(float(metrics["loss"]))
+            # defer the device fetch: float(loss) every step would sync the
+            # pipeline (one ~5 ms relay round-trip per step, and it blocks
+            # the host from prefetching the next batch behind the device
+            # compute). Losses stay device scalars until the log cadence.
+            pending_losses.append(metrics["loss"])
             step_time.update(time.time() - t0)
             t0 = time.time()
             if i % 100 == 0:
+                for v in pending_losses:
+                    loss_meter.update(float(v))
+                pending_losses.clear()
                 logging.info(
                     "epoch %d step %d/%d loss %.4f (%.2f samples/s)",
                     epoch, i, steps_per_epoch, loss_meter.avg,
                     cfg.dataloader.batch_size / max(step_time.avg, 1e-9),
                 )
+        for v in pending_losses:
+            loss_meter.update(float(v))
+        pending_losses.clear()
         logging.info("epoch %d freeze check: %s", epoch,
                      diff_report(pre_snapshot, state.params))
 
