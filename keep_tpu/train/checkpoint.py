@@ -47,6 +47,45 @@ def save(ckpt_dir: str, epoch: int, params: Any, opt_state: Any = None,
                               ignore_errors=True)
 
 
+class CheckpointWriter:
+    """Persistent manager for per-epoch saves; ``async_save=True`` keeps the
+    epoch loop running while the previous checkpoint serializes in the
+    background (Orbax async path). Call :meth:`close` (train() does) to wait
+    for the last pending save before the process exits."""
+
+    def __init__(self, ckpt_dir: str, async_save: bool = False,
+                 keep_previous: bool = True):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.keep_previous = keep_previous
+        self._mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                create=True, enable_async_checkpointing=async_save),
+        )
+
+    def save(self, epoch: int, params: Any, opt_state: Any = None,
+             step: int = 0) -> None:
+        payload = {"params": params, "step": np.asarray(step)}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        if not self.keep_previous:
+            self._mgr.wait_until_finished()
+            for e in list_epochs(self.ckpt_dir):
+                if e < epoch:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(self.ckpt_dir, str(e)),
+                                  ignore_errors=True)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
 def list_epochs(ckpt_dir: str) -> list[int]:
     if not os.path.isdir(ckpt_dir):
         return []

@@ -89,6 +89,9 @@ class SaveConfig:
     experiment_name: str = ""
     save_frequency: int = 1
     delete_previous_checkpoint: bool = False
+    # background (async) Orbax saves: the epoch loop continues while the
+    # previous checkpoint serializes; train() waits for the last one
+    async_checkpointing: bool = False
     resume: str = ""  # '' | 'latest' | path
     remote_sync: str = ""  # dir/URL for background checkpoint sync
     remote_sync_frequency: int = 300  # seconds (reference params.py)

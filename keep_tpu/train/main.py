@@ -385,6 +385,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         logging.info("resume epoch %d >= epochs %d: nothing to train",
                      start_epoch, cfg.solver.epochs)
     n_ins = cfg.dataloader.batch_size // cfg.dataloader.caption_num
+    ckpt_writer = None
     for epoch in range(start_epoch, cfg.solver.epochs):
         phase = fs.frozen_towers(epoch)
         if phase != cur_phase:
@@ -485,12 +486,17 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         writer.write(int(state.step), results)
 
         if (epoch + 1) % cfg.save.save_frequency == 0 or epoch + 1 == cfg.solver.epochs:
-            ckpt.save(
-                ckpt_dir, epoch, state.params, state.opt_state,
-                step=int(state.step),
-                keep_previous=not cfg.save.delete_previous_checkpoint,
-            )
-            logging.info("saved checkpoint epoch %d", epoch)
+            if ckpt_writer is None:
+                ckpt_writer = ckpt.CheckpointWriter(
+                    ckpt_dir, async_save=cfg.save.async_checkpointing,
+                    keep_previous=not cfg.save.delete_previous_checkpoint,
+                )
+            ckpt_writer.save(epoch, state.params, state.opt_state,
+                             step=int(state.step))
+            logging.info("saved checkpoint epoch %d%s", epoch,
+                         " (async)" if cfg.save.async_checkpointing else "")
+    if ckpt_writer is not None:
+        ckpt_writer.close()  # waits for any pending async save
     writer.close()
     if sync_proc is not None:
         from keep_tpu.train.sync import remote_sync

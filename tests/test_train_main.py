@@ -239,3 +239,19 @@ def test_fsdp_placement_unit():
     assert frac == pytest.approx((64 * 48) / (64 * 48 + 4 + 1))
     sh = state_shardings(tree, mesh, min_size=512)
     assert sh["scalar"].spec == P()
+
+
+def test_train_async_checkpointing(run_dirs, tmp_path):
+    """save.async_checkpointing: background Orbax saves; resume-latest still
+    finds the final epoch and the payload is complete."""
+    cfg = make_cfg(run_dirs, tmp_path, epochs=2)
+    cfg.save.async_checkpointing = True
+    res = tmain.train(cfg)
+    assert np.isfinite(res["train_loss"])
+    from keep_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "exp" / "checkpoints")
+    assert ckpt.latest_epoch(d) == 1
+    restored = ckpt.restore(d)
+    assert "params" in restored and "opt_state" in restored
+    assert int(np.asarray(restored["step"])) >= 1
