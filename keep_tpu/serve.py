@@ -143,7 +143,6 @@ class InferenceServer:
         import jax.numpy as jnp
 
         from keep_tpu.configs import PreprocessConfig
-        from keep_tpu.ops.preprocess import preprocess
 
         self.model = model
         self.tokenizer = tokenizer
@@ -162,6 +161,8 @@ class InferenceServer:
             self.model = dataclasses_replace_params(
                 model, jax.device_put(model.params, rep))
         self.buckets = tuple(buckets)
+        _pcfg = PreprocessConfig(size=image_size)
+        self._pcfg = _pcfg
 
         def _pad_put(arr: np.ndarray) -> "jnp.ndarray":
             n = len(arr)
@@ -177,17 +178,22 @@ class InferenceServer:
             out = self.model.encode_text(im[:, 0], im[:, 1])
             return np.asarray(out)[: len(ids_mask)]
 
-        def run_image(pixels: np.ndarray) -> np.ndarray:
-            px = _pad_put(pixels)
-            out = self.model.encode_image(px)
-            return np.asarray(out)[: len(pixels)]
+        def run_image(tiles_u8: np.ndarray) -> np.ndarray:
+            # tiles arrive as raw uint8 [N, S, S, 3]; normalization happens
+            # on device INSIDE this dispatch. Only the [N, D] features come
+            # back — pixels never round-trip through the host (a fetched
+            # fp32 [128, 224, 224, 3] batch is ~77 MB through the relay;
+            # uint8 upload-only is 19 MB).
+            from keep_tpu.ops.preprocess import normalize_only
+
+            px = _pad_put(tiles_u8)
+            out = self.model.encode_image(normalize_only(px, _pcfg))
+            return np.asarray(out)[: len(tiles_u8)]
 
         self.text_q = BatchQueue(run_text, self.buckets[-1], max_delay_ms,
                                  "text")
         self.image_q = BatchQueue(run_image, self.buckets[-1], max_delay_ms,
                                   "image")
-        _pcfg = PreprocessConfig(size=image_size)
-        self._preprocess = lambda imgs: preprocess(imgs, _pcfg)
         self.started = time.time()
 
     # -- public API ---------------------------------------------------------
@@ -200,10 +206,31 @@ class InferenceServer:
         return self.text_q.submit(ids_mask)
 
     def encode_image(self, images: np.ndarray) -> np.ndarray:
-        """uint8 [N, H, W, 3] (any H/W — host-side fused resize to the model
-        size) → [N, D] unit features."""
-        pixels = np.asarray(self._preprocess(np.asarray(images)))
-        return self.image_q.submit(pixels)
+        """uint8 [N, H, W, 3] (any H/W) → [N, D] unit features.
+
+        Model-size tiles (the WSI extract output) flow through the queue as
+        raw uint8 and normalize on device inside the batched dispatch;
+        other sizes resize host-side with PIL first (bicubic shortest-side
+        + center crop — exactly the published eval transform,
+        keep_inference.py:88-93)."""
+        arr = np.asarray(images)
+        if arr.ndim == 3:
+            arr = arr[None]
+        s = self.image_size
+        if arr.shape[1:3] != (s, s):
+            from PIL import Image
+
+            from keep_tpu.ops.preprocess import resized_output_size
+
+            tiles = []
+            for im in arr:
+                h, w = im.shape[:2]
+                oh, ow = resized_output_size(h, w, s)
+                pil = Image.fromarray(im).resize((ow, oh), Image.BICUBIC)
+                top, left = (oh - s) // 2, (ow - s) // 2
+                tiles.append(np.asarray(pil)[top: top + s, left: left + s])
+            arr = np.stack(tiles)
+        return self.image_q.submit(np.ascontiguousarray(arr, np.uint8))
 
     def similarity(self, texts: list[str], images: np.ndarray) -> np.ndarray:
         img = self.encode_image(images)
