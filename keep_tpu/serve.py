@@ -64,11 +64,18 @@ class _Request:
 
 class BatchQueue:
     """Micro-batching front of one jitted function: callers enqueue items,
-    the dispatcher drains + pads to a bucket + runs one device dispatch."""
+    the dispatcher drains + pads to a bucket + runs one device dispatch.
 
-    def __init__(self, run_batch, max_batch: int, max_delay_ms: float = 3.0,
-                 name: str = "q"):
-        self.run_batch = run_batch  # (np stacked [N, ...]) -> np [N, D]
+    The dispatch is split into ``launch`` (host→device + async device call,
+    returns an unfetched handle) and ``fetch`` (blocks, returns np) so the
+    loop can DOUBLE-BUFFER: while batch N computes on device, the host
+    assembles and uploads batch N+1 — steady-state throughput is bound by
+    max(upload, compute), not their sum."""
+
+    def __init__(self, launch, max_batch: int, max_delay_ms: float = 3.0,
+                 name: str = "q", fetch=None):
+        self.launch = launch  # (np stacked [N, ...]) -> handle
+        self.fetch = fetch or (lambda h: h)  # handle -> np [N, D]
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self.q: queue.Queue[_Request] = queue.Queue()
@@ -89,45 +96,71 @@ class BatchQueue:
             raise r.error
         return r.result
 
-    def _loop(self):
-        while not self._stop.is_set():
+    def _collect(self, block: bool):
+        try:
+            first = self.q.get(timeout=0.1 if block else 0)
+        except queue.Empty:
+            return None
+        batch = [first]
+        count = len(first.payload)
+        deadline = time.time() + self.max_delay
+        while count < self.max_batch:
+            timeout = deadline - time.time()
+            if timeout <= 0:
+                break
             try:
-                first = self.q.get(timeout=0.1)
+                r = self.q.get(timeout=timeout)
             except queue.Empty:
-                continue
-            batch = [first]
-            count = len(first.payload)
-            deadline = time.time() + self.max_delay
-            while count < self.max_batch:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    break
-                try:
-                    r = self.q.get(timeout=timeout)
-                except queue.Empty:
-                    break
-                batch.append(r)
-                count += len(r.payload)
-            try:
-                stacked = np.concatenate([r.payload for r in batch], axis=0)
-                out = self.run_batch(stacked)
-                self.served += len(stacked)
-                self.dispatches += 1
-                off = 0
-                for r in batch:
-                    n = len(r.payload)
-                    r.result = out[off: off + n]
-                    off += n
-            except Exception as e:  # propagate to every waiter
-                for r in batch:
-                    r.error = e
-            finally:
-                for r in batch:
-                    r.event.set()
+                break
+            batch.append(r)
+            count += len(r.payload)
+        return batch
+
+    def _launch(self, batch):
+        try:
+            stacked = np.concatenate([r.payload for r in batch], axis=0)
+            return self.launch(stacked), len(stacked)
+        except Exception as e:
+            for r in batch:
+                r.error = e
+                r.event.set()
+            return None, 0
+
+    def _resolve(self, batch, handle, n):
+        try:
+            out = self.fetch(handle)
+            self.served += n
+            self.dispatches += 1
+            off = 0
+            for r in batch:
+                k = len(r.payload)
+                r.result = out[off: off + k]
+                off += k
+        except Exception as e:
+            for r in batch:
+                r.error = e
+        finally:
+            for r in batch:
+                r.event.set()
+
+    def _loop(self):
+        inflight = None  # (batch, handle, n) computing on device
+        while not self._stop.is_set():
+            batch = self._collect(block=inflight is None)
+            if batch is not None:
+                handle, n = self._launch(batch)
+                nxt = (batch, handle, n) if handle is not None else None
+            else:
+                nxt = None
+            if inflight is not None:
+                self._resolve(*inflight)
+            inflight = nxt
+        if inflight is not None:
+            self._resolve(*inflight)
 
     def stop(self):
         self._stop.set()
-        self.thread.join(timeout=2)
+        self.thread.join(timeout=5)
 
 
 class InferenceServer:
@@ -173,12 +206,11 @@ class InferenceServer:
                 return jnp.asarray(full)
             return jax.device_put(full, self._shard)
 
-        def run_text(ids_mask: np.ndarray) -> np.ndarray:
+        def launch_text(ids_mask: np.ndarray):
             im = _pad_put(ids_mask)
-            out = self.model.encode_text(im[:, 0], im[:, 1])
-            return np.asarray(out)[: len(ids_mask)]
+            return self.model.encode_text(im[:, 0], im[:, 1])  # unfetched
 
-        def run_image(tiles_u8: np.ndarray) -> np.ndarray:
+        def launch_image(tiles_u8: np.ndarray):
             # tiles arrive as raw uint8 [N, S, S, 3]; normalization happens
             # on device INSIDE this dispatch. Only the [N, D] features come
             # back — pixels never round-trip through the host (a fetched
@@ -187,13 +219,15 @@ class InferenceServer:
             from keep_tpu.ops.preprocess import normalize_only
 
             px = _pad_put(tiles_u8)
-            out = self.model.encode_image(normalize_only(px, _pcfg))
-            return np.asarray(out)[: len(tiles_u8)]
+            return self.model.encode_image(normalize_only(px, _pcfg))
 
-        self.text_q = BatchQueue(run_text, self.buckets[-1], max_delay_ms,
-                                 "text")
-        self.image_q = BatchQueue(run_image, self.buckets[-1], max_delay_ms,
-                                  "image")
+        # fetch (np.asarray) happens one dispatch behind launch: double-
+        # buffering in BatchQueue overlaps batch N's compute with N+1's
+        # host assembly + upload (padded tail rows are simply never sliced)
+        self.text_q = BatchQueue(launch_text, self.buckets[-1], max_delay_ms,
+                                 "text", fetch=np.asarray)
+        self.image_q = BatchQueue(launch_image, self.buckets[-1],
+                                  max_delay_ms, "image", fetch=np.asarray)
         self.started = time.time()
 
     # -- public API ---------------------------------------------------------
