@@ -168,3 +168,33 @@ def test_mesh_sharded_server(core):
         assert len(placed.addressable_shards) == 8
     finally:
         sharded.stop()
+
+
+def test_pipelined_results_route_to_right_callers(core):
+    """Distinct concurrent requests get THEIR OWN results back (offset
+    bookkeeping under the double-buffered launch/fetch split)."""
+    texts = [f"lung tumor {'.' * (i % 3 + 1)}" for i in range(6)]
+    direct = {t: core.encode_text([t])[0] for t in set(texts)}
+
+    results = {}
+
+    def call(i):
+        results[i] = core.encode_text([texts[i]])[0]
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        np.testing.assert_allclose(results[i], direct[texts[i]], atol=1e-5,
+                                   err_msg=f"request {i} got wrong result")
+
+
+def test_queue_error_propagates_and_recovers(core):
+    """A failing payload errors only its own waiters; the queue keeps
+    serving afterwards (launch-phase failure path)."""
+    with pytest.raises(Exception):
+        core.image_q.submit(np.zeros((1, 7, 7, 7, 7), np.uint8))  # bad rank
+    out = core.encode_text(["still serving ."])
+    assert out.shape[0] == 1
