@@ -267,9 +267,19 @@ class InferenceServer:
         return self.image_q.submit(np.ascontiguousarray(arr, np.uint8))
 
     def similarity(self, texts: list[str], images: np.ndarray) -> np.ndarray:
-        img = self.encode_image(images)
+        # both towers have independent queues — encode concurrently
+        out: dict = {}
+
+        def _img():
+            out["img"] = self.encode_image(images)
+
+        t = threading.Thread(target=_img)
+        t.start()
         txt = self.encode_text(texts)
-        return img @ txt.T
+        t.join()
+        if "img" not in out:
+            raise RuntimeError("image encoding failed")
+        return out["img"] @ txt.T
 
     def warmup(self) -> None:
         """Compile every bucket for both towers before serving."""
