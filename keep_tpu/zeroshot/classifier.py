@@ -151,7 +151,10 @@ def prompt_select(
     classifiers: Array, features: Array, topn: int = 50
 ) -> Array:
     """Screen [P, D, C] classifiers on [N, D] tile features; return the
-    column-normalized sum of the top-n (utils.py:119-146) as [D, C]."""
+    column-normalized sum of the top-n (utils.py:119-146) as [D, C].
+    ``topn`` clamps to the pool size (the reference indexes top-50 of 1386;
+    smaller prompt files must still work)."""
+    topn = min(topn, int(classifiers.shape[0]))
     merged, _, _ = _prompt_select_jit(classifiers, features, topn)
     return merged
 

@@ -167,3 +167,17 @@ def test_generate_prompts():
 
     texts = expand_prompt(prompts["0"], {"Normal": 0, "Tumor": 1})
     assert texts[0] == ["normal tissue."]
+
+
+def test_prompt_select_clamps_topn(rng):
+    """topn larger than the prompt pool must clamp, not crash (the reference
+    only ever runs with 660+ prompts; small prompt files are legal input)."""
+    from keep_tpu.zeroshot.classifier import prompt_select
+
+    cls = jnp.asarray(rng.standard_normal((4, 16, 2), dtype=np.float32))
+    cls = cls / jnp.linalg.norm(cls, axis=1, keepdims=True)
+    feats = jnp.asarray(rng.standard_normal((10, 16), dtype=np.float32))
+    merged = prompt_select(cls, feats, topn=50)
+    assert merged.shape == (16, 2)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(merged), axis=0),
+                               1.0, atol=1e-5)
