@@ -15,11 +15,14 @@ Design (TPU-first):
 - **int8 option** (``quantize=True``): serves the W8A8 megakernel path —
   1.58× bf16 on chip at cos 1.0000 (docs/PERF.md).
 
-HTTP layer: stdlib ThreadingHTTPServer with JSON endpoints —
-POST /encode_text  {"texts": ["...", ...]}            → {"embeddings": [[...]]}
-POST /encode_image {"images": [[H,W,3] uint8 lists]}  → {"embeddings": [[...]]}
-POST /similarity   {"texts": [...], "images": [...]}  → {"logits": [[...]]}
+HTTP layer: stdlib ThreadingHTTPServer —
+POST /encode_text      {"texts": ["...", ...]}           → {"embeddings": [[...]]}
+POST /encode_image     {"images": [[H,W,3] uint8 lists]} → {"embeddings": [[...]]}
+POST /encode_image_npy <raw .npy uint8 [N,H,W,3] body>   → raw .npy fp32 [N,D]
+POST /similarity       {"texts": [...], "images": [...]} → {"logits": [[...]]}
 GET  /healthz, GET /stats
+The binary endpoint is the production path: a 64-tile batch is ~9.6 MB as
+.npy vs ~40 MB as JSON int lists.
 
 CLI: ``python -m keep_tpu.serve --model-dir <released ckpt> [--int8]``.
 """
@@ -328,6 +331,24 @@ def make_http_server(core: InferenceServer, port: int = 0,
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if self.path == "/encode_image_npy":
+                    # binary path: body is one .npy (uint8 [N, H, W, 3]) —
+                    # a 64-tile batch is ~9.6 MB vs ~40 MB as JSON int lists
+                    import io
+
+                    arr = np.load(io.BytesIO(self.rfile.read(n)),
+                                  allow_pickle=False)
+                    out = core.encode_image(np.asarray(arr, np.uint8))
+                    buf = io.BytesIO()
+                    np.save(buf, np.asarray(out, np.float32))
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/encode_text":
                     out = core.encode_text(list(req["texts"]))

@@ -198,3 +198,28 @@ def test_queue_error_propagates_and_recovers(core):
         core.image_q.submit(np.zeros((1, 7, 7, 7, 7), np.uint8))  # bad rank
     out = core.encode_text(["still serving ."])
     assert out.shape[0] == 1
+
+
+def test_http_npy_binary_endpoint(core):
+    """POST /encode_image_npy: raw .npy in, raw .npy out — the production
+    transport (JSON int lists are ~4x bigger than uint8 .npy)."""
+    import io
+
+    httpd = serve.make_http_server(core, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        imgs = np.random.default_rng(5).integers(
+            0, 255, (3, 16, 16, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode_image_npy", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (3, 32) and out.dtype == np.float32
+        np.testing.assert_allclose(out, core.encode_image(imgs), atol=1e-5)
+    finally:
+        httpd.shutdown()
