@@ -35,6 +35,9 @@ class DatasetConfig:
     # path_training/main.py via factory.get_tokenizer, factory.py:85-98)
     vocab_path: str = ""
     tokenizer_type: str = "bert"  # 'bert' (WordPiece) | 'clip' (BPE)
+    # decode every image into RAM once up front (the reference's
+    # DATASET.PRELOAD_DATA / preload_dataset, data_proc_group.py:258-288)
+    preload_data: bool = False
 
 
 @dataclasses.dataclass

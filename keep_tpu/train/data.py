@@ -304,6 +304,37 @@ def load_image(img_dir: str, name: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def dataset_image_names(dataset) -> list[str]:
+    """Every image file name a dataset can draw (unique, first-seen order)."""
+    if isinstance(dataset, GroupDataset):
+        names: list[str] = []
+        for group in dataset.groups:
+            imgs = dataset.data[group]["images"]
+            if isinstance(imgs, dict):
+                imgs = imgs["images"]
+            names.extend(str(i) for i in imgs)
+    elif isinstance(dataset, CsvTextImageDataset):
+        names = list(dataset.images)
+    else:
+        raise TypeError(f"unsupported dataset type {type(dataset).__name__}")
+    return list(dict.fromkeys(names))
+
+
+def preload_images(
+    dataset, img_dir: str, workers: int = 8
+) -> dict[str, np.ndarray]:
+    """RAM-preload every image the dataset can draw — the reference's
+    ``preload_dataset`` option (data_proc_group.py:258-288), decoded once up
+    front instead of per epoch. Returns name → uint8 HWC array; pass as
+    ``BatchIterator(preload=...)``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = dataset_image_names(dataset)
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        arrays = list(pool.map(lambda n: load_image(img_dir, n), names))
+    return dict(zip(names, arrays))
+
+
 @dataclasses.dataclass
 class BatchIterator:
     """Group-blocked device batches for the trainer.
@@ -323,6 +354,7 @@ class BatchIterator:
     max_length: int = 256
     do_graph: Optional[object] = None
     image_loader: Optional[Callable[[str], np.ndarray]] = None
+    preload: Optional[dict] = None  # name → array, from preload_images()
     drop_last: bool = True
     seed: int = 0
     workers: int = 8  # parallel image decode threads (reference WORKORS=8)
@@ -340,7 +372,12 @@ class BatchIterator:
 
         n = len(self.dataset)
         n_ins = self.batch_size // self.caption_num
-        loader = self.image_loader or (lambda name: load_image(self.img_dir, name))
+        base = self.image_loader or (lambda name: load_image(self.img_dir, name))
+        if self.preload is not None:
+            pre = self.preload
+            loader = lambda name: pre[name] if name in pre else base(name)
+        else:
+            loader = base
         pcfg = PreprocessConfig()
         pool = ThreadPoolExecutor(max_workers=max(1, self.workers))             if self.workers > 1 else None
         for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0),

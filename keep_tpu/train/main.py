@@ -105,6 +105,28 @@ def make_placement(mesh, batch_axis: int = 0):
     return put_repl, put_batch, put_repl
 
 
+def make_eval_placement(mesh, put_repl):
+    """Placement for in-training eval batches: shard the sample axis over
+    'dp' like training batches — a replicated eval encode would run the full
+    batch redundantly on every device (the reference evaluates master-only,
+    train_hierarchy.py:253; on a mesh that wastes the whole slice). Falls
+    back to replication for arrays whose leading axis doesn't divide."""
+    if mesh is None:
+        return lambda x: jnp.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("dp"))
+    n_dev = mesh.shape["dp"]
+
+    def put_eval(x):
+        x = jnp.asarray(x)
+        if x.ndim and x.shape[0] % n_dev == 0:
+            return jax.device_put(x, data)
+        return put_repl(x)
+
+    return put_eval
+
+
 def build_params(cfg: TrainRunConfig, rng_seed: int):
     """Init + optional pretrained tower loading (factory.py:200-217 semantics:
     the text tower loads a knowledge-BERT checkpoint, the visual tower loads a
@@ -235,6 +257,16 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         eval_data = build_eval_data(cfg, image_loader)
     eval_data = eval_data or {}
 
+    preload = None
+    if cfg.dataset.preload_data and image_loader is None:
+        from keep_tpu.train.data import preload_images
+
+        logging.info("preloading the entire image set into RAM "
+                     "(dataset.preload_data)")
+        preload = preload_images(dataset, cfg.dataset.img_dir,
+                                 workers=cfg.dataloader.workers)
+        logging.info("preloaded %d images", len(preload))
+
     make_iter = lambda: BatchIterator(
         dataset=dataset,
         tokenizer=tokenizer,
@@ -245,6 +277,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         max_length=cfg.keep.max_text_length,
         do_graph=do_graph,
         image_loader=image_loader,
+        preload=preload,
         seed=cfg.seed,
         workers=cfg.dataloader.workers,
     )
@@ -347,6 +380,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     put_state, put_batch, put_repl = make_placement(
         mesh, batch_axis=1 if accum > 1 else 0
     )
+    put_eval = make_eval_placement(mesh, put_repl)
     if mesh is not None and cfg.solver.fsdp:
         from keep_tpu.parallel.fsdp import place_state, sharded_fraction
 
@@ -457,10 +491,9 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             and ((epoch + 1) % cfg.solver.zeroshot_frequency == 0
                  or epoch + 1 == cfg.solver.epochs)
         ):
-            enc_img = lambda px: eval_enc_img(state.params, put_repl(jnp.asarray(px)))
+            enc_img = lambda px: eval_enc_img(state.params, put_eval(px))
             enc_txt = lambda ids, mask: eval_enc_txt(
-                state.params, put_repl(jnp.asarray(ids)),
-                put_repl(jnp.asarray(mask)))
+                state.params, put_eval(ids), put_eval(mask))
             zs = zs_eval.zero_shot_eval(
                 enc_img, enc_txt, tokenizer, eval_data,
                 prompts_path=cfg.dataset.zeroshot_cls_prompts or None,
@@ -474,7 +507,8 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 vb = min(cfg.dataloader.batch_size, 64)
                 vpix, vtexts = eval_data["val"]
                 vimg = zs_eval.encode_in_batches(enc_img, [vpix], vb)
-                venc = tokenizer(list(vtexts), max_length=cfg.keep.max_text_length)
+                venc = tokenizer(list(vtexts),
+                                 max_length=cfg.keep.max_text_length)
                 vtxt = zs_eval.encode_in_batches(
                     enc_txt, [venc["input_ids"], venc["attention_mask"]], vb
                 )

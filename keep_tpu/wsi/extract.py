@@ -22,21 +22,42 @@ def extract_features(
     batch_size: int = 256,
     preprocess_cfg: PreprocessConfig = PreprocessConfig(),
     resize: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """uint8 tiles [N, S, S, 3] (or an iterable of such chunks) → [N, D]
-    features. One compiled shape serves all batches (tail padded)."""
+    features. One compiled shape serves all batches (tail padded).
+
+    ``mesh``: shard the tile axis over the mesh's 'dp' axis (params
+    replicated) — the pod-scale path for the 20K-patches/s north-star
+    workload itself; batch_size is rounded up to a multiple of the mesh."""
     import jax.numpy as jnp
 
     from keep_tpu.ops.preprocess import normalize_only, preprocess
+
+    put = jnp.asarray
+    if mesh is not None:
+        import dataclasses
+
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["dp"]
+        batch_size += (-batch_size) % n_dev  # divisible compiled shape
+        shard = NamedSharding(mesh, P("dp"))
+        model = dataclasses.replace(
+            model, params=jax.device_put(model.params, NamedSharding(mesh, P()))
+        )
+        put = lambda a: jax.device_put(np.ascontiguousarray(a), shard)
 
     def encode_chunk(chunk: np.ndarray) -> np.ndarray:
         n = chunk.shape[0]
         if n < batch_size:
             chunk = np.pad(chunk, ((0, batch_size - n), (0, 0), (0, 0), (0, 0)))
+        placed = put(np.asarray(chunk))
         if resize:
-            pixels = preprocess(chunk, preprocess_cfg)
+            pixels = preprocess(placed, preprocess_cfg)
         else:
-            pixels = normalize_only(jnp.asarray(chunk), preprocess_cfg)
+            pixels = normalize_only(placed, preprocess_cfg)
         return np.asarray(model.encode_image(pixels))[:n]
 
     if isinstance(tiles, np.ndarray):

@@ -76,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--out", help="extract: output h5 path (features+coords)")
     parser.add_argument("--tissue-fraction", type=float, default=0.25)
     parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--mesh-dp", action="store_true",
+                        help="extract: shard the tile axis over a 'dp' device "
+                             "mesh (params replicated) — the pod-scale "
+                             "feature-extraction path")
     args = parser.parse_args(argv)
     args.add_normal = args.task == "subtyping"
     if args.patch_size is None:
@@ -100,8 +104,15 @@ def main(argv=None):
         logging.info("cut %d tissue tiles (%dpx) from %s", len(tiles),
                      args.patch_size, args.image)
         model, _ = load_model(args)
+        mesh = None
+        if args.mesh_dp:
+            from keep_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axes=("dp",))
+            logging.info("extraction sharded over %d devices",
+                         mesh.shape["dp"])
         extract_to_h5(model, tiles, coords, args.out,
-                      batch_size=args.batch_size, resize=True)
+                      batch_size=args.batch_size, resize=True, mesh=mesh)
         print(f"wrote {len(tiles)} features to {args.out}")
         return
     from keep_tpu.io.h5 import WSIDataset, read_h5_slide

@@ -173,6 +173,44 @@ def test_csv_dataset(tmp_path):
     assert ds[0].text == "hello world" and ds[1].image == "b.png"
 
 
+def test_preload_images_serves_from_ram(tmp_path):
+    """RAM-preload (reference preload_dataset, data_proc_group.py:258-288):
+    decode once up front; iteration never touches disk again."""
+    from PIL import Image
+
+    from keep_tpu.train.data import preload_images
+
+    p = tmp_path / "d.csv"
+    p.write_text("image_name|caption\na.png|hello\nb.png|bye\na.png|again\n")
+    rng = np.random.default_rng(0)
+    pix = {}
+    for name in ("a.png", "b.png"):
+        arr = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+        pix[name] = arr
+
+    ds = CsvTextImageDataset(str(p))
+    pre = preload_images(ds, str(tmp_path))
+    assert set(pre) == {"a.png", "b.png"}  # deduped
+    np.testing.assert_array_equal(pre["a.png"], pix["a.png"])
+
+    (tmp_path / "a.png").unlink()  # iteration must not re-read disk
+    (tmp_path / "b.png").unlink()
+
+    class FakeTok:
+        def __call__(self, texts, max_length=256):
+            n = len(texts)
+            return {"input_ids": np.ones((n, max_length), np.int32),
+                    "attention_mask": np.ones((n, max_length), np.int32)}
+
+    it = BatchIterator(
+        dataset=ds, tokenizer=FakeTok(), img_dir=str(tmp_path), batch_size=3,
+        caption_num=1, image_size=16, max_length=8, preload=pre, drop_last=False,
+    )
+    batches = list(it)
+    assert batches and batches[0]["pixels"].shape == (3, 16, 16, 3)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -74,6 +74,35 @@ def test_score_tiles_sharded_api(rng):
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_extract_features_sharded_parity(rng):
+    """The feature-extraction sweep (pixels → features — the north-star
+    workload itself) sharded over 'dp': identical features to the
+    single-device path, at a non-divisible tile count (round-2 review #2)."""
+    from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+    from keep_tpu.models.keep import KEEPModel
+    from keep_tpu.wsi.extract import extract_features
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                         num_heads=4),
+        text=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=32),
+        projection_dim=48,
+    )
+    from keep_tpu.models import keep as keep_mod
+
+    params = keep_mod.init(jax.random.PRNGKey(0), cfg)
+    model = KEEPModel(params=params, cfg=cfg, dtype=jnp.float32)
+    tiles = rng.integers(0, 255, (8 * 3 + 5, 32, 32, 3)).astype(np.uint8)
+
+    mesh = make_mesh(8)
+    single = extract_features(model, tiles, batch_size=8)
+    sharded = extract_features(model, tiles, batch_size=6, mesh=mesh)  # →8
+    assert sharded.shape == (len(tiles), cfg.projection_dim)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_patch_dropout(rng):
     from keep_tpu.models.vit import patch_dropout
 

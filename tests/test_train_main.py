@@ -148,6 +148,39 @@ def test_train_e2e_mesh_really_shards(run_dirs, tmp_path, monkeypatch):
     assert ckpt.latest_epoch(str(out / "checkpoints")) == 0
 
 
+def test_eval_batches_shard_over_dp(run_dirs, tmp_path, monkeypatch):
+    """In-training zero-shot eval must shard eval encodes over 'dp' like
+    training batches — not replicate the full batch onto every device
+    (round-2 review weak #3; the reference evaluates master-only,
+    train_hierarchy.py:253)."""
+    captured = []
+    real = tmain.make_eval_placement
+
+    def spy(mesh, put_repl):
+        put_eval = real(mesh, put_repl)
+
+        def put_eval2(x):
+            out = put_eval(x)
+            captured.append(out.sharding)
+            return out
+
+        return put_eval2
+
+    monkeypatch.setattr(tmain, "make_eval_placement", spy)
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    texts = ["an image of lung adenocarcinoma ."] * 4 + ["melanoma of skin ."] * 4
+    cfg = make_cfg(run_dirs, tmp_path, epochs=1, zeroshot_frequency=1)
+    res = tmain.train(cfg, eval_data={"zeroshot_ret": (pixels, texts)})
+
+    assert "zeroshot-ret-p@10" in res
+    assert captured, "eval placement never invoked"
+    for sh in captured:
+        assert len(sh.device_set) == 8
+        assert not sh.is_fully_replicated, "eval batch replicated, not sharded"
+
+
 def test_train_resume_equivalence(run_dirs, tmp_path):
     """Train 3 epochs continuously vs train 1 + resume + 2: identical final
     params. Fails if opt_state/step aren't restored (Adam moments + warmup
