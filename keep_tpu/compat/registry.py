@@ -38,6 +38,7 @@ class Entry:
     source: str  # where a user obtains it (hub id / URL) — informational
     sha256: Optional[str] = None  # of the checkpoint file (dir entries skip)
     kind: str = "dir"  # 'dir' (HF layout) | 'file' (single .bin/.pt)
+    url: Optional[str] = None  # fetchable location (file:// works in-image)
 
     def resolved_path(self) -> str:
         p = self.path
@@ -75,16 +76,17 @@ def _file_registry() -> dict[str, Entry]:
         raw = json.load(f)
     return {
         name: Entry(name=name, path=rec["path"], source=rec.get("source", ""),
-                    sha256=rec.get("sha256"), kind=rec.get("kind", "dir"))
+                    sha256=rec.get("sha256"), kind=rec.get("kind", "dir"),
+                    url=rec.get("url"))
         for name, rec in raw.items()
     }
 
 
 def register(name: str, path: str, source: str = "", sha256: Optional[str] = None,
-             kind: str = "dir") -> None:
+             kind: str = "dir", url: Optional[str] = None) -> None:
     """Add/override a registry entry for this process."""
     _runtime[name] = Entry(name=name, path=path, source=source, sha256=sha256,
-                           kind=kind)
+                           kind=kind, url=url)
 
 
 def entries() -> dict[str, Entry]:
@@ -105,10 +107,59 @@ def sha256_file(path: str, chunk: int = 1 << 20) -> str:
     return h.hexdigest()
 
 
+def download_pretrained_from_url(
+    url: str,
+    cache_dir: Optional[str] = None,
+    expected_sha256: Optional[str] = None,
+) -> str:
+    """resolve → fetch → sha256-verify → cache (the reference's
+    download_pretrained_from_url, pretrained.py:336-377): a cached file with
+    a matching checksum is returned without re-fetching; a cached file with a
+    MISmatching checksum is re-downloaded; a fresh download that still
+    mismatches raises. ``file://`` URLs work in-image (zero egress); the
+    openaipublic/mlfoundations URL forms carry their sha prefix in the URL
+    and are sniffed the same way the reference does."""
+    import urllib.request
+
+    cache_dir = cache_dir or os.path.join(cache_home(), "downloads")
+    os.makedirs(cache_dir, exist_ok=True)
+    filename = os.path.basename(url)
+    if expected_sha256 is None:
+        if "openaipublic" in url:
+            expected_sha256 = url.split("/")[-2]
+        elif "mlfoundations" in url:
+            expected_sha256 = os.path.splitext(filename)[0].split("-")[-1]
+        else:
+            expected_sha256 = ""
+
+    target = os.path.join(cache_dir, filename)
+    if os.path.exists(target) and not os.path.isfile(target):
+        raise RuntimeError(f"{target} exists and is not a regular file")
+    if os.path.isfile(target):
+        if not expected_sha256 or sha256_file(target).startswith(expected_sha256):
+            return target
+        import warnings
+
+        warnings.warn(f"{target} exists but its sha256 doesn't match; "
+                      f"re-downloading")
+    with urllib.request.urlopen(url) as src, open(target, "wb") as out:
+        while True:
+            buf = src.read(1 << 20)
+            if not buf:
+                break
+            out.write(buf)
+    if expected_sha256 and not sha256_file(target).startswith(expected_sha256):
+        raise RuntimeError(
+            f"downloaded {url} but sha256 {sha256_file(target)} doesn't match "
+            f"expected {expected_sha256}")
+    return target
+
+
 def resolve(name: str, verify: bool = True) -> str:
-    """Registry name → verified local path. Raises FileNotFoundError with
-    download directions when the checkpoint isn't present (the zero-egress
-    stand-in for the reference's download_pretrained, pretrained.py:358-427)."""
+    """Registry name → verified local path. Entries carrying a ``url`` are
+    fetched into the cache when absent (download_pretrained semantics,
+    pretrained.py:400-427); URL-less entries raise FileNotFoundError with
+    download directions (the zero-egress default)."""
     reg = entries()
     if name not in reg:
         known = ", ".join(sorted(reg))
@@ -118,6 +169,13 @@ def resolve(name: str, verify: bool = True) -> str:
     e = reg[name]
     p = e.resolved_path()
     ok = os.path.isdir(p) if e.kind == "dir" else os.path.isfile(p)
+    if not ok and e.url and e.kind == "file":
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        fetched = download_pretrained_from_url(
+            e.url, cache_dir=os.path.dirname(p), expected_sha256=e.sha256)
+        if fetched != p:
+            os.replace(fetched, p)
+        ok = os.path.isfile(p)
     if not ok:
         raise FileNotFoundError(
             f"pretrained '{name}' not found at {p}. This environment cannot "
@@ -126,9 +184,21 @@ def resolve(name: str, verify: bool = True) -> str:
         )
     if verify and e.sha256 and e.kind == "file":
         got = sha256_file(p)
-        if got != e.sha256:
+        if not got.startswith(e.sha256):
             raise ValueError(
                 f"sha256 mismatch for '{name}' at {p}: expected {e.sha256}, "
                 f"got {got} — the file is corrupt or the wrong release."
             )
     return p
+
+
+def fetch(name_or_path_or_url: str) -> str:
+    """One front door for ``create_model(pretrained=...)``: an existing local
+    path is returned as-is, a URL is downloaded+cached, anything else is
+    treated as a registry name."""
+    s = name_or_path_or_url
+    if os.path.exists(s):
+        return s
+    if "://" in s:
+        return download_pretrained_from_url(s)
+    return resolve(s)

@@ -45,13 +45,24 @@ def list_models() -> list[str]:
     return sorted(set(_REGISTRY) | set(presets.PRESETS))
 
 
-def create_model(name: str, seed: int = 0, dtype=None, **overrides):
+def create_model(name: str, seed: int = 0, dtype=None, pretrained=None,
+                 **overrides):
     """→ (params, ModelSpec). ``overrides`` replace top-level config fields.
+
+    ``pretrained``: load released weights — a registry name
+    (compat.registry), a local path, or a URL (fetched + sha256-verified +
+    cached; the reference's create_model(pretrained=...) →
+    download_pretrained path, factory.py:286-339 / pretrained.py:400-427).
 
     Names outside the curated registry resolve through the OpenCLIP preset
     inventory (``keep_tpu.presets`` — the reference's model_configs/*.json)."""
     import jax.numpy as jnp
 
+    if pretrained is not None and name not in ("keep",):
+        raise NotImplementedError(
+            "pretrained= loading is wired for the released 'keep' model; "
+            "other families load tower checkpoints via keep_tpu.compat "
+            "converters or train.main (pretrained_image/pretrained_text)")
     if name not in _REGISTRY:
         from keep_tpu import presets
 
@@ -75,6 +86,28 @@ def create_model(name: str, seed: int = 0, dtype=None, **overrides):
         spec = dataclasses.replace(
             spec, config=dataclasses.replace(spec.config, **overrides)
         )
+    if pretrained is not None:
+        import os
+
+        from keep_tpu.compat.registry import fetch
+        from keep_tpu.compat.torch_loader import load_keep_checkpoint
+
+        path = fetch(pretrained)
+        if os.path.isdir(path):
+            cfg_json = os.path.join(path, "config.json")
+            if os.path.exists(cfg_json):
+                spec = dataclasses.replace(
+                    spec, config=KEEPConfig.from_hf_json(cfg_json))
+            for fname in ("pytorch_model.bin", "model.safetensors"):
+                weights = os.path.join(path, fname)
+                if os.path.exists(weights):
+                    break
+            else:
+                raise FileNotFoundError(f"no weights file in {path}")
+        else:
+            weights = path
+        params = load_keep_checkpoint(weights, spec.config)
+        return params, spec
     params = spec.init(jax.random.PRNGKey(seed), spec.config,
                        dtype or jnp.float32)
     return params, spec

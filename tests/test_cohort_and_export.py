@@ -101,6 +101,96 @@ def test_kidrare_labels(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_download_pretrained_from_url(tmp_path, monkeypatch):
+    """resolve→fetch→sha256-verify→cache via file:// URLs (the reference's
+    download_pretrained_from_url, pretrained.py:336-377): cache hit skips the
+    fetch, checksum mismatch re-downloads, bad download raises."""
+    from keep_tpu.compat import registry
+
+    monkeypatch.setenv("KEEP_TPU_HOME", str(tmp_path / "home"))
+    src = tmp_path / "src" / "weights.bin"
+    src.parent.mkdir()
+    src.write_bytes(b"release-weights-v1")
+    sha = registry.sha256_file(str(src))
+    url = "file://" + str(src)
+
+    # fresh fetch + verify
+    got = registry.download_pretrained_from_url(url, expected_sha256=sha)
+    assert open(got, "rb").read() == b"release-weights-v1"
+    # cache hit: source can vanish, the cached verified copy is returned
+    src.unlink()
+    assert registry.download_pretrained_from_url(url, expected_sha256=sha) == got
+    # sha prefix matching (openaipublic-style short prefixes)
+    assert registry.download_pretrained_from_url(
+        url, expected_sha256=sha[:12]) == got
+    # cached copy with a WRONG checksum → re-download attempt (source gone →
+    # urlopen fails, proving the cache was not trusted)
+    with pytest.raises(Exception):
+        with pytest.warns(UserWarning, match="re-downloading"):
+            registry.download_pretrained_from_url(url, expected_sha256="f" * 64)
+    # fresh download whose content mismatches the expected sha → hard error
+    src.write_bytes(b"corrupted")
+    (tmp_path / "home" / "downloads" / "weights.bin").unlink()
+    with pytest.raises(RuntimeError, match="sha256"):
+        registry.download_pretrained_from_url(url, expected_sha256=sha)
+
+
+def test_registry_entry_with_url_fetches(tmp_path, monkeypatch):
+    """Registry entries carrying a url are fetched into the cache on first
+    resolve (download_pretrained semantics, pretrained.py:400-427)."""
+    from keep_tpu.compat import registry
+
+    monkeypatch.setenv("KEEP_TPU_HOME", str(tmp_path / "home"))
+    src = tmp_path / "knowledge_bert.pt"
+    src.write_bytes(b"tower")
+    sha = registry.sha256_file(str(src))
+    registry.register("kb-url", "kb/knowledge_bert.pt", kind="file",
+                      sha256=sha, url="file://" + str(src))
+    p = registry.resolve("kb-url")
+    assert p == str(tmp_path / "home" / "kb" / "knowledge_bert.pt")
+    assert open(p, "rb").read() == b"tower"
+    src.unlink()
+    assert registry.resolve("kb-url") == p  # cached thereafter
+
+    # fetch(): one front door — path | URL | registry name
+    assert registry.fetch(p) == p
+    assert registry.fetch("kb-url") == p
+
+
+def test_create_model_pretrained(tmp_path, monkeypatch):
+    """factory.create_model(pretrained=...) loads released weights through
+    the fetch path (reference create_model pretrained wiring,
+    factory.py:286-339)."""
+    from keep_tpu import factory
+    from keep_tpu.compat import registry
+    from keep_tpu.compat.export import save_pretrained
+    from keep_tpu.models import keep
+    from tests.test_keep_api import TINY
+
+    monkeypatch.setenv("KEEP_TPU_HOME", str(tmp_path / "home"))
+    ref_params = keep.init(jax.random.PRNGKey(7), TINY)
+    save_pretrained(str(tmp_path / "model"), ref_params, TINY)
+
+    # by local path: config.json supplies the arch, weights load exactly
+    params, spec = factory.create_model("keep", pretrained=str(tmp_path / "model"))
+    assert spec.config.vision.embed_dim == TINY.vision.embed_dim
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3), dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(keep.encode_image(params, x, TINY)),
+        np.asarray(keep.encode_image(ref_params, x, TINY)), atol=1e-6)
+
+    # by registry name
+    registry.register("tiny-keep", str(tmp_path / "model"), kind="dir")
+    params2, _ = factory.create_model("keep", pretrained="tiny-keep")
+    np.testing.assert_allclose(
+        np.asarray(params2["logit_scale"]),
+        np.asarray(ref_params["logit_scale"]), atol=1e-6)
+
+    with pytest.raises(NotImplementedError):
+        factory.create_model("coca", pretrained="tiny-keep")
+
+
 def test_hf_export_roundtrip(tmp_path, rng):
     from keep_tpu.compat.export import save_pretrained
     from keep_tpu.models import keep
