@@ -20,7 +20,7 @@ Re-designed from scratch with the capabilities of MAGIC-AI4Med/KEEP
 - ``keep_tpu.compat``   — PyTorch checkpoint → JAX pytree converters + local
   hub publishing (``compat.hub``).
 - ``keep_tpu.presets``  — the reference's 62 OpenCLIP arch presets as native
-  config data (55 build natively; ``presets.UNSUPPORTED`` names the rest).
+  config data (all 62 build natively as of round 3).
 - ``keep_tpu.serve``    — batching HTTP inference server
   (``python -m keep_tpu.serve``).
 """

@@ -96,6 +96,120 @@ def convert_timm_vit(sd: Mapping, cfg: ViTConfig) -> dict:
     }
 
 
+def convert_timm_eva(sd: Mapping, cfg) -> dict:
+    """timm ``Eva`` state dict → ``keep_tpu.models.eva`` pytree (cfg is an
+    ``EvaConfig``). Handles both the TrV layout (split q/k/v projections with
+    a zero ``k_bias`` buffer, SwiGLU fc1_g/fc1_x + hidden norm, attn inner
+    norm) and the E-variant layout (fused qkv with q_bias/v_bias params,
+    plain-GELU mlp.fc1/fc2)."""
+    g = lambda k: _to_numpy(sd[k])
+    d, l = cfg.embed_dim, cfg.depth
+
+    conv_w = g("patch_embed.proj.weight")  # [D, 3, P, P]
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+
+    def stack_lin(fmt: str, bias: bool = True) -> dict:
+        out = {"kernel": _stack(lambda i: g(fmt.format(i) + ".weight").T, l)}
+        if bias:
+            out["bias"] = _stack(lambda i: g(fmt.format(i) + ".bias"), l)
+        return out
+
+    def stack_ln(fmt: str) -> dict:
+        return {"scale": _stack(lambda i: g(fmt.format(i) + ".weight"), l),
+                "bias": _stack(lambda i: g(fmt.format(i) + ".bias"), l)}
+
+    if cfg.qkv_fused:
+        def qkv_bias(i: int) -> np.ndarray:
+            k = f"blocks.{i}.attn.qkv.bias"
+            if k in sd:
+                return g(k)
+            # timm fused-Eva layout: q_bias/v_bias params, k_bias zero buffer
+            return np.concatenate([
+                g(f"blocks.{i}.attn.q_bias"), np.zeros(d, np.float32),
+                g(f"blocks.{i}.attn.v_bias")])
+
+        attn = {
+            "qkv": {"kernel": _stack(
+                lambda i: g(f"blocks.{i}.attn.qkv.weight").T, l),
+                "bias": _stack(qkv_bias, l)},
+            "proj": stack_lin("blocks.{}.attn.proj"),
+        }
+    else:
+        attn = {
+            "q": stack_lin("blocks.{}.attn.q_proj"),
+            "k": stack_lin("blocks.{}.attn.k_proj", bias=False),
+            "v": stack_lin("blocks.{}.attn.v_proj"),
+            "proj": stack_lin("blocks.{}.attn.proj"),
+        }
+    if cfg.scale_attn_inner:
+        attn["norm"] = stack_ln("blocks.{}.attn.norm")
+
+    if cfg.swiglu:
+        mlp = {
+            "fc1_g": stack_lin("blocks.{}.mlp.fc1_g"),
+            "fc1_x": stack_lin("blocks.{}.mlp.fc1_x"),
+            "fc2": stack_lin("blocks.{}.mlp.fc2"),
+        }
+        if cfg.scale_mlp:
+            mlp["norm"] = stack_ln("blocks.{}.mlp.norm")
+    else:
+        mlp = {"fc1": stack_lin("blocks.{}.mlp.fc1"),
+               "fc2": stack_lin("blocks.{}.mlp.fc2")}
+
+    out = {
+        "patch_embed": {"kernel": patch_kernel,
+                        "bias": g("patch_embed.proj.bias")},
+        "cls_token": g("cls_token"),
+        "pos_embed": g("pos_embed"),
+        "blocks": {"norm1": stack_ln("blocks.{}.norm1"), "attn": attn,
+                   "norm2": stack_ln("blocks.{}.norm2"), "mlp": mlp},
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }
+    if "head.weight" in sd:
+        out["head"] = {"kernel": g("head.weight").T, "bias": g("head.bias")}
+    return out
+
+
+def convert_timm_vit_relpos(sd: Mapping, cfg) -> dict:
+    """timm ``VisionTransformerRelPos`` (cls variant) state dict →
+    ``keep_tpu.models.vit_relpos`` pytree. The per-block RelPosMlp lives at
+    ``blocks.{i}.attn.rel_pos.mlp.fc{1,2}``; there is no absolute pos embed."""
+    g = lambda k: _to_numpy(sd[k])
+    d, l = cfg.embed_dim, cfg.depth
+
+    conv_w = g("patch_embed.proj.weight")
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+
+    def stack_lin(fmt: str) -> dict:
+        return {"kernel": _stack(lambda i: g(fmt.format(i) + ".weight").T, l),
+                "bias": _stack(lambda i: g(fmt.format(i) + ".bias"), l)}
+
+    def stack_ln(fmt: str) -> dict:
+        return {"scale": _stack(lambda i: g(fmt.format(i) + ".weight"), l),
+                "bias": _stack(lambda i: g(fmt.format(i) + ".bias"), l)}
+
+    return {
+        "patch_embed": {"kernel": patch_kernel,
+                        "bias": g("patch_embed.proj.bias")},
+        "cls_token": g("cls_token"),
+        "blocks": {
+            "norm1": stack_ln("blocks.{}.norm1"),
+            "attn": {
+                "qkv": stack_lin("blocks.{}.attn.qkv"),
+                "proj": stack_lin("blocks.{}.attn.proj"),
+                "rel_pos": {
+                    "fc1": stack_lin("blocks.{}.attn.rel_pos.mlp.fc1"),
+                    "fc2": stack_lin("blocks.{}.attn.rel_pos.mlp.fc2"),
+                },
+            },
+            "norm2": stack_ln("blocks.{}.norm2"),
+            "mlp": {"fc1": stack_lin("blocks.{}.mlp.fc1"),
+                    "fc2": stack_lin("blocks.{}.mlp.fc2")},
+        },
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+    }
+
+
 def convert_hf_bert(sd: Mapping, cfg: BertConfig) -> dict:
     """HF ``BertModel`` state dict → ``keep_tpu.models.bert`` pytree."""
     g = lambda k: _to_numpy(sd[k])

@@ -29,7 +29,7 @@ convert losslessly — parity-tested against the reference torch CoCa):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +65,12 @@ class CoCaConfig:
     pad_id: int = 0
     sot_id: int = 49406
     eos_id: int = 49407
+    # coca_roberta-ViT-B-32 wiring (model_configs/coca_roberta-ViT-B-32.json):
+    # the token tower is an HF-family encoder (models/hf_text) whose raw
+    # hidden states feed the decoder, and the vision trunk has NO attentional
+    # pooler — image_embs are the plain ViT patch tokens at trunk width.
+    hf_text: Any = None  # HFTextConfig | None
+    use_attn_pool: bool = True
 
 
 def _attn_block(p, x, bias, cfg, heads, kv=None):
@@ -104,9 +110,17 @@ def encode_text(params, input_ids, cfg: CoCaConfig, *, dtype=jnp.float32,
     attention row via build_cls_mask (transformer.py:587-594 — including its
     shift-by-one column quirk), pools ln_final(x[:, -1]) @ text_projection,
     and returns tokens = x[:, :-1] WITHOUT ln_final (transformer.py:598-625)."""
+    ids = input_ids[:, :-1] if embed_cls else input_ids
+    if cfg.hf_text is not None:
+        # roberta token tower (coca_roberta): latent = projected mean-pool,
+        # decoder tokens = raw hidden states (hf_model.py output_tokens)
+        from keep_tpu.models import hf_text
+
+        pooled, tokens = hf_text.forward(
+            params["text"], ids, cfg.hf_text, dtype=dtype, output_tokens=True)
+        return l2_normalize(pooled.astype(jnp.float32)), tokens
     t = params["text"]
     w = t["token_embedding"].shape[-1]
-    ids = input_ids[:, :-1] if embed_cls else input_ids
     b, s = ids.shape
     x = jnp.take(t["token_embedding"], ids, axis=0).astype(dtype)
     cls = jnp.broadcast_to(t["cls_emb"].reshape(1, 1, w).astype(dtype),
@@ -150,6 +164,14 @@ def encode_image(params, pixels, cfg: CoCaConfig, *, dtype=jnp.float32,
     trunk-final LN on the attn-pool path)."""
     tokens = vit.forward(params["visual"], pixels, cfg.vision,
                          dtype=dtype, use_flash=use_flash)  # pool='none'
+    if not cfg.use_attn_pool:
+        # coca_roberta path: no attentional pooler — ln_post over the trunk
+        # tokens, latent = CLS @ visual_proj, decoder context = patch tokens
+        # at trunk width (open_clip VisionTransformer._global_pool)
+        x = layer_norm(params["ln_post"], tokens, cfg.ln_eps)
+        latent = jnp.dot(x[:, 0], params["visual_proj"].astype(dtype),
+                         preferred_element_type=jnp.float32).astype(dtype)
+        return l2_normalize(latent.astype(jnp.float32)), x[:, 1:]
     p = params["attn_pool"]
     b = tokens.shape[0]
     heads = cfg.attn_pooler_heads
@@ -352,20 +374,12 @@ def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
     # vit.init's ``norm`` starts as identity (scale 1, bias 0) which matches
     # the attn-pool path (transformer.py:489-495); converters keep it identity.
     visual["ln_pre"] = ln(vw)
-    return {
-        "visual": visual,
-        "attn_pool": {
-            "query": normal(next(keys), (cfg.n_queries, e), e**-0.5),
-            "ln_q": ln(e),
-            "ln_k": ln(vw),
-            "q": lin(next(keys), e, e),
-            "k": lin(next(keys), vw, e),
-            "v": lin(next(keys), vw, e),
-            "proj": lin(next(keys), e, e),
-        },
-        "ln_post": ln(e),
-        "visual_proj": normal(next(keys), (e, e), e**-0.5),
-        "text": {
+    if cfg.hf_text is not None:
+        from keep_tpu.models import hf_text
+
+        text = hf_text.init(next(keys), cfg.hf_text, dtype)
+    else:
+        text = {
             "token_embedding": normal(next(keys), (cfg.vocab_size, w), 0.02),
             # num_pos = context_length + 1: positions cover the appended CLS
             # (transformer.py:530-532)
@@ -377,7 +391,10 @@ def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
             ),
             "ln_final": ln(w),
             "text_projection": normal(next(keys), (w, e), w**-0.5),
-        },
+        }
+    out = {
+        "visual": visual,
+        "text": text,
         "decoder": {
             "self_blocks": _stack_blocks(
                 jax.random.split(next(keys), cfg.decoder_layers),
@@ -392,6 +409,23 @@ def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
         },
         "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
     }
+    if cfg.use_attn_pool:
+        out["attn_pool"] = {
+            "query": normal(next(keys), (cfg.n_queries, e), e**-0.5),
+            "ln_q": ln(e),
+            "ln_k": ln(vw),
+            "q": lin(next(keys), e, e),
+            "k": lin(next(keys), vw, e),
+            "v": lin(next(keys), vw, e),
+            "proj": lin(next(keys), e, e),
+        }
+        out["ln_post"] = ln(e)
+        out["visual_proj"] = normal(next(keys), (e, e), e**-0.5)
+    else:
+        # no attentional pooler: ln_post at trunk width, proj vw → embed_dim
+        out["ln_post"] = ln(vw)
+        out["visual_proj"] = normal(next(keys), (vw, e), vw**-0.5)
+    return out
 
 
 def generate_beam(

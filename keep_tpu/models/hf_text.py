@@ -61,9 +61,15 @@ def roberta_position_ids(input_ids: Array, pad_id: int) -> Array:
 
 
 def forward(params: dict, input_ids: Array, cfg: HFTextConfig, *,
-            dtype=jnp.float32, normalize: bool = False, **trunk_kw) -> Array:
+            dtype=jnp.float32, normalize: bool = False,
+            output_tokens: bool = False, **trunk_kw) -> Array:
     """[B, S] ids → [B, output_dim] projected text features (unnormalized,
-    matching HFTextEncoder.forward; the CLIP wrapper normalizes)."""
+    matching HFTextEncoder.forward; the CLIP wrapper normalizes).
+
+    ``output_tokens=True`` additionally returns the raw last hidden states
+    [B, S, width] — the CoCa decoder's token stream (HFTextEncoder
+    output_tokens, hf_model.py; with the mean pooler no position is
+    removed)."""
     tc = cfg.trunk
     mask = (input_ids != tc.pad_token_id).astype(jnp.int32)
     if cfg.arch == "mt5":
@@ -92,6 +98,8 @@ def forward(params: dict, input_ids: Array, cfg: HFTextConfig, *,
         from keep_tpu.ops.nn import l2_normalize
 
         pooled = l2_normalize(pooled.astype(jnp.float32))
+    if output_tokens:
+        return pooled, h
     return pooled
 
 

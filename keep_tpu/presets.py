@@ -104,6 +104,14 @@ PRESETS: dict[str, dict] = {
     "vit_medium_patch16_gap_256": {"embed_dim": 512, "vision": {"kind": "vit_gap", "image_size": 256, "layers": 12, "width": 512, "patch_size": 16, "proj": "linear"}, "text": _vt(512, 8, 12)},
     "EVA01-g-14": {"embed_dim": 1024, "vision": {"kind": "eva01_g", "image_size": 224, "proj": "linear_bias"}, "text": _vt(768, 12, 12)},
     "EVA01-g-14-plus": {"embed_dim": 1024, "vision": {"kind": "eva01_g", "image_size": 224, "proj": "linear_bias"}, "text": _vt(1024, 16, 24)},
+    # EVA02 trunks (models/eva.py, shapes from EVA02-*.json; timm_proj null →
+    # the trunk's own head projects to embed_dim)
+    "EVA02-B-16": {"embed_dim": 512, "vision": {"kind": "eva02", "proj": "none"}, "text": _vt(512, 8, 12)},
+    "EVA02-L-14": {"embed_dim": 768, "vision": {"kind": "eva02", "proj": "none"}, "text": _vt(768, 12, 12)},
+    "EVA02-L-14-336": {"embed_dim": 768, "vision": {"kind": "eva02", "proj": "none"}, "text": _vt(768, 12, 12)},
+    "EVA02-E-14": {"embed_dim": 1024, "vision": {"kind": "eva02", "proj": "none"}, "text": _vt(1024, 16, 24)},
+    "EVA02-E-14-plus": {"embed_dim": 1024, "vision": {"kind": "eva02", "proj": "none"}, "text": _vt(1280, 20, 32)},
+    "vit_relpos_medium_patch16_cls_224": {"embed_dim": 512, "vision": {"kind": "vit_relpos", "image_size": 224, "proj": "linear"}, "text": _vt(512, 8, 12)},
     # --- HF text towers ----------------------------------------------------
     "ViT-B-32-bert": {"embed_dim": 768, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "path_bert", "context_length": 256, "vocab_size": 30522, "width": 768, "heads": 12, "layers": 12}},
     "roberta-ViT-B-32": {"embed_dim": 512, "quick_gelu": True, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "roberta", "vocab_size": 50265, "width": 768, "heads": 12, "layers": 12, "proj": "mlp"}},
@@ -116,17 +124,14 @@ PRESETS: dict[str, dict] = {
     "coca_ViT-B-32": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"width": 512, "heads": 8, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 8, "attn_pooler_heads": 8}},
     "coca_ViT-L-14": {"embed_dim": 768, "family": "coca", "vision": {"image_size": 224, "layers": 24, "width": 1024, "patch_size": 14}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 12}},
     "coca_base": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 288, "layers": 12, "width": 768, "patch_size": 18}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 64000}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 8, "n_queries": 256}},
+    # CoCa with a RoBERTa token tower: no attentional pooler (decoder
+    # cross-attends raw ViT patch tokens at trunk width 768 == multimodal
+    # width), roberta hidden states feed the decoder
+    # (coca_roberta-ViT-B-32.json)
+    "coca_roberta-ViT-B-32": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "roberta", "vocab_size": 50265, "width": 768, "heads": 12, "layers": 12, "proj": "linear"}, "multimodal": {"layers": 12, "heads": 8, "context_length": 76}},
 }
 
-UNSUPPORTED: dict[str, str] = {
-    "EVA02-B-16": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
-    "EVA02-L-14": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
-    "EVA02-L-14-336": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
-    "EVA02-E-14": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
-    "EVA02-E-14-plus": "EVA02 trunk (2D rotary embeddings + SwiGLU + sub-LN) has no native tower yet; the reference delegates it to external timm",
-    "vit_relpos_medium_patch16_cls_224": "timm relative-position-MLP ViT has no native tower yet; the reference delegates it to external timm",
-    "coca_roberta-ViT-B-32": "CoCa with a RoBERTa token tower (decoder cross-attends RoBERTa hidden states) is not wired yet",
-}
+UNSUPPORTED: dict[str, str] = {}
 
 
 class UnsupportedPresetError(NotImplementedError):
@@ -159,11 +164,14 @@ def tokenizer_kind(name: str) -> str:
     SentencePiece vocabularies that ship with those models, not derivable
     offline) — raises with that reason."""
     r = resolve(name)
-    if r.text_kind == "clip" or r.family == "coca":
+    if r.family == "coca" and getattr(r.text_cfg, "hf_text", None) is not None:
+        arch = r.text_cfg.hf_text.arch  # coca_roberta → the HF tokenizer path
+    elif r.text_kind == "clip" or r.family == "coca":
         return "clip"
-    if r.text_kind == "path_bert":
+    elif r.text_kind == "path_bert":
         return "bert"
-    arch = getattr(r.text_cfg, "arch", "?")
+    else:
+        arch = getattr(r.text_cfg, "arch", "?")
     raise UnsupportedPresetError(
         f"{name}: the {arch} text tower uses its upstream HF tokenizer "
         f"({'SentencePiece' if arch in ('xlm-roberta', 'mt5') else 'byte-BPE'}"
@@ -226,6 +234,40 @@ def resolve(name: str) -> ResolvedPreset:
 
         mm = raw["multimodal"]
         t = raw["text"]
+        vision = ViTConfig(
+            img_size=v["image_size"], patch_size=v["patch_size"],
+            embed_dim=v["width"], depth=v["layers"],
+            num_heads=v["width"] // v.get("head_width", 64),
+            layerscale_init=None, ln_eps=1e-5, pool="none",
+        )
+        if t.get("kind") == "roberta":
+            # coca_roberta: HF token tower + no attentional pooler; roberta
+            # special ids (<s>=0, <pad>=1, </s>=2)
+            from keep_tpu.models.hf_text import HFTextConfig
+
+            hf = HFTextConfig(
+                arch="roberta",
+                trunk=BertConfig(
+                    vocab_size=t["vocab_size"], hidden_size=t["width"],
+                    num_hidden_layers=t["layers"],
+                    num_attention_heads=t["heads"],
+                    intermediate_size=4 * t["width"],
+                    max_position_embeddings=514, type_vocab_size=1,
+                    ln_eps=1e-5, pad_token_id=1,
+                ),
+                output_dim=e, pooler="mean", proj=t["proj"],
+            )
+            cfg = CoCaConfig(
+                embed_dim=e, vocab_size=t["vocab_size"],
+                context_length=mm.get("context_length", 76),
+                text_width=t["width"], text_heads=t["heads"],
+                text_layers=t["layers"], decoder_layers=mm["layers"],
+                decoder_heads=mm["heads"], vision=vision,
+                hf_text=hf, use_attn_pool=False,
+                pad_id=1, sot_id=0, eos_id=2,
+            )
+            return ResolvedPreset(name, "coca", e, "vit", cfg.vision, "none",
+                                  "coca", cfg, qg)
         cfg = CoCaConfig(
             embed_dim=e, vocab_size=t["vocab_size"], context_length=76,
             text_width=t["width"], text_heads=t["heads"],
@@ -233,12 +275,7 @@ def resolve(name: str) -> ResolvedPreset:
             decoder_heads=mm["heads"],
             attn_pooler_heads=mm.get("attn_pooler_heads", 8),
             n_queries=mm.get("n_queries", 256),
-            vision=ViTConfig(
-                img_size=v["image_size"], patch_size=v["patch_size"],
-                embed_dim=v["width"], depth=v["layers"],
-                num_heads=v["width"] // v.get("head_width", 64),
-                layerscale_init=None, ln_eps=1e-5, pool="none",
-            ),
+            vision=vision,
             sot_id=t["vocab_size"] - 2, eos_id=t["vocab_size"] - 1,
         )
         return ResolvedPreset(name, "coca", e, "vit", cfg.vision, "none",
@@ -293,6 +330,18 @@ def resolve(name: str) -> ResolvedPreset:
             depth=40, num_heads=16, mlp_ratio=6144 / 1408,
             layerscale_init=None, ln_eps=1e-6,
         )
+        vproj = v["proj"]
+    elif kind == "eva02":
+        from keep_tpu.models.eva import EVA02_CONFIGS
+
+        vcfg = EVA02_CONFIGS[name]  # trunk head projects to embed_dim
+        vproj = "none"
+    elif kind == "vit_relpos":
+        from keep_tpu.models.vit_relpos import ViTRelPosConfig
+
+        # timm vit_relpos_medium_patch16_cls_224: width 512, depth 12, heads 8
+        vcfg = ViTRelPosConfig(img_size=v["image_size"], patch_size=16,
+                               embed_dim=512, depth=12, num_heads=8)
         vproj = v["proj"]
     else:  # pragma: no cover
         raise ValueError(f"bad vision kind {kind!r}")
@@ -443,6 +492,18 @@ def create_preset(name: str, seed: int = 0, dtype=jnp.float32):
         visual = _v.init(kv, r.vision_cfg, dtype)
         vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg)
         fin = r.vision_cfg.num_features
+    elif vk == "eva02":
+        from keep_tpu.models import eva as _v
+
+        visual = _v.init(kv, r.vision_cfg, dtype)
+        vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg, **kw)
+        fin = r.vision_cfg.out_dim  # trunk head already projects
+    elif vk == "vit_relpos":
+        from keep_tpu.models import vit_relpos as _v
+
+        visual = _v.init(kv, r.vision_cfg, dtype)
+        vfeat = lambda p, x, **kw: _v.forward(p, x, r.vision_cfg, **kw)
+        fin = r.vision_cfg.embed_dim
     else:  # vit / vit_gap / eva01_g
         from keep_tpu.models import vit as _v
 

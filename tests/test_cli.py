@@ -231,4 +231,5 @@ def test_verify_release_runs(model_dir, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "text tower vs real transformers" in out
+    assert "visual tower vs torch" in out  # round-3 visual-side release check
     assert "PASS" in out

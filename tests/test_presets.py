@@ -12,9 +12,10 @@ from keep_tpu import presets
 
 
 def test_inventory_is_complete():
-    """55 supported + 7 explicitly-unsupported = the reference's 62 JSONs."""
-    assert len(presets.PRESETS) == 55
-    assert len(presets.UNSUPPORTED) == 7
+    """All 62 of the reference's model_configs/*.json now build natively
+    (round 3 added EVA02 ×5, relpos ViT, coca_roberta)."""
+    assert len(presets.PRESETS) == 62
+    assert len(presets.UNSUPPORTED) == 0
     assert not set(presets.PRESETS) & set(presets.UNSUPPORTED)
 
 
@@ -49,9 +50,7 @@ def test_known_shapes():
     assert r.vision_cfg.num_heads == 16  # 1280 / head_width 80
 
 
-def test_unsupported_presets_raise_with_reason():
-    with pytest.raises(presets.UnsupportedPresetError, match="EVA02"):
-        presets.resolve("EVA02-L-14")
+def test_unknown_preset_raises():
     with pytest.raises(KeyError, match="unknown preset"):
         presets.resolve("ViT-Z-99")
 

@@ -82,6 +82,62 @@ def check_text_tower_vs_transformers(model_dir: str, model, tokenizer) -> bool:
     return bool(ok)
 
 
+def check_visual_tower_vs_torch(model_dir: str, model, rng_seed: int = 0) -> bool:
+    """encode_image parity vs a torch recreation of the released timm
+    ViT-L/16 semantics (tests/torch_fixtures.TorchViT — timm-layout names, so
+    the released ``visual.*`` weights load strict=True), mirrored after the
+    text-tower oracle. timm itself is uninstallable in-image; this is the
+    strongest visual-side release check available offline."""
+    try:
+        import torch
+    except ImportError:
+        print("[skip] torch not available — visual-tower check skipped")
+        return True
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.torch_fixtures import TorchViT
+
+    from keep_tpu.compat.torch_loader import (
+        load_state_dict_file, normalize_state_dict, strip_prefix)
+
+    weights = os.path.join(model_dir, "pytorch_model.bin")
+    if not os.path.exists(weights):
+        weights = os.path.join(model_dir, "model.safetensors")
+    sd = load_state_dict_file(weights)
+    sd = {k: (torch.from_numpy(np.asarray(v)) if not hasattr(v, "dim") else v)
+          for k, v in sd.items()}
+    sd = normalize_state_dict(sd)
+
+    tvit = TorchViT(model.cfg.vision)
+    missing, unexpected = tvit.load_state_dict(
+        strip_prefix(sd, "visual."), strict=False)
+    if missing or unexpected:
+        print(f"[FAIL] TorchViT load: missing={list(missing)} "
+              f"unexpected={list(unexpected)}")
+        return False
+    tvit.eval()
+
+    rng = np.random.default_rng(rng_seed)
+    size = model.cfg.vision.img_size
+    px = rng.standard_normal((2, size, size, 3)).astype(np.float32)
+    with torch.no_grad():
+        trunk = tvit(torch.from_numpy(px.transpose(0, 3, 1, 2)))
+        w0 = sd["visual_head.0.weight"]
+        b0 = sd["visual_head.0.bias"]
+        w2 = sd["visual_head.2.weight"]
+        b2 = sd["visual_head.2.bias"]
+        head = torch.nn.functional.gelu(trunk @ w0.T + b0) @ w2.T + b2
+        ref = torch.nn.functional.normalize(head, dim=-1).numpy()
+    import jax.numpy as jnp
+
+    got = np.asarray(model.encode_image(jnp.asarray(px)))
+    err = np.abs(got - ref).max()
+    ok = err < 5e-3  # bf16 tower tolerance; fp32 passes at ~1e-5
+    print(f"[{'ok' if ok else 'FAIL'}] visual tower vs torch timm-semantics "
+          f"recreation: max abs err {err:.2e}")
+    return bool(ok)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
@@ -135,6 +191,9 @@ def main(argv=None):
 
     # 2) text tower vs the real transformers oracle
     ok &= check_text_tower_vs_transformers(args.model_dir, model, tokenizer)
+
+    # 2b) visual tower vs the torch timm-semantics recreation
+    ok &= check_visual_tower_vs_torch(args.model_dir, model)
 
     # 3) optional WSI detection AUROC on a real slide
     if args.h5 and args.prompts:
