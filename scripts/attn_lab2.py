@@ -38,7 +38,10 @@ F = 4096
 DH = D // H
 EPS = 1e-6
 LOG2E = 1.4426950408889634
-OPTS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+import os as _os
+
+OPTS = {"xla_tpu_scoped_vmem_limit_kib":
+        _os.environ.get("KEEP_LAB_VMEM_KIB", "65536")}
 
 
 def timed(name, fn, *args, ref=None, iters=10):
