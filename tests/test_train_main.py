@@ -181,6 +181,58 @@ def test_eval_batches_shard_over_dp(run_dirs, tmp_path, monkeypatch):
         assert not sh.is_fully_replicated, "eval batch replicated, not sharded"
 
 
+def test_train_with_csv_eval_sets(run_dirs, tmp_path):
+    """Full in-training eval through the CSV path (build_eval_data ←
+    get_zeroshot_dataset, data_proc_group.py:459-496): zeroshot-cls WF1
+    quartiles, retrieval p@K, and val contrastive metrics all land in
+    results.jsonl."""
+    from PIL import Image
+
+    d = tmp_path / "evaldata"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                        .astype(np.uint8)).save(d / f"ev{i}.png")
+
+    # build_eval_data reads with sep='both' (comma, tab fallback —
+    # data_proc_group.py:459-496), so eval CSVs are comma-separated
+    (d / "cls.csv").write_text(
+        "image_name,label\n" + "\n".join(
+            f"ev{i}.png,{'tumor' if i % 2 else 'normal'}" for i in range(6)))
+    (d / "ret.csv").write_text(
+        "image_name,caption\n" + "\n".join(
+            f"ev{i}.png,an image of lung cancer ." for i in range(6)))
+    prompts = {str(i): {"classnames": {"normal": "normal tissue",
+                                       "tumor": "tumor"},
+                        "templates": "an image of CLASSNAME ."}
+               for i in range(3)}
+    (d / "prompts.json").write_text(json.dumps(prompts))
+
+    # val images resolve against dataset.img_dir (the training image root)
+    (d / "val.csv").write_text(
+        "image_name,caption\n" + "\n".join(
+            f"im{i}.png,melanoma of skin ." for i in range(6)))
+
+    cfg = make_cfg(run_dirs, tmp_path, epochs=1, zeroshot_frequency=1)
+    cfg = dataclasses.replace(cfg, dataset=dataclasses.replace(
+        cfg.dataset,
+        zeroshot_cls=str(d / "cls.csv"), zeroshot_cls_imdir=str(d),
+        zeroshot_cls_prompts=str(d / "prompts.json"),
+        zeroshot_ret=str(d / "ret.csv"), zeroshot_ret_imdir=str(d),
+        val_data=str(d / "val.csv"),
+    ))
+    res = tmain.train(cfg)
+
+    for key in ("zeroshot-cls-WF1-median", "zeroshot-ret-p@10",
+                "val_contrastive_loss", "image_to_text_R@1"):
+        assert key in res, (key, sorted(res))
+    assert np.isfinite(res["val_contrastive_loss"])
+    out = tmp_path / "exp"
+    lines = (out / "checkpoints" / "results.jsonl").read_text().splitlines()
+    assert any("zeroshot-cls-WF1-median" in l for l in lines)
+
+
 def test_train_resume_equivalence(run_dirs, tmp_path):
     """Train 3 epochs continuously vs train 1 + resume + 2: identical final
     params. Fails if opt_state/step aren't restored (Adam moments + warmup
