@@ -1,0 +1,101 @@
+"""Train-step lab, round 3: two unmeasured throughput knobs.
+
+Round 2 measured the full KEEP HyMetric train step at 127.8 samples/s
+(B=64, full per-block remat — mandatory: no-remat needs ~30 GB) and showed
+dot-saving remat POLICIES don't fit (docs/PERF.md). Unmeasured:
+
+  (a) batch size: does B=96/128 still fit under full remat, and does the
+      fatter backward buy throughput?
+  (b) per-TOWER selective remat: remat the ViT (the memory hog) but save
+      the BERT tower's activations (≈ skip one BERT forward in the
+      backward). BERT @256 tokens is ~1/4 of the step's FLOPs.
+
+Usage: python scripts/train_lab.py [b64 b96 b128 b64-textsave b96-textsave]
+One JSON line per config: ms/step + samples/s (OOM prints an error line).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import KEEPConfig
+from keep_tpu.models import keep
+from keep_tpu.train import optim, schedules
+from keep_tpu.train import trainer
+from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
+
+CAPTION_NUM = 8  # groups per batch; batch = CAPTION_NUM * n_instances
+
+
+def build(batch_size, cfg, loss_cfg, tx):
+    params = keep.init(jax.random.PRNGKey(0), cfg)
+    state = tree_state(params, tx)
+    rng = np.random.default_rng(0)
+    n_id = CAPTION_NUM
+    batch = {
+        "pixels": jnp.asarray(rng.standard_normal(
+            (batch_size, 224, 224, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(
+            1, cfg.text.vocab_size, (batch_size, 256))),
+        "attention_mask": jnp.ones((batch_size, 256), jnp.int32),
+        "node_connection": jnp.ones((n_id, n_id), jnp.float32),
+    }
+    return state, batch
+
+
+def timed(name, step, state, batch, iters=8):
+    try:
+        state, m = step(state, batch, None)
+        float(m["loss"])  # compile + fetch
+        t0 = time.time()
+        for _ in range(iters):
+            state, m = step(state, batch, None)
+        float(m["loss"])
+        ms = (time.time() - t0) / iters * 1e3
+        bs = batch["pixels"].shape[0]
+        print(json.dumps({"name": name, "ms": round(ms, 1),
+                          "samples_per_s": round(bs / (ms / 1e3), 1)}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"name": name, "error": str(e)[:200]}), flush=True)
+
+
+def main():
+    which = sys.argv[1:] or ["b64", "b96", "b128", "b64-textsave"]
+    cfg = KEEPConfig()
+    loss_cfg = LossConfig(kind="hierarchy_metric", caption_num=CAPTION_NUM)
+    tx = optim.adamw(schedules.cosine_lr(1e-5, 100, 10000), weight_decay=0.2,
+                     grad_clip_norm=1.0)
+
+    orig_encode = trainer._encode_batch
+
+    def encode_textsave(params, batch, cfg, dtype, use_flash, remat=True):
+        img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
+                                use_flash=use_flash, remat=True)
+        txt = keep.encode_text(
+            params, batch["input_ids"], batch.get("attention_mask"),
+            batch.get("token_type_ids"), cfg, dtype=dtype,
+            use_flash=use_flash, remat=False)  # save BERT activations
+        return img, txt
+
+    for name in which:
+        textsave = name.endswith("-textsave")
+        bs = int(name.split("-")[0][1:])
+        trainer._encode_batch = encode_textsave if textsave else orig_encode
+        try:
+            step = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,
+                                   use_flash=True, donate=False)
+            state, batch = build(bs, cfg, loss_cfg, tx)
+            timed(name, step, state, batch)
+            del state, batch
+        finally:
+            trainer._encode_batch = orig_encode
+
+
+if __name__ == "__main__":
+    main()
