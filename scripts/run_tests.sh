@@ -14,5 +14,6 @@ run tests/test_quant.py tests/test_sharding.py tests/test_composite_converters.p
     tests/test_swin.py tests/test_resnet.py -m slow
 run tests/test_train.py tests/test_t5.py tests/test_hf_text.py \
     tests/test_convnext.py tests/test_presets.py tests/test_multiprocess.py -m slow
-run tests/test_coca.py tests/test_models_extra.py tests/test_train_main.py -m slow
+run tests/test_coca.py tests/test_models_extra.py tests/test_train_main.py \
+    tests/test_eva.py -m slow
 echo "ALL GREEN"
