@@ -28,6 +28,7 @@ def build_ensemble(model, tokenizer, prompts, label_map, features, args):
         encode, tokenizer, prompts, label_map,
         add_normal=args.add_normal, batch_size=args.text_batch_size,
         max_length=args.max_length,
+        length_buckets=None if args.no_text_buckets else (32, 64, 128, 256),
     )
     if args.prompt_screening:
         logging.info("screening %d prompt classifiers...", stack.shape[0])
@@ -69,6 +70,9 @@ def main(argv=None):
     parser.add_argument("--no-screening", dest="prompt_screening", action="store_false")
     parser.add_argument("--text-batch-size", type=int, default=256)
     parser.add_argument("--max-length", type=int, default=256)
+    parser.add_argument("--no-text-buckets", action="store_true",
+                        help="pad every prompt to --max-length instead of "
+                             "length-bucketed encoding (slower, bit-identical)")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 quantized inference (keep_tpu.quant)")

@@ -181,3 +181,92 @@ def test_prompt_select_clamps_topn(rng):
     assert merged.shape == (16, 2)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(merged), axis=0),
                                1.0, atol=1e-5)
+
+
+def test_encode_texts_bucketed_exact_parity(rng):
+    """Bucketed encode == full-width encode through a real BERT tower.
+
+    Padding beyond a text's length is masked out of attention and the pooler
+    reads position 0, so slicing each text to its length bucket must not
+    change the features (the whole premise of the bucketed classifier build).
+    """
+    import jax
+
+    from keep_tpu.configs import BertConfig
+    from keep_tpu.models import bert
+    from keep_tpu.zeroshot import encode_texts_bucketed
+
+    cfg = BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    params = bert.init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def encode(ids, mask):
+        out = bert.forward(params, ids, mask, cfg=cfg)
+        return out["pooler_output"]
+
+    n, full = 23, 48
+    lengths = rng.integers(2, full + 1, size=n)
+    lengths[0], lengths[1] = 2, full  # hit both extremes
+    ids = np.zeros((n, full), np.int32)
+    mask = np.zeros((n, full), np.int32)
+    for i, ln in enumerate(lengths):
+        ids[i, :ln] = rng.integers(1, cfg.vocab_size, size=ln)
+        mask[i, :ln] = 1
+
+    ref = np.asarray(encode(ids, mask))
+    got = encode_texts_bucketed(
+        lambda i, m: encode(i, m), ids, mask,
+        batch_size=7, length_buckets=(8, 16, 32, 64),
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+    # buckets wider than the corpus collapse to one pass; None disables
+    got_none = encode_texts_bucketed(
+        lambda i, m: encode(i, m), ids, mask, batch_size=7, length_buckets=None
+    )
+    np.testing.assert_allclose(got_none, ref, atol=1e-7)
+
+
+def test_build_classifiers_batched_bucketed_matches_unbucketed(rng):
+    """The classifier stack is identical with and without bucketing when the
+    encoder is genuinely padding-invariant."""
+    d = 8
+
+    class VarTok:
+        def __call__(self, texts, max_length=256):
+            n = len(texts)
+            L = 12
+            ids = np.zeros((n, L), np.int32)
+            mask = np.zeros((n, L), np.int32)
+            for i, t in enumerate(texts):
+                ln = 2 + (hash(t) % (L - 2))
+                ids[i, :ln] = (np.arange(ln) + hash(t)) % 997 + 1
+                mask[i, :ln] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    def fake_encode(ids, mask):
+        # padding-invariant: mean of per-token hashes over real tokens only
+        g = np.random.default_rng(1)
+        table = g.standard_normal((1000, d)).astype(np.float32)
+        ids = np.asarray(ids)
+        mask = np.asarray(mask).astype(np.float32)
+        tok = table[ids % 1000] * mask[..., None]
+        return jnp.asarray(tok.sum(1) / np.maximum(mask.sum(1, keepdims=True), 1))
+
+    prompts = {
+        str(i): {"classnames": {"Normal": f"normal {i}", "Tumor": f"tumor {'x' * i}"},
+                 "templates": "an image of CLASSNAME."}
+        for i in range(5)
+    }
+    label_map = {"Normal": 0, "Tumor": 1}
+    a = np.asarray(build_classifiers_batched(
+        fake_encode, VarTok(), prompts, label_map, batch_size=3,
+        length_buckets=(4, 8, 16)))
+    b = np.asarray(build_classifiers_batched(
+        fake_encode, VarTok(), prompts, label_map, batch_size=3,
+        length_buckets=None))
+    np.testing.assert_allclose(a, b, atol=1e-6)
