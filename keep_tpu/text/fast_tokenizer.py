@@ -22,8 +22,16 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libkeep_native.so"))
 
 
 def build_native(force: bool = False) -> str:
-    """Compile the shared library if missing; returns its path."""
-    if force or not os.path.exists(_LIB_PATH):
+    """Compile the shared library if missing or stale; returns its path."""
+    sources = [
+        os.path.join(_NATIVE_DIR, f)
+        for f in os.listdir(_NATIVE_DIR)
+        if f.endswith(".cpp")
+    ]
+    stale = os.path.exists(_LIB_PATH) and any(
+        os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in sources
+    )
+    if force or stale or not os.path.exists(_LIB_PATH):
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
             check=True,
@@ -116,3 +124,106 @@ class FastWordPieceTokenizer:
     @property
     def vocab(self):
         return self.python.vocab
+
+
+def _load_bpe_lib():
+    lib = ctypes.CDLL(build_native())
+    lib.bpe_create.restype = ctypes.c_void_p
+    lib.bpe_create.argtypes = [ctypes.c_char_p]
+    lib.bpe_free.argtypes = [ctypes.c_void_p]
+    lib.bpe_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.bpe_vocab_size.restype = ctypes.c_int
+    lib.bpe_encode_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+class FastBPETokenizer:
+    """Drop-in for ``BPETokenizer.__call__`` with the native C++ fast path.
+
+    Texts the C++ scanner cannot reproduce bit-for-bit route to the Python
+    ``BPETokenizer``: non-ASCII bytes (the \\p{L}/\\p{N} regex classes and
+    byte-level BPE over multi-byte UTF-8), '&' (``basic_clean``'s
+    html.unescape), and '<' (the literal <|startoftext|>/<|endoftext|>
+    special-token alternatives). The shipped prompt/caption corpora are
+    entirely ASCII, so the fast path covers them wholesale.
+    """
+
+    def __init__(self, merges_path: str, context_length: int = 77):
+        from keep_tpu.text.bpe import BPETokenizer
+
+        self.python = BPETokenizer(merges_path, context_length=context_length)
+        self.context_length = context_length
+        self.lib = _load_bpe_lib()
+
+        path = merges_path
+        self._tmp = None
+        if merges_path.endswith(".gz"):
+            import gzip
+            import tempfile
+
+            self._tmp = tempfile.NamedTemporaryFile(
+                mode="wb", suffix=".txt", delete=False
+            )
+            with gzip.open(merges_path, "rb") as f:
+                self._tmp.write(f.read())
+            self._tmp.close()
+            path = self._tmp.name
+        self.handle = self.lib.bpe_create(path.encode())
+        if not self.handle:
+            raise RuntimeError(f"native BPE failed to load {merges_path}")
+
+    def __del__(self):
+        if getattr(self, "handle", None) and getattr(self, "lib", None):
+            self.lib.bpe_free(self.handle)
+            self.handle = None
+        tmp = getattr(self, "_tmp", None)
+        if tmp is not None:
+            try:
+                os.unlink(tmp.name)
+            except OSError:
+                pass
+
+    @staticmethod
+    def _fast_ok(text: str) -> bool:
+        return text.isascii() and "&" not in text and "<" not in text
+
+    def __call__(
+        self, texts: str | Sequence[str], context_length: int | None = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        ctx = context_length or self.context_length
+        out = np.zeros((len(texts), ctx), np.int32)
+
+        fast_idx = [i for i, t in enumerate(texts) if self._fast_ok(t)]
+        other_idx = [i for i in range(len(texts)) if not self._fast_ok(texts[i])]
+
+        if fast_idx:
+            subset = [texts[i] for i in fast_idx]
+            buf = np.zeros((len(subset), ctx), np.int32)
+            arr = (ctypes.c_char_p * len(subset))(
+                *[t.encode("ascii") for t in subset]
+            )
+            self.lib.bpe_encode_batch(
+                self.handle, arr, len(subset), ctx,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            out[fast_idx] = buf
+        if other_idx:
+            out[other_idx] = self.python(
+                [texts[i] for i in other_idx], context_length=ctx
+            )
+        return out
+
+    # delegate the rest of the API to the Python implementation
+    def encode(self, text: str):
+        return self.python.encode(text)
+
+    def decode(self, ids):
+        return self.python.decode(ids)

@@ -80,3 +80,89 @@ def test_build_is_idempotent():
     p1 = build_native()
     p2 = build_native()
     assert p1 == p2
+
+
+# ---------------------------------------------------------------------------
+# Native C++ CLIP BPE vs the Python implementation (exact parity) + speed.
+
+MERGES = ["l o", "lo w", "e r</w>", "h e", "he l", "hel lo</w>", "w o",
+          "wo r", "wor ld</w>", "l d</w>", "a n</w>", "t h", "th e</w>",
+          "i n", "in g</w>", "c a", "ca n", "can cer</w>", "cer </w>"]
+
+
+@pytest.fixture(scope="module")
+def bpe_tokenizers(tmp_path_factory):
+    from keep_tpu.text.bpe import BPETokenizer
+    from keep_tpu.text.fast_tokenizer import FastBPETokenizer
+
+    p = tmp_path_factory.mktemp("bpe") / "merges.txt"
+    p.write_text("#version: 0.2\n" + "\n".join(MERGES) + "\n")
+    return FastBPETokenizer(str(p), context_length=77), BPETokenizer(
+        str(p), context_length=77
+    )
+
+
+BPE_TEXTS = [
+    "hello world",
+    "Hello, WORLD!  lower",
+    "it's the cancer's world, isn't it? they're we've I'll I'd I'm",
+    "the 1234 thing-in question... (parenthetical) [brackets] {braces}",
+    "  weird   spacing\tand\ttabs\nnewlines ",
+    "",
+    "'sword 'twas ''quoted'' don'x",
+    "a" * 300,
+    "!!!'s...",
+    "100% of 3.14159 samples",
+    "an h&e image routes to python",   # '&' → html.unescape gate
+    "<|startoftext|> literal special", # '<' gate
+    "café au lait",                    # non-ASCII gate
+]
+
+
+def test_bpe_native_matches_python(bpe_tokenizers):
+    fast, ref = bpe_tokenizers
+    np.testing.assert_array_equal(fast(BPE_TEXTS), ref(BPE_TEXTS))
+
+
+def test_bpe_native_fuzz_parity(bpe_tokenizers, rng):
+    fast, ref = bpe_tokenizers
+    alphabet = list("helowrdancigt HELOWRD 0123456789.,!?'-()[]/:;") + [
+        "'s", "'t", "'ll", "'re", " ", "  ",
+    ]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(int(rng.integers(0, 60))))
+        for _ in range(300)
+    ]
+    np.testing.assert_array_equal(
+        fast(texts, context_length=32), ref(texts, context_length=32)
+    )
+
+
+def test_bpe_native_truncation_keeps_eot(bpe_tokenizers):
+    fast, ref = bpe_tokenizers
+    long = "hello world " * 40
+    got = fast([long], context_length=8)
+    np.testing.assert_array_equal(got, ref([long], context_length=8))
+    assert got[0, -1] == ref.eot
+
+
+def test_bpe_native_gz_merges(tmp_path):
+    import gzip
+
+    from keep_tpu.text.fast_tokenizer import FastBPETokenizer
+
+    gz = tmp_path / "merges.txt.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("#version: 0.2\n" + "\n".join(MERGES) + "\n")
+    fast = FastBPETokenizer(str(gz), context_length=16)
+    out = fast(["hello world"])
+    assert out.shape == (1, 16)
+    np.testing.assert_array_equal(out, fast.python(["hello world"], 16))
+
+
+def test_bpe_native_faster_than_python(bpe_tokenizers):
+    fast, ref = bpe_tokenizers
+    corpus = BPE_TEXTS[:10] * 200  # fast-path-eligible texts
+    t_fast = min(_time(lambda: fast(corpus)) for _ in range(3))
+    t_ref = min(_time(lambda: ref(corpus)) for _ in range(3))
+    assert t_fast < t_ref, (t_fast, t_ref)
