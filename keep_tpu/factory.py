@@ -223,7 +223,12 @@ def get_tokenizer(kind: str, path: str, **kw):
                 return WordPieceTokenizer(path, **kw)
             return WordPieceTokenizer.from_pretrained(path, **kw)
     if kind == "clip":
-        from keep_tpu.text.bpe import BPETokenizer
+        try:
+            from keep_tpu.text.fast_tokenizer import FastBPETokenizer
 
-        return BPETokenizer(path, **kw)
+            return FastBPETokenizer(path, **kw)
+        except Exception:
+            from keep_tpu.text.bpe import BPETokenizer
+
+            return BPETokenizer(path, **kw)
     raise ValueError(f"unknown tokenizer kind {kind!r} (want 'bert' or 'clip')")

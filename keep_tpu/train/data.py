@@ -405,37 +405,7 @@ class BatchIterator:
             yield batch
 
 
-class Prefetcher:
-    """Background-thread batch prefetch (double buffering): overlaps host-side
-    image decode/tokenize with device steps — the TPU-native stand-in for the
-    reference's 8 DataLoader worker processes (data_proc_group.py:447)."""
-
-    def __init__(self, iterable, depth: int = 2):
-        import queue
-        import threading
-
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._sentinel = object()
-        self._err = None
-
-        def worker():
-            try:
-                for item in iterable:
-                    self._q.put(item)
-            except BaseException as e:  # propagate to the consumer
-                self._err = e
-            finally:
-                self._q.put(self._sentinel)
-
-        self._thread = threading.Thread(target=worker, daemon=True,
-                                        name="keep-tpu-prefetch")
-        self._thread.start()
-
-    def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._sentinel:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+# Background-thread batch prefetch — the TPU-native stand-in for the
+# reference's 8 DataLoader worker processes (data_proc_group.py:447).
+# Shared with the WSI cohort sweeps; lives in utils to stay import-light.
+from keep_tpu.utils.prefetch import Prefetcher  # noqa: E402,F401

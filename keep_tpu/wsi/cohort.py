@@ -18,6 +18,7 @@ from keep_tpu.metrics import (
     balanced_accuracy,
     sensitivity_specificity,
 )
+from keep_tpu.utils.prefetch import Prefetcher
 from keep_tpu.wsi.pipelines import (
     zero_shot_detection,
     zero_shot_segment,
@@ -60,7 +61,7 @@ def detection_cohort(
     """Per-slide tumor probability → cohort AUROC + sens/spec at 0.5
     (detection driver + calculate_metric, detection_utils.py:76-100)."""
     probs, labels, per_slide = [], [], {}
-    for item in dataset:
+    for item in Prefetcher(dataset):
         p = zero_shot_detection(
             classifier, jnp.asarray(item["features"]), item["coords"],
             patch_size=patch_size, overlap=overlap, threshold=threshold,
@@ -90,7 +91,7 @@ def segmentation_cohort(
     zeroshot_segmentation_WSI.py:69-71). ``mask_provider(slide_id)`` returns
     an in-memory level-0 mask array or a mask path."""
     aucs, dices, per_slide = [], [], {}
-    for item in dataset:
+    for item in Prefetcher(dataset):
         mask = mask_provider(item["slide_id"])
         kw = {"mask_path": mask} if isinstance(mask, str) else {"mask": mask}
         auc, dice = zero_shot_segment(
@@ -120,7 +121,7 @@ def subtyping_cohort(
     zeroshot_subtyping_WSI.py:61-84; the classifier carries an appended
     Normal class excluded from the slide-level argmax)."""
     preds, labels, per_slide = [], [], {}
-    for item in dataset:
+    for item in Prefetcher(dataset):
         label_pred, fractions = zero_shot_subtyping(
             classifier, jnp.asarray(item["features"]), item["coords"],
             patch_size=patch_size, overlap=overlap,
