@@ -295,13 +295,20 @@ class CsvTextImageDataset:
 
 def load_image(img_dir: str, name: str) -> np.ndarray:
     """uint8 HWC RGB; falls back to the reference's nested-dir convention
-    (data_proc_group.py:246-249)."""
-    from PIL import Image
-
+    (data_proc_group.py:246-249). Decodes through the native C++ JPEG/PNG
+    path when built (io/fast_decode — bit-identical, PIL inside on
+    anything it declines)."""
     path = os.path.join(img_dir, name)
     if not os.path.exists(path):
         path = os.path.join(img_dir, name.split("-")[0], name)
-    return np.asarray(Image.open(path).convert("RGB"))
+    try:
+        from keep_tpu.io.fast_decode import decode_image
+
+        return decode_image(path)
+    except Exception:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
 
 
 def dataset_image_names(dataset) -> list[str]:

@@ -1,0 +1,110 @@
+"""Native C++ JPEG/PNG decoder vs PIL (bit parity on the fast path, PIL
+fallback everywhere else) + threaded batch decode."""
+
+import shutil
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+HAS_GXX = shutil.which("g++") is not None
+
+pytestmark = pytest.mark.skipif(not HAS_GXX, reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    # smooth-ish content so JPEG actually exercises the DCT path
+    base = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+    paths = {}
+    Image.fromarray(base).save(d / "rgb.jpg", quality=90)
+    Image.fromarray(base).save(d / "prog.jpg", quality=85, progressive=True)
+    Image.fromarray(base[..., 0]).save(d / "gray.jpg", quality=90)
+    Image.fromarray(base).save(d / "rgb.png")
+    Image.fromarray(base[..., 0]).save(d / "gray.png")
+    Image.fromarray(base).convert("P", palette=Image.ADAPTIVE).save(d / "pal.png")
+    rgba = np.concatenate([base, rng.integers(0, 255, (64, 80, 1), np.uint8)], -1)
+    Image.fromarray(rgba).save(d / "rgba.png")  # → PIL fallback
+    (d / "corrupt.jpg").write_bytes(b"\xff\xd8\xff" + b"junk" * 10)
+    for f in d.iterdir():
+        paths[f.name] = str(f)
+    return paths
+
+
+def _pil(path):
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def test_decode_matches_pil_bitwise(images):
+    from keep_tpu.io.fast_decode import decode_image
+
+    for name in ["rgb.jpg", "prog.jpg", "gray.jpg", "rgb.png", "gray.png",
+                 "pal.png"]:
+        got = decode_image(images[name])
+        want = _pil(images[name])
+        assert got.shape == want.shape, name
+        np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_alpha_png_falls_back_to_pil(images):
+    from keep_tpu.io.fast_decode import decode_bytes, decode_image
+
+    with open(images["rgba.png"], "rb") as f:
+        assert decode_bytes(f.read()) is None  # fast path declines
+    np.testing.assert_array_equal(
+        decode_image(images["rgba.png"]), _pil(images["rgba.png"])
+    )
+
+
+def test_corrupt_stream_returns_none(images):
+    from keep_tpu.io.fast_decode import decode_bytes
+
+    with open(images["corrupt.jpg"], "rb") as f:
+        assert decode_bytes(f.read()) is None
+
+
+def test_batch_decode_mixed(images):
+    from keep_tpu.io.fast_decode import decode_files
+
+    names = ["rgb.jpg", "rgba.png", "pal.png", "gray.jpg", "rgb.png"]
+    got = decode_files([images[n] for n in names], workers=4)
+    for arr, n in zip(got, names):
+        np.testing.assert_array_equal(arr, _pil(images[n]), err_msg=n)
+
+
+def test_load_image_uses_fast_path(images, tmp_path):
+    import os
+
+    from keep_tpu.train.data import load_image
+
+    d = os.path.dirname(images["rgb.jpg"])
+    np.testing.assert_array_equal(
+        load_image(d, "rgb.jpg"), _pil(images["rgb.jpg"])
+    )
+
+
+def test_threaded_batch_faster_than_pil(images, tmp_path):
+    from keep_tpu.io.fast_decode import decode_files
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(48):
+        arr = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+        p = tmp_path / f"t{i}.jpg"
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(str(p))
+
+    def t(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fast = t(lambda: decode_files(paths, workers=8))
+    t_pil = t(lambda: [_pil(p) for p in paths])
+    assert t_fast < t_pil, (t_fast, t_pil)
