@@ -189,6 +189,41 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
         rec["int8_cos_vs_bf16"] = round(cos, 6)
     _emit(rec)
 
+    # -- the classifier-BUILD workload itself: a CPTAC-CM-sized prompt
+    # corpus (1,386 prompts x 2 classes) at the shipped files' ~15-token
+    # lengths, length-bucketed (zeroshot/classifier.encode_texts_bucketed)
+    # vs the reference's flat max_length=256 padding. Exact parity by
+    # masking; measured 2.2x on chip (scripts/bucket_lab.py).
+    from keep_tpu.zeroshot.classifier import encode_texts_bucketed
+
+    n_corpus = 2772
+    lens = np.clip(rng.normal(16, 5, n_corpus).astype(int), 6, 40)
+    cids = np.zeros((n_corpus, 256), np.int32)
+    cmask = np.zeros((n_corpus, 256), np.int32)
+    for i, ln in enumerate(lens):
+        cids[i, :ln] = rng.integers(1, cfg.text.vocab_size, ln)
+        cmask[i, :ln] = 1
+    use_p = qp if (on_tpu and precision == "int8_w8a8") else params
+    enc_fn = lambda i, m: encode(use_p, jnp.asarray(i), jnp.asarray(m))
+    for buckets in ((32, 64, 128, 256), None):  # warm compiles, then time
+        encode_texts_bucketed(enc_fn, cids, cmask, batch_size=bs,
+                              length_buckets=buckets)
+    t0 = time.time()
+    encode_texts_bucketed(enc_fn, cids, cmask, batch_size=bs,
+                          length_buckets=(32, 64, 128, 256))
+    t_bkt = time.time() - t0
+    t0 = time.time()
+    encode_texts_bucketed(enc_fn, cids, cmask, batch_size=bs,
+                          length_buckets=None)
+    t_flat = time.time() - t0
+    _emit({
+        "metric": "classifier_build_corpus_encode",
+        "value": round(n_corpus / t_bkt, 1), "unit": "texts/s",
+        "bucketed_s": round(t_bkt, 3), "flat_256pad_s": round(t_flat, 3),
+        "speedup_vs_flat": round(t_flat / t_bkt, 2),
+        "precision": precision, "vs_baseline": None,
+    })
+
 
 def bench_single_tile(params, cfg, rng, use_flash):
     """Config 1: the quick_start path — preprocess one tile, encode both

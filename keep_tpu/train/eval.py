@@ -150,22 +150,32 @@ def zero_shot_eval(
         if rounds is None:
             rounds = min(50, len(prompts))
         caps = label_captions_from_prompts(prompts, rounds)
+        # length-bucketed text encode: identical output (padding is masked),
+        # ~8x less MXU time on short caption corpora (zeroshot/classifier.py)
+        from keep_tpu.zeroshot.classifier import encode_texts_bucketed
+
         cap_feats = {}
         for t, texts in caps.items():
             enc = tokenizer(texts, max_length=max_length)
-            cap_feats[t] = encode_in_batches(
-                encode_text_fn, [enc["input_ids"], enc["attention_mask"]], batch_size
+            cap_feats[t] = encode_texts_bucketed(
+                encode_text_fn,
+                np.asarray(enc["input_ids"]), np.asarray(enc["attention_mask"]),
+                batch_size=batch_size,
             )
         cls = zeroshot_classification(img, labels, cap_feats, rounds)
         results.update({k: v for k, v in cls.items() if k != "rounds"})
 
     for task in ("zeroshot_ret", "zeroshot_po"):
         if task in data:
+            from keep_tpu.zeroshot.classifier import encode_texts_bucketed
+
             pixels, texts = data[task]
             img = encode_in_batches(encode_image_fn, [pixels], batch_size)
             enc = tokenizer(list(texts), max_length=max_length)
-            txt = encode_in_batches(
-                encode_text_fn, [enc["input_ids"], enc["attention_mask"]], batch_size
+            txt = encode_texts_bucketed(
+                encode_text_fn,
+                np.asarray(enc["input_ids"]), np.asarray(enc["attention_mask"]),
+                batch_size=batch_size,
             )
             ret = zeroshot_retrieval(img, txt)
             tag = task.split("_")[1]

@@ -104,23 +104,42 @@ def encode_texts_bucketed(
     else:
         buckets = [full]
     lengths = mask.sum(axis=1)
+
+    def dispatches():
+        prev = -1  # first bucket takes length-0 rows too (all-pad masks)
+        for b in buckets:
+            rows = np.flatnonzero((lengths > prev) & (lengths <= b))
+            prev = b
+            for i in range(0, rows.size, batch_size):
+                chunk = rows[i : i + batch_size]
+                bid = ids[chunk][:, :b]
+                bmask = mask[chunk][:, :b]
+                if bid.shape[0] < batch_size:  # pad tail: one compiled shape
+                    pad = batch_size - bid.shape[0]
+                    bid = np.pad(bid, ((0, pad), (0, 0)))
+                    bmask = np.pad(bmask, ((0, pad), (0, 0)))
+                yield encode_fn(bid, bmask), chunk  # async dispatch
+
+    # double-buffered fetch: batch N's download overlaps batch N+1's compute
+    from collections import deque
+
     out = None
-    prev = 0
-    for b in buckets:
-        rows = np.flatnonzero((lengths > prev) & (lengths <= b))
-        prev = b
-        for i in range(0, rows.size, batch_size):
-            chunk = rows[i : i + batch_size]
-            bid = ids[chunk][:, :b]
-            bmask = mask[chunk][:, :b]
-            if bid.shape[0] < batch_size:  # pad tail to keep one compiled shape
-                pad = batch_size - bid.shape[0]
-                bid = np.pad(bid, ((0, pad), (0, 0)))
-                bmask = np.pad(bmask, ((0, pad), (0, 0)))
-            feats = np.asarray(encode_fn(bid, bmask))[: chunk.size]
-            if out is None:
-                out = np.empty((n, feats.shape[1]), feats.dtype)
-            out[chunk] = feats
+    pending: deque = deque()
+
+    def drain():
+        nonlocal out
+        feats, chunk = pending.popleft()
+        feats = np.asarray(feats)[: chunk.size]
+        if out is None:
+            out = np.empty((n, feats.shape[1]), feats.dtype)
+        out[chunk] = feats
+
+    for item in dispatches():
+        pending.append(item)
+        if len(pending) > 1:
+            drain()
+    while pending:
+        drain()
     if out is None:  # n == 0
         raise ValueError("no texts to encode")
     return out

@@ -53,14 +53,19 @@ def main():
     qparams = quantize_linear_weights(params)
     ids, mask = make_corpus()
 
+    @jax.jit
+    def f(p, i, m):
+        out = bert.forward(p, i, m, cfg=cfg, dtype=jnp.bfloat16,
+                           use_flash=on_tpu, gelu_approx=True)
+        x = out["pooler_output"].astype(jnp.float32)
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
     def make_encode(p):
-        @jax.jit
-        def f(i, m):
-            out = bert.forward(p, i, m, cfg=cfg, dtype=jnp.bfloat16,
-                               use_flash=on_tpu, gelu_approx=True)
-            x = out["pooler_output"].astype(jnp.float32)
-            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        return f
+        # params ride as runtime args (device-resident), NOT jit constants —
+        # closure capture embeds 440 MB into the HLO and the relay's
+        # remote_compile rejects the request body (HTTP 413)
+        placed = jax.device_put(p)
+        return lambda i, m: f(placed, i, m)
 
     results = {"n_texts": int(ids.shape[0])}
     for name, p in [("bf16", params), ("int8", qparams)]:
