@@ -334,11 +334,23 @@ def preload_images(
     ``preload_dataset`` option (data_proc_group.py:258-288), decoded once up
     front instead of per epoch. Returns name → uint8 HWC array; pass as
     ``BatchIterator(preload=...)``."""
-    from concurrent.futures import ThreadPoolExecutor
-
     names = dataset_image_names(dataset)
-    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        arrays = list(pool.map(lambda n: load_image(img_dir, n), names))
+
+    def resolve(name):
+        path = os.path.join(img_dir, name)
+        if not os.path.exists(path):
+            path = os.path.join(img_dir, name.split("-")[0], name)
+        return path
+
+    try:  # one batched native decode call (C++ threads, PIL fallback inside)
+        from keep_tpu.io.fast_decode import decode_files
+
+        arrays = decode_files([resolve(n) for n in names], workers=workers)
+    except Exception:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            arrays = list(pool.map(lambda n: load_image(img_dir, n), names))
     return dict(zip(names, arrays))
 
 

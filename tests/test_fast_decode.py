@@ -108,3 +108,28 @@ def test_threaded_batch_faster_than_pil(images, tmp_path):
     t_fast = t(lambda: decode_files(paths, workers=8))
     t_pil = t(lambda: [_pil(p) for p in paths])
     assert t_fast < t_pil, (t_fast, t_pil)
+
+
+def test_preload_images_uses_batch_decode(tmp_path):
+    import json
+
+    from keep_tpu.train.data import GroupDataset, preload_images
+
+    rng = np.random.default_rng(2)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    groups = {}
+    for g in range(3):
+        names = []
+        for k in range(2):
+            name = f"g{g}_{k}.png"
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            ).save(imgs / name)
+            names.append(name)
+        groups[f"grp{g}"] = {"images": names, "captions": [f"cap {g}"]}
+    ds = GroupDataset(groups, num_instance=2)
+    pre = preload_images(ds, str(imgs), workers=2)
+    assert len(pre) == 6
+    for name, arr in pre.items():
+        np.testing.assert_array_equal(arr, _pil(str(imgs / name)))

@@ -166,3 +166,15 @@ def test_bpe_native_faster_than_python(bpe_tokenizers):
     t_fast = min(_time(lambda: fast(corpus)) for _ in range(3))
     t_ref = min(_time(lambda: ref(corpus)) for _ in range(3))
     assert t_fast < t_ref, (t_fast, t_ref)
+
+
+def test_factory_serves_fast_bpe(tmp_path):
+    from keep_tpu.factory import get_tokenizer
+    from keep_tpu.text.fast_tokenizer import FastBPETokenizer
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\n" + "\n".join(MERGES) + "\n")
+    tok = get_tokenizer("clip", str(p))
+    assert isinstance(tok, FastBPETokenizer)
+    out = tok(["hello world"])
+    np.testing.assert_array_equal(out, tok.python(["hello world"]))
