@@ -19,12 +19,19 @@ import numpy as np
 from keep_tpu.text.fast_tokenizer import build_native
 
 _lib = None
+_lib_failed = False  # negative cache: don't re-run `make` per decode call
 
 
 def _load_lib():
-    global _lib
+    global _lib, _lib_failed
+    if _lib_failed:
+        raise RuntimeError("native decoder unavailable (cached failure)")
     if _lib is None:
-        lib = ctypes.CDLL(build_native())
+        try:
+            lib = ctypes.CDLL(build_native())
+        except Exception:
+            _lib_failed = True
+            raise
         lib.imgdec_probe.restype = ctypes.c_int
         lib.imgdec_probe.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -63,14 +70,16 @@ def decode_bytes(data: bytes) -> Optional[np.ndarray]:
 
 
 def decode_image(path: str) -> np.ndarray:
-    """File → uint8 [H, W, 3] RGB; native fast path with PIL fallback."""
+    """File → uint8 [H, W, 3] RGB; native fast path with PIL fallback (any
+    native-path failure — unsupported format, corrupt stream, toolchain
+    missing — lands in PIL)."""
     try:
         with open(path, "rb") as f:
             data = f.read()
         arr = decode_bytes(data)
         if arr is not None:
             return arr
-    except OSError:
+    except Exception:
         pass
     from PIL import Image
 
@@ -81,8 +90,17 @@ def decode_files(
     paths: Sequence[str], workers: int = 8
 ) -> list[np.ndarray]:
     """Batch decode on C++ threads (one batched call, GIL released);
-    per-file PIL fallback for anything the fast path declines."""
-    lib = _load_lib()
+    threaded PIL fallback for anything the fast path declines."""
+    try:
+        lib = _load_lib()
+    except Exception:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            return list(pool.map(
+                lambda p: np.asarray(Image.open(p).convert("RGB")), paths))
     blobs = []
     for p in paths:
         try:
@@ -119,12 +137,18 @@ def decode_files(
             if rc[j] != 0:
                 del outs[i]
 
-    results: list[np.ndarray] = []
-    for i, p in enumerate(paths):
-        if i in outs:
-            results.append(outs[i])
-        else:
-            from PIL import Image
+    del blobs  # compressed bytes are done; don't hold them across fallback
 
-            results.append(np.asarray(Image.open(p).convert("RGB")))
-    return results
+    slow = [i for i in range(n) if i not in outs]
+    if slow:  # threaded PIL fallback (matches the pre-native preload path)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            decoded = pool.map(
+                lambda i: np.asarray(Image.open(paths[i]).convert("RGB")), slow
+            )
+            for i, arr in zip(slow, decoded):
+                outs[i] = arr
+    return [outs[i] for i in range(n)]

@@ -189,9 +189,17 @@ class FastBPETokenizer:
             except OSError:
                 pass
 
-    @staticmethod
-    def _fast_ok(text: str) -> bool:
-        return text.isascii() and "&" not in text and "<" not in text
+    # chars the C scanner treats differently from Python: non-ASCII (regex
+    # \p classes + multi-byte BPE), '&' (html.unescape), '<' (literal
+    # special tokens), NUL (C string truncation), and control chars outside
+    # \t\n\r\v\f (Python's \s matches \x1c-\x1f; the C is_space doesn't)
+    _PY_ONLY = set("&<\x00") | {
+        chr(c) for c in range(0x20) if chr(c) not in "\t\n\r\x0b\x0c"
+    }
+
+    @classmethod
+    def _fast_ok(cls, text: str) -> bool:
+        return text.isascii() and not (cls._PY_ONLY & set(text))
 
     def __call__(
         self, texts: str | Sequence[str], context_length: int | None = None

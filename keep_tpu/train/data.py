@@ -293,14 +293,20 @@ class CsvTextImageDataset:
 # ---------------------------------------------------------------------------
 
 
-def load_image(img_dir: str, name: str) -> np.ndarray:
-    """uint8 HWC RGB; falls back to the reference's nested-dir convention
-    (data_proc_group.py:246-249). Decodes through the native C++ JPEG/PNG
-    path when built (io/fast_decode — bit-identical, PIL inside on
-    anything it declines)."""
+def resolve_image_path(img_dir: str, name: str) -> str:
+    """Flat path, or the reference's nested-dir convention
+    (data_proc_group.py:246-249) when the flat file is absent."""
     path = os.path.join(img_dir, name)
     if not os.path.exists(path):
         path = os.path.join(img_dir, name.split("-")[0], name)
+    return path
+
+
+def load_image(img_dir: str, name: str) -> np.ndarray:
+    """uint8 HWC RGB. Decodes through the native C++ JPEG/PNG path when
+    built (io/fast_decode — bit-identical, PIL inside on anything it
+    declines)."""
+    path = resolve_image_path(img_dir, name)
     try:
         from keep_tpu.io.fast_decode import decode_image
 
@@ -335,22 +341,17 @@ def preload_images(
     front instead of per epoch. Returns name → uint8 HWC array; pass as
     ``BatchIterator(preload=...)``."""
     names = dataset_image_names(dataset)
-
-    def resolve(name):
-        path = os.path.join(img_dir, name)
-        if not os.path.exists(path):
-            path = os.path.join(img_dir, name.split("-")[0], name)
-        return path
-
     try:  # one batched native decode call (C++ threads, PIL fallback inside)
         from keep_tpu.io.fast_decode import decode_files
-
-        arrays = decode_files([resolve(n) for n in names], workers=workers)
-    except Exception:
+    except ImportError:  # only availability — per-file errors must propagate
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
             arrays = list(pool.map(lambda n: load_image(img_dir, n), names))
+        return dict(zip(names, arrays))
+    arrays = decode_files(
+        [resolve_image_path(img_dir, n) for n in names], workers=workers
+    )
     return dict(zip(names, arrays))
 
 

@@ -20,25 +20,44 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._err = None
+        self._closed = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices a departed consumer: if the consumer
+            # exited early (exception mid-sweep), stop producing instead of
+            # blocking forever on the full queue holding buffered items
+            while not self._closed.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in iterable:
-                    self._q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # propagate to the consumer
                 self._err = e
             finally:
-                self._q.put(self._sentinel)
+                put(self._sentinel)
 
         self._thread = threading.Thread(target=worker, daemon=True,
                                         name="keep-tpu-prefetch")
         self._thread.start()
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._sentinel:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._sentinel:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            # generator closed (normal exhaustion, break, or an exception in
+            # the consuming loop) → release the producer
+            self._closed.set()

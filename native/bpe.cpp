@@ -14,6 +14,7 @@
 
 #include <array>
 #include <cstdint>
+#include <mutex>
 #include <cstring>
 #include <fstream>
 #include <sstream>
@@ -77,15 +78,21 @@ struct BPE {
   std::unordered_map<std::pair<std::string, std::string>, int32_t, PairHash>
       ranks;
   std::unordered_map<std::string, std::vector<int32_t>> cache;
+  std::mutex cache_mu;  // ctypes releases the GIL; one handle may be shared
   std::array<std::string, 256> byte_enc;
   int32_t sot = -1, eot = -1;
 };
 
 // The reference bpe() merge loop (tokenizer.py:101-135), including the
 // .index()-based merge scan quirks, producing encoder ids directly.
-const std::vector<int32_t>& bpe_token(BPE& t, const std::string& token) {
-  auto hit = t.cache.find(token);
-  if (hit != t.cache.end()) return hit->second;
+// Returns by value: the cache can rehash under concurrent callers, so no
+// references into it escape the lock.
+std::vector<int32_t> bpe_token(BPE& t, const std::string& token) {
+  {
+    std::lock_guard<std::mutex> lock(t.cache_mu);
+    auto hit = t.cache.find(token);
+    if (hit != t.cache.end()) return hit->second;
+  }
 
   // split into byte-encoder symbols (UTF-8 code points), last gets </w>
   std::vector<std::string> word;
@@ -135,10 +142,12 @@ const std::vector<int32_t>& bpe_token(BPE& t, const std::string& token) {
   std::vector<int32_t> ids;
   ids.reserve(word.size());
   for (const auto& sym : word) {
-    auto it = t.encoder.find(sym);
+    auto it = t.encoder.find(sym);  // encoder is read-only after create
     ids.push_back(it == t.encoder.end() ? -1 : it->second);
   }
-  return t.cache.emplace(token, std::move(ids)).first->second;
+  std::lock_guard<std::mutex> lock(t.cache_mu);
+  t.cache.emplace(token, ids);
+  return ids;
 }
 
 inline bool is_lower(char c) { return c >= 'a' && c <= 'z'; }
@@ -271,7 +280,7 @@ int bpe_encode(void* handle, const char* text, int context_length,
   std::vector<int32_t> ids;
   ids.push_back(t.sot);
   for (const auto& w : words) {
-    const auto& toks = bpe_token(t, w);
+    const std::vector<int32_t> toks = bpe_token(t, w);
     ids.insert(ids.end(), toks.begin(), toks.end());
   }
   ids.push_back(t.eot);

@@ -83,6 +83,11 @@ int probe_png(const uint8_t* buf, size_t len, int* w, int* h) {
   if (image.format & PNG_FORMAT_FLAG_ALPHA) {
     ok = kErrUnsupported;  // PIL drops alpha without compositing; don't race it
   }
+  if (image.format & PNG_FORMAT_FLAG_LINEAR) {
+    // 16-bit channels: the simplified API would apply a linear->sRGB
+    // transfer when downconverting, PIL takes the high byte — not parity
+    ok = kErrUnsupported;
+  }
   *w = static_cast<int>(image.width);
   *h = static_cast<int>(image.height);
   png_image_free(&image);

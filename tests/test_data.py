@@ -315,3 +315,24 @@ def test_do_graph_memoization():
     assert ("a", "c") in g._memo and g._memo[("a", "c")] is True
     # memo hit returns the same answer
     assert g.reachable("a", "c")
+
+
+def test_prefetcher_releases_producer_on_early_exit():
+    import itertools
+    import time
+
+    from keep_tpu.utils.prefetch import Prefetcher
+
+    pf = Prefetcher(itertools.count(), depth=2)  # infinite producer
+    for i, item in enumerate(pf):
+        if i == 3:
+            break  # consumer leaves early
+    # break dropped the loop's iterator -> generator closed -> _closed set;
+    # the worker must notice within the 0.1s put timeout and terminate
+    time.sleep(0.5)
+    import threading
+
+    assert not any(
+        t.name == "keep-tpu-prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )

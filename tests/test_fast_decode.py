@@ -133,3 +133,36 @@ def test_preload_images_uses_batch_decode(tmp_path):
     assert len(pre) == 6
     for name, arr in pre.items():
         np.testing.assert_array_equal(arr, _pil(str(imgs / name)))
+
+
+def test_16bit_png_falls_back_to_pil(tmp_path):
+    # libpng's simplified API would linear->sRGB-convert 16-bit samples;
+    # PIL takes the high byte — the fast path must decline
+    import struct
+    import zlib
+
+    from keep_tpu.io.fast_decode import decode_bytes, decode_image
+
+    w = h = 4
+    rng = np.random.default_rng(3)
+    raw16 = rng.integers(0, 65535, (h, w, 3), dtype=np.uint16)
+    rows = b"".join(
+        b"\x00" + raw16[y].astype(">u2").tobytes() for y in range(h)
+    )
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(rows))
+           + chunk(b"IEND", b""))
+    p = tmp_path / "rgb16.png"
+    p.write_bytes(png)
+    assert decode_bytes(png) is None
+    np.testing.assert_array_equal(
+        decode_image(str(p)),
+        np.asarray(Image.open(p).convert("RGB")),
+    )

@@ -178,3 +178,13 @@ def test_factory_serves_fast_bpe(tmp_path):
     assert isinstance(tok, FastBPETokenizer)
     out = tok(["hello world"])
     np.testing.assert_array_equal(out, tok.python(["hello world"]))
+
+
+def test_bpe_control_chars_route_to_python(bpe_tokenizers):
+    # Python's \s matches \x1c-\x1f; the C scanner doesn't — must not take
+    # the fast path. NUL would truncate the C string.
+    fast, ref = bpe_tokenizers
+    texts = ["a\x1cb", "a\x00b", "a\x1fb", "hello\x07world"]
+    for t in texts:
+        assert not fast._fast_ok(t), repr(t)
+    np.testing.assert_array_equal(fast(texts), ref(texts))
