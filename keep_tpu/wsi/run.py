@@ -40,13 +40,13 @@ def load_model(args):
     import jax
 
     from keep_tpu.models.keep import KEEPModel
-    from keep_tpu.text.tokenizer import WordPieceTokenizer
+    from keep_tpu.factory import get_tokenizer
 
     model = KEEPModel.from_pretrained(
         args.model, dtype=jnp.bfloat16,
         use_flash=jax.default_backend() == "tpu",
     )
-    tokenizer = WordPieceTokenizer.from_pretrained(args.model)
+    tokenizer = get_tokenizer("bert", args.model)  # native fast path if built
     if getattr(args, "int8", False):
         model = model.quantize()
     return model, tokenizer
