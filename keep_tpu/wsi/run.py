@@ -145,6 +145,9 @@ def main(argv=None):
                                        threshold=args.threshold)
             print(f"Tumor probability: {prob:.4f}")
         elif args.task == "segmentation":
+            if not args.mask:
+                parser.error("segmentation needs --mask (level-0 .npy array "
+                             "or an OpenSlide-readable path)")
             mask = np.load(args.mask) if args.mask.endswith(".npy") else None
             kw = {"mask": mask} if mask is not None else {"mask_path": args.mask}
             auc, dice = zero_shot_segment(classifier, feats, coords,

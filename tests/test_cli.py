@@ -233,3 +233,15 @@ def test_verify_release_runs(model_dir, capsys):
     assert "text tower vs real transformers" in out
     assert "visual tower vs torch" in out  # round-3 visual-side release check
     assert "PASS" in out
+
+
+def test_wsi_cli_segmentation_requires_mask(model_dir):
+    from keep_tpu.wsi.run import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "segmentation", "--model", str(model_dir / "model"),
+            "--prompts", str(model_dir / "prompts.json"),
+            "--h5", str(model_dir / "slide.h5"),
+            "--text-batch-size", "8", "--max-length", "32", "--topn", "3",
+        ])
