@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keep_tpu.kernels._cost import maybe_cost_estimate
+
 Array = jax.Array
 
 NEG_INF = -1e9
@@ -111,7 +113,7 @@ def attention_qkv_heads(
         grid=grid,
         in_specs=in_specs,
         out_specs=spec,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=4 * b * h * s * s * dh,
             bytes_accessed=4 * b * s * hd * q.dtype.itemsize,
             transcendentals=b * h * s * s,
@@ -183,7 +185,7 @@ def _slab_attn_fwd_kernel(
         out_specs=pl.BlockSpec(
             (1, s, h * dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=4 * b * h * s * s * dh,
             bytes_accessed=qkv.size * qkv.dtype.itemsize,
             transcendentals=b * h * s * s,

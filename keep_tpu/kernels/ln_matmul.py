@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keep_tpu.kernels._cost import maybe_cost_estimate
+
 Array = jax.Array
 
 TILE_M = 256
@@ -61,7 +63,7 @@ def ln_matmul(
         ],
         out_specs=pl.BlockSpec((tile_m, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * m * k * n,
             bytes_accessed=m * k * 2 + k * n * 2 + m * n * 2,
             transcendentals=0,

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keep_tpu.kernels._cost import maybe_cost_estimate
+
 Array = jax.Array
 
 
@@ -104,7 +106,7 @@ def _qattn_call(x, g, bln, wqkv, sqkv, bqkv, wproj, sproj, bproj,
         out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((s, d), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * b * s * d * 4 * d + 4 * b * num_heads * s * s * dh,
             bytes_accessed=2 * b * s * d * 2 + d * 4 * d,
             transcendentals=b * num_heads * s * s,
@@ -203,7 +205,7 @@ def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
         out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((s, d), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * b * s * d * 4 * d + 4 * b * num_heads * s * s * dh,
             bytes_accessed=2 * b * s * d * 2 + d * 4 * d,
             transcendentals=b * num_heads * s * s,

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keep_tpu.kernels._cost import maybe_cost_estimate
+
 Array = jax.Array
 
 TILE_M = 256
@@ -72,7 +74,7 @@ def quantized_matmul(
         ],
         out_specs=pl.BlockSpec((TILE_M, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * m * k * n,
             bytes_accessed=m * k * 2 + k * n + m * n * 2,
             transcendentals=m * n if activation else 0,
@@ -129,7 +131,7 @@ def quantized_matmul_bsd(
         ],
         out_specs=pl.BlockSpec((1, s, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * b * s * k * n,
             bytes_accessed=b * s * k * 2 + k * n + b * s * n * 2,
             transcendentals=b * s * n if activation else 0,

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from keep_tpu.kernels._cost import maybe_cost_estimate
+
 Array = jax.Array
 
 TILE_M = 256
@@ -96,7 +98,7 @@ def quantized_mlp(
         ],
         out_specs=pl.BlockSpec((TILE_M, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * m * d * f * 2,
             bytes_accessed=m * d * 4 + d * f * 2,
             transcendentals=m * f,
@@ -198,7 +200,7 @@ def quantized_mlp_bsd(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=maybe_cost_estimate(
             flops=2 * b * s * d * f * 2,
             bytes_accessed=b * s * d * 4 + d * f * 2,
             transcendentals=b * s * f,

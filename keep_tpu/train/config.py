@@ -62,6 +62,10 @@ class SolverConfig:
     cooldown_power: float = 1.0
     cooldown_end_lr: float = 0.0
     grad_clip_norm: Optional[float] = 1.0
+    # 'bfloat16' stores Adam's first moment in bf16 (-0.85 GB on the full
+    # KEEP model) — a single-chip memory knob; None keeps fp32 moments (the
+    # reference's torch AdamW numerics).
+    mu_dtype: Optional[str] = None
     accum_freq: int = 1
     zeroshot_frequency: int = 1
     val_frequency: int = 1

@@ -321,6 +321,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         b2=cfg.solver.beta2,
         eps=cfg.solver.eps,
         grad_clip_norm=cfg.solver.grad_clip_norm,
+        mu_dtype=cfg.solver.mu_dtype,
     )
     if accum > 1:
         # cached-negative accumulation (train_hierarchy.py:127-165):

@@ -45,10 +45,18 @@ def adamw(
     eps: float = 1e-6,
     grad_clip_norm: Optional[float] = None,
     params=None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW with decoupled decay masked to kernels only (reference AdamW
     param-group split, main.py:283-298) + optional global-norm clipping
-    (train_hierarchy.py:167-184)."""
+    (train_hierarchy.py:167-184).
+
+    ``mu_dtype='bfloat16'`` stores the FIRST moment in bf16 (halves its HBM
+    share; the second moment stays fp32 — its sqrt feeds the update scale
+    and bf16's 8 mantissa bits would cost real precision there). A memory
+    knob for single-chip training, off by default for exact reference
+    numerics.
+    """
     txs = []
     if grad_clip_norm is not None:
         txs.append(optax.clip_by_global_norm(grad_clip_norm))
@@ -59,6 +67,7 @@ def adamw(
             b2=b2,
             eps=eps,
             weight_decay=weight_decay,
+            mu_dtype=mu_dtype,
             mask=wd_mask if params is None else wd_mask(params),
         )
     )

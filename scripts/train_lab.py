@@ -12,6 +12,12 @@ dot-saving remat POLICIES don't fit (docs/PERF.md). Unmeasured:
 
 Usage: python scripts/train_lab.py [b64 b96 b128 b64-textsave b96-textsave]
 One JSON line per config: ms/step + samples/s (OOM prints an error line).
+
+Round-3 session-3 additions — optimizer-memory knobs toward unlocking B>64:
+  bNN-mu16      AdamW with the first moment in bf16 (-0.85 GB)
+  bNN-adafactor Adafactor (factored 2nd moment, no 1st; -3.3 GB vs AdamW)
+RUN ONE CONFIG PER PROCESS on the real chip: a prior config's buffers
+fragment the arena and produce spurious OOMs (docs/PERF.md caveat).
 """
 
 import json
@@ -69,8 +75,16 @@ def main():
     which = sys.argv[1:] or ["b64", "b96", "b128", "b64-textsave"]
     cfg = KEEPConfig()
     loss_cfg = LossConfig(kind="hierarchy_metric", caption_num=CAPTION_NUM)
-    tx = optim.adamw(schedules.cosine_lr(1e-5, 100, 10000), weight_decay=0.2,
-                     grad_clip_norm=1.0)
+    import optax
+    lr = schedules.cosine_lr(1e-5, 100, 10000)
+
+    def make_tx(variant):
+        if variant == "adafactor":
+            return optax.chain(optax.clip_by_global_norm(1.0),
+                               optax.adafactor(learning_rate=lr))
+        mu = jnp.bfloat16 if variant == "mu16" else None
+        return optim.adamw(lr, weight_decay=0.2, grad_clip_norm=1.0,
+                           mu_dtype=mu)
 
     orig_encode = trainer._encode_batch
 
@@ -84,8 +98,11 @@ def main():
         return img, txt
 
     for name in which:
-        textsave = name.endswith("-textsave")
-        bs = int(name.split("-")[0][1:])
+        parts = name.split("-")
+        bs = int(parts[0][1:])
+        textsave = "textsave" in parts[1:]
+        variant = next((p for p in parts[1:] if p != "textsave"), None)
+        tx = make_tx(variant)
         trainer._encode_batch = encode_textsave if textsave else orig_encode
         try:
             step = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,

@@ -294,3 +294,29 @@ def test_static_freeze_bit_identical(rng):
     for a, b in zip(jax.tree.leaves(s_d.params), jax.tree.leaves(s_s.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(m_d["loss"]) == pytest.approx(float(m_s["loss"]), rel=1e-6)
+
+
+def test_mu_dtype_bf16_moments(rng):
+    """`mu_dtype='bfloat16'` (SolverConfig knob): Adam's first moment is
+    stored bf16, the second stays fp32, and the step still learns."""
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    tx = optim.adamw(1e-3, weight_decay=0.01, grad_clip_norm=1.0,
+                     mu_dtype="bfloat16")
+    state = tree_state(params, tx)
+    step = make_train_step(
+        TINY, LossConfig(kind="clip"), tx, dtype=jnp.float32, donate=False
+    )
+    batch = {k: jnp.asarray(v) for k, v in make_batch(rng, 8).items()}
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    adam_state = [s for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(s, "mu")]
+    assert adam_state, "expected a ScaleByAdamState in the chain"
+    mus = jax.tree.leaves(adam_state[0].mu)
+    nus = jax.tree.leaves(adam_state[0].nu)
+    assert all(m.dtype == jnp.bfloat16 for m in mus)
+    assert all(n.dtype == jnp.float32 for n in nus)
+    assert losses[-1] < losses[0]
