@@ -147,15 +147,27 @@ class KEEPModel:
     def logit_scale(self) -> float:
         return float(jnp.exp(self.params["logit_scale"]))
 
-    def quantize(self) -> "KEEPModel":
+    def quantize(self, calib_pixels=None, smooth_alpha: float = 0.5) -> "KEEPModel":
         """Opt-in W8A8 int8 inference variant (see ``keep_tpu.quant``).
         LayerScale is folded into proj/fc2 first (exact) so the quantized
-        kernels carry it for free."""
+        kernels carry it for free. With ``calib_pixels`` ([N, H, W, 3]
+        normalized calibration images), the visual tower is SmoothQuant-
+        calibrated first: activation outliers migrate into per-channel
+        weight scales at the LN→qkv/fc1 edges (``quant.smooth_vit``) —
+        recommended for released real-data checkpoints, where LN-output
+        outlier channels are common."""
         from keep_tpu.models.vit import fold_layerscale
-        from keep_tpu.quant import quantize_linear_weights
+        from keep_tpu.quant import quantize_linear_weights, smooth_vit
 
         params = dict(self.params)
         params["visual"] = fold_layerscale(params["visual"])
+        if calib_pixels is not None:
+            from keep_tpu.models import vit as _vit
+
+            _, stats = _vit.forward(params["visual"], calib_pixels,
+                                    self.cfg.vision, ln_stats=True)
+            params["visual"] = smooth_vit(params["visual"], stats,
+                                          smooth_alpha)
         return KEEPModel(
             params=quantize_linear_weights(params),
             cfg=self.cfg,

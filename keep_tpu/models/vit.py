@@ -86,11 +86,17 @@ def patch_dropout(
 
 
 def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
-          gelu_approx: bool = False, fuse_ln: bool = False) -> Array:
+          gelu_approx: bool = False, fuse_ln: bool = False,
+          collect_ln_stats: bool = False) -> Array:
+    """``collect_ln_stats=True`` (calibration only — quant.smooth_vit) also
+    returns per-channel abs-max of the two LN outputs, i.e. the exact inputs
+    the int8 path quantizes per token (qkv's and fc1's)."""
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
 
     quantized = "kernel_q" in p["attn"]["qkv"]
+    if collect_ln_stats and (fuse_ln or quantized):
+        raise ValueError("LN-stats calibration needs the unfused fp path")
     if (
         quantized and use_flash and gelu_approx
         and cfg.act == "gelu"
@@ -135,11 +141,12 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
 
         # one fused qkv dot; the kernel lane-slices heads from the slab —
         # no transposes, no padding, slab DMA'd once per layer
-        y = layer_norm(p["norm1"], x, cfg.ln_eps)
-        attn = attention_qkv_slab(linear(p["attn"]["qkv"], y), num_heads=h)
+        ln1_out = layer_norm(p["norm1"], x, cfg.ln_eps)
+        attn = attention_qkv_slab(
+            linear(p["attn"]["qkv"], ln1_out), num_heads=h)
     else:
-        y = layer_norm(p["norm1"], x, cfg.ln_eps)
-        qkv = linear(p["attn"]["qkv"], y)  # [B, S, 3D]
+        ln1_out = layer_norm(p["norm1"], x, cfg.ln_eps)
+        qkv = linear(p["attn"]["qkv"], ln1_out)  # [B, S, 3D]
         qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
         attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
@@ -162,11 +169,18 @@ def block(p: dict, x: Array, cfg: ViTConfig, *, use_flash: bool,
         hdn = _gelu(hdn, approximate=gelu_approx)
         y = linear(p["mlp"]["fc2"], hdn).reshape(b, s, d)
     else:
-        y = mlp(p["mlp"], layer_norm(p["norm2"], x, cfg.ln_eps),
-                gelu_approx=gelu_approx, act=cfg.act)
+        y2 = layer_norm(p["norm2"], x, cfg.ln_eps)
+        y = mlp(p["mlp"], y2, gelu_approx=gelu_approx, act=cfg.act)
     if "ls2" in p:
         y = y * p["ls2"].astype(y.dtype)
-    return x + y
+    out = x + y
+    if collect_ln_stats:
+        stats = {
+            "qkv": jnp.max(jnp.abs(ln1_out.astype(jnp.float32)), axis=(0, 1)),
+            "fc1": jnp.max(jnp.abs(y2.astype(jnp.float32)), axis=(0, 1)),
+        }
+        return out, stats
+    return out
 
 
 def forward(
@@ -181,8 +195,13 @@ def forward(
     fuse_ln: bool = False,
     patch_dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
+    ln_stats: bool = False,
 ) -> Array:
-    """Image encoder forward: [B, H, W, 3] (normalized pixels) → [B, D] CLS features."""
+    """Image encoder forward: [B, H, W, 3] (normalized pixels) → [B, D] CLS features.
+
+    ``ln_stats=True`` additionally returns ``{"qkv": [L, D], "fc1": [L, D]}``
+    per-layer per-channel abs-max of the LN outputs feeding qkv/fc1 — the
+    calibration pass for ``quant.smooth_vit``."""
     b, h, w, _ = x.shape
     ps = cfg.patch_size
     if h % ps or w % ps:
@@ -208,14 +227,16 @@ def forward(
         )
 
     block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash,
-                                 gelu_approx=gelu_approx, fuse_ln=fuse_ln)
+                                 gelu_approx=gelu_approx, fuse_ln=fuse_ln,
+                                 collect_ln_stats=ln_stats)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
     def scan_body(carry, layer_params):
-        return block_fn(layer_params, carry), None
+        out = block_fn(layer_params, carry)
+        return (out[0], out[1]) if ln_stats else (out, None)
 
-    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+    tokens, stats = jax.lax.scan(scan_body, tokens, params["blocks"])
     if not cfg.fc_norm:
         tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
 
@@ -224,10 +245,10 @@ def forward(
     elif cfg.pool == "avg":
         pooled = jnp.mean(tokens[:, cfg.num_prefix_tokens :], axis=1)
     else:
-        return tokens
+        return (tokens, stats) if ln_stats else tokens
     if cfg.fc_norm:  # timm gap-ViT order: pool first, then LN (fc_norm)
         pooled = layer_norm(params["norm"], pooled, cfg.ln_eps)
-    return pooled
+    return (pooled, stats) if ln_stats else pooled
 
 
 def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict:

@@ -81,3 +81,74 @@ def quantization_error(params, qparams) -> dict:
 
     visit(params, qparams)
     return out
+
+
+def smooth_scales(act_amax: Array, kernel: Array, alpha: float = 0.5) -> Array:
+    """SmoothQuant-style per-input-channel equalization scale.
+
+    ``s_j = act_amax_j^alpha / w_amax_j^(1-alpha)`` (Xiao et al., 2022),
+    normalized to geometric mean 1 so overall magnitudes are untouched;
+    channels with degenerate stats keep s=1. ``kernel`` is [..., K, N] and
+    ``act_amax`` [..., K] (per input channel)."""
+    a = jnp.maximum(jnp.asarray(act_amax, jnp.float32), 1e-8)
+    w = jnp.maximum(
+        jnp.max(jnp.abs(jnp.asarray(kernel, jnp.float32)), axis=-1), 1e-8
+    )
+    s = a**alpha / w ** (1.0 - alpha)
+    s = s / jnp.exp(jnp.mean(jnp.log(s), axis=-1, keepdims=True))
+    return jnp.clip(s, 1e-3, 1e3)
+
+
+def _fold_smooth(norm: dict, lin: dict, act_amax: Array, alpha: float):
+    """Divide the LN affine by s, multiply the kernel's input rows by s —
+    mathematically exact (LN(x)/s) @ (s·W) == LN(x) @ W, but the activation
+    outliers migrate into the weights where per-channel scales absorb them."""
+    s = smooth_scales(act_amax, lin["kernel"], alpha)
+    norm_dtype = norm["scale"].dtype
+    k_dtype = lin["kernel"].dtype
+    new_norm = {
+        "scale": (norm["scale"].astype(jnp.float32) / s).astype(norm_dtype),
+        "bias": (norm["bias"].astype(jnp.float32) / s).astype(norm_dtype),
+    }
+    new_lin = {
+        **lin,
+        "kernel": (lin["kernel"].astype(jnp.float32) * s[..., None]).astype(
+            k_dtype),
+    }
+    return new_norm, new_lin
+
+
+def smooth_vit(params: dict, stats: dict, alpha: float = 0.5) -> dict:
+    """Migrate activation outliers into weights at the ViT's two exclusive
+    LN→linear edges (norm1→qkv, norm2→fc1) ahead of W8A8 quantization.
+
+    ``stats`` comes from ``vit.forward(..., ln_stats=True)`` on a
+    calibration batch: per-layer per-channel abs-max of the LN outputs —
+    exactly the tensors the int8 path quantizes per token. The fold is
+    exact in fp; the payoff is that dynamic per-token activation quant no
+    longer spends its 8 bits on a few outlier channels (the classic
+    transformer outlier pathology). Only these two edges are smoothable:
+    proj's input (attention output) and fc2's input (GELU output) have no
+    preceding affine op to fold into, and post-LN BERT's LN outputs also
+    feed residuals, so folding there would change the model.
+    """
+    p = dict(params)
+    blocks = dict(p["blocks"])
+    attn = dict(blocks["attn"])
+    mlp_ = dict(blocks["mlp"])
+    n1, qkv = _fold_smooth(blocks["norm1"], attn["qkv"], stats["qkv"], alpha)
+    n2, fc1 = _fold_smooth(blocks["norm2"], mlp_["fc1"], stats["fc1"], alpha)
+    blocks["norm1"], blocks["norm2"] = n1, n2
+    attn["qkv"], mlp_["fc1"] = qkv, fc1
+    blocks["attn"], blocks["mlp"] = attn, mlp_
+    p["blocks"] = blocks
+    return p
+
+
+def smooth_quantize_vit(params: dict, calib_pixels: Array, cfg,
+                        alpha: float = 0.5) -> dict:
+    """Calibrate on ``calib_pixels`` → smooth → int8-quantize the ViT."""
+    from keep_tpu.models import vit
+
+    _, stats = vit.forward(params, calib_pixels, cfg, ln_stats=True)
+    return quantize_linear_weights(smooth_vit(params, stats, alpha))

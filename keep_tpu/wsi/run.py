@@ -36,7 +36,7 @@ def build_ensemble(model, tokenizer, prompts, label_map, features, args):
     return random_ensemble(stack, topn=args.topn)
 
 
-def load_model(args):
+def load_model(args, calib_pixels=None):
     import jax
 
     from keep_tpu.models.keep import KEEPModel
@@ -48,7 +48,7 @@ def load_model(args):
     )
     tokenizer = get_tokenizer("bert", args.model)  # native fast path if built
     if getattr(args, "int8", False):
-        model = model.quantize()
+        model = model.quantize(calib_pixels=calib_pixels)
     return model, tokenizer
 
 
@@ -76,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 quantized inference (keep_tpu.quant)")
+    parser.add_argument("--int8-calib", type=int, default=32, metavar="N",
+                        help="extract+--int8: SmoothQuant-calibrate the "
+                             "visual tower on the slide's first N tiles "
+                             "(0 disables; quant.smooth_vit)")
     parser.add_argument("--image", help="extract: level-0 RGB image (PIL-readable)")
     parser.add_argument("--out", help="extract: output h5 path (features+coords)")
     parser.add_argument("--tissue-fraction", type=float, default=0.25)
@@ -107,7 +111,15 @@ def main(argv=None):
                                   tissue_fraction=args.tissue_fraction)
         logging.info("cut %d tissue tiles (%dpx) from %s", len(tiles),
                      args.patch_size, args.image)
-        model, _ = load_model(args)
+        calib = None
+        if args.int8 and args.int8_calib and len(tiles):
+            # SmoothQuant calibration on this slide's own first tiles: the
+            # exact preprocessing the encode path applies
+            from keep_tpu.ops.preprocess import preprocess
+
+            calib = preprocess(jnp.asarray(tiles[: args.int8_calib]))
+            logging.info("int8 calibration on %d tiles", calib.shape[0])
+        model, _ = load_model(args, calib_pixels=calib)
         mesh = None
         if args.mesh_dp:
             from keep_tpu.parallel.mesh import make_mesh

@@ -106,3 +106,26 @@ def test_manifest_records_contract(params, tmp_path):
     assert m["max_text_length"] == TINY.max_text_length
     assert m["dtype"] == "bfloat16"
     assert m["platforms"] == [jax.default_backend()]
+
+
+def test_int8_production_config_exports(params, tmp_path):
+    """The shipped serving precision (quantized params + fused kernels) also
+    exports as bucketed artifacts — the AOT story covers the production
+    config, not just the parity path."""
+    from keep_tpu.models.vit import fold_layerscale
+    from keep_tpu.quant import quantize_linear_weights
+
+    qp = dict(params)
+    qp["visual"] = fold_layerscale(params["visual"])
+    qp = quantize_linear_weights(qp)
+    save_aot(str(tmp_path), qp, TINY, dtype=jnp.bfloat16, use_flash=True,
+             gelu_approx=True, batch_sizes=(2,))
+    aot = load_aot(str(tmp_path))
+    pixels, ids, mask = _data(2)
+    img = np.asarray(aot.encode_image(qp, pixels), np.float32)
+    ref = np.asarray(keep.encode_image(
+        qp, pixels, TINY, dtype=jnp.bfloat16, use_flash=True,
+        gelu_approx=True), np.float32)
+    np.testing.assert_allclose(img, ref, atol=2e-2)  # bf16 reorder noise
+    cos = float(np.mean(np.sum(img * ref, 1)))
+    assert cos > 0.999

@@ -378,3 +378,86 @@ def test_partial_quantization_skips_megakernels(rng):
     bout = bert.forward(bqp, ids, jnp.ones((1, 8), jnp.int32), cfg=bcfg,
                         use_flash=True, gelu_approx=True)
     assert np.isfinite(np.asarray(bout["pooler_output"])).all()
+
+
+def _cos(a, b):
+    return float(np.mean(
+        np.sum(a * b, axis=1)
+        / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))))
+
+
+def _outlier_params(cfg, n_outlier=4, gain=80.0):
+    """A ViT whose LN outputs carry a few huge channels — the transformer
+    outlier pathology SmoothQuant targets — built EXACTLY equivalent to the
+    base model: norm scale × g on those channels, the consuming kernel's
+    input rows ÷ g."""
+    params = vit.init(jax.random.PRNGKey(1), cfg)
+    blocks = params["blocks"]
+    ch = np.arange(n_outlier)
+    for norm_name, mod, lin in (("norm1", "attn", "qkv"),
+                                ("norm2", "mlp", "fc1")):
+        sc = np.array(blocks[norm_name]["scale"], np.float32)
+        bi = np.array(blocks[norm_name]["bias"], np.float32)
+        k = np.array(blocks[mod][lin]["kernel"], np.float32)
+        sc[:, ch] *= gain
+        bi[:, ch] *= gain
+        k[:, ch, :] /= gain
+        blocks[norm_name]["scale"] = jnp.asarray(sc)
+        blocks[norm_name]["bias"] = jnp.asarray(bi)
+        blocks[mod][lin]["kernel"] = jnp.asarray(k)
+    return params
+
+
+def test_smooth_vit_fold_is_exact(rng):
+    """Smoothing alone (no quantization) must not change the model."""
+    from keep_tpu.quant import smooth_vit
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=3,
+                    num_heads=4, layerscale_init=None)
+    params = _outlier_params(cfg)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3), dtype=np.float32))
+    ref, stats = vit.forward(params, x, cfg, ln_stats=True)
+    assert stats["qkv"].shape == (cfg.depth, cfg.embed_dim)
+    sm = smooth_vit(params, stats)
+    got = vit.forward(sm, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_smooth_quantize_recovers_outlier_accuracy(rng):
+    """With outlier channels, plain W8A8 (dynamic per-token activation
+    scales) degrades — the outliers eat the 8-bit range; smoothing migrates
+    them into per-channel weight scales and recovers the cos."""
+    from keep_tpu.quant import smooth_quantize_vit
+
+    # LayerScale off: at init gamma=1e-5 makes the residual branches
+    # near-no-ops, hiding any quantization error from the output
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=3,
+                    num_heads=4, layerscale_init=None)
+    params = _outlier_params(cfg)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3), dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(vit.forward(params, x, cfg))
+    naive = np.asarray(vit.forward(quantize_linear_weights(params), x, cfg))
+    smoothq = np.asarray(
+        vit.forward(smooth_quantize_vit(params, calib, cfg), x, cfg))
+    cos_naive, cos_smooth = _cos(naive, ref), _cos(smoothq, ref)
+    assert cos_naive < 0.99, cos_naive  # the pathology is real...
+    assert cos_smooth > 0.999, cos_smooth  # ...and smoothing recovers it
+
+
+def test_keep_model_quantize_with_calibration(rng):
+    """KEEPModel.quantize(calib_pixels=...) smooths the visual tower before
+    int8 — the API stays one call for the production path."""
+    from keep_tpu.models import keep
+    from tests.test_keep_api import TINY
+
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    model = keep.KEEPModel(params=params, cfg=TINY)
+    calib = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    qm = model.quantize(calib_pixels=calib)
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(model.encode_image(x))
+    got = np.asarray(qm.encode_image(x))
+    assert _cos(got, ref) > 0.995
