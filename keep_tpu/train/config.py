@@ -77,6 +77,11 @@ class SolverConfig:
     # rank; this shards each large leaf's biggest divisible axis instead.
     fsdp: bool = False
     fsdp_min_size: int = 1 << 16  # leaves below this many elements replicate
+    # Tensor parallelism: mp-axis size of a 2-D (dp, mp) mesh. Params (and
+    # their Adam moments) take the Megatron layout from parallel/tp.py;
+    # XLA's SPMD partitioner inserts the TP collectives. 1 = off. Mutually
+    # exclusive with fsdp (compose tp with plain dp instead).
+    tp: int = 1
 
 
 @dataclasses.dataclass

@@ -368,16 +368,27 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     # params/opt state (the reference wires DDP here, main.py:264-271)
     mesh = None
     n_dev = len(jax.devices())
+    tp = max(1, int(getattr(cfg.solver, "tp", 1)))
+    if tp > 1 and cfg.solver.fsdp:
+        raise ValueError("solver.tp and solver.fsdp are mutually exclusive "
+                         "(compose tp with plain dp)")
+    if tp > 1 and n_dev % tp:
+        raise ValueError(f"solver.tp={tp} does not divide {n_dev} devices")
     if n_dev > 1:
-        if cfg.dataloader.batch_size % n_dev == 0:
+        dp = n_dev // tp
+        if cfg.dataloader.batch_size % dp == 0:
             from keep_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(axes=("dp",))
-            logging.info("data-parallel mesh over %d devices", n_dev)
+            if tp > 1:
+                mesh = make_mesh(axes=("dp", "mp"), shape=(dp, tp))
+                logging.info("2-D mesh: dp=%d x tp=%d devices", dp, tp)
+            else:
+                mesh = make_mesh(axes=("dp",))
+                logging.info("data-parallel mesh over %d devices", n_dev)
         else:
             logging.warning(
-                "batch_size %d not divisible by %d devices; running "
-                "single-device", cfg.dataloader.batch_size, n_dev)
+                "batch_size %d not divisible by dp=%d; running "
+                "single-device", cfg.dataloader.batch_size, dp)
     put_state, put_batch, put_repl = make_placement(
         mesh, batch_axis=1 if accum > 1 else 0
     )
@@ -390,6 +401,16 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             "FSDP: %.0f%% of param elements sharded over %d devices",
             100 * sharded_fraction(state.params, mesh,
                                    min_size=cfg.solver.fsdp_min_size), n_dev)
+    elif mesh is not None and tp > 1:
+        # Megatron layout over 'mp' for params AND their Adam moments (the
+        # moment pytrees mirror the param paths, so the same matcher
+        # applies); unmatched leaves (step, LN, embeddings) replicate
+        from keep_tpu.parallel.tp import place_tp, tp_fraction
+
+        state = place_tp(state, mesh)
+        logging.info(
+            "TP: %.0f%% of param elements split over mp=%d",
+            100 * tp_fraction(state.params, mesh), tp)
     else:
         state = put_state(state)
 

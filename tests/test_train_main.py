@@ -295,6 +295,36 @@ def test_train_fsdp_equivalence(run_dirs, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_train_tp_equivalence(run_dirs, tmp_path):
+    """solver.tp=2 trains on a 2-D (dp=4, mp=2) mesh with Megatron param
+    shardings (parallel/tp.py) and produces the SAME trajectory as
+    replicated DP; tp+fsdp together is a config error."""
+    import json as _json
+
+    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
+                       freeze_visual_epochs=0)
+    tmain.train(cfg_rep)
+    cfg_t = make_cfg(run_dirs, tmp_path / "tp", epochs=2,
+                     freeze_visual_epochs=0)
+    cfg_t = dataclasses.replace(
+        cfg_t, solver=dataclasses.replace(cfg_t.solver, tp=2))
+    tmain.train(cfg_t)
+
+    def losses(d):
+        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
+        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
+        return [v for v in vals if v is not None]
+
+    a, b = losses(tmp_path / "rep"), losses(tmp_path / "tp")
+    assert a and len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    cfg_bad = dataclasses.replace(
+        cfg_t, solver=dataclasses.replace(cfg_t.solver, tp=2, fsdp=True))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tmain.train(cfg_bad)
+
+
 def test_fsdp_placement_unit():
     """fsdp_spec/place_state/sharded_fraction mechanics on the virtual mesh."""
     from jax.sharding import PartitionSpec as P
