@@ -9,6 +9,7 @@ is bright and unsaturated).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -65,6 +66,65 @@ def cut_tiles(
             np.zeros((0, 2), np.int64),
         )
     return np.stack(tiles), np.asarray(coords, np.int64)
+
+
+def iter_wsi_tiles(
+    slide,
+    patch_size: int = 256,
+    tissue_fraction: float = 0.25,
+    chunk: int = 256,
+    level: int = 0,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Stream (tiles, coords) chunks from a pyramidal slide — no OpenSlide
+    needed (native libtiff via :class:`keep_tpu.io.wsi.WSIReader`).
+
+    ``slide``: path or an open reader. Tiles are cut on a ``patch_size``
+    grid at ``level``; coords are (x, y) top-left in that level's
+    coordinates (level 0 ⇒ the CLAM convention the h5 pipelines use).
+    Tissue filtering runs on a ≤2048px thumbnail with the same
+    saturation/brightness heuristic as :func:`cut_tiles`."""
+    from keep_tpu.io.wsi import open_slide
+
+    opened = isinstance(slide, (str, bytes, os.PathLike))
+    reader = open_slide(slide) if opened else slide
+    try:
+        yield from _iter_reader_tiles(reader, patch_size, tissue_fraction,
+                                      chunk, level)
+    finally:
+        if opened:
+            reader.close()
+
+
+def _iter_reader_tiles(reader, patch_size, tissue_fraction, chunk, level):
+    w, h = reader.level_dimensions[level]
+    ds = reader.level_downsamples[level]
+    scale = max(1, int(max(w, h) / 2048))
+    overview = np.asarray(reader.get_thumbnail((w // scale, h // scale)))
+    mask = tissue_mask(overview)
+    # actual thumbnail scale (get_thumbnail preserves aspect, may differ
+    # from the requested box by a pixel)
+    sy = h / max(1, overview.shape[0])
+    sx = w / max(1, overview.shape[1])
+
+    tiles, coords = [], []
+    for y in range(0, h - patch_size + 1, patch_size):
+        for x in range(0, w - patch_size + 1, patch_size):
+            my0, mx0 = int(y / sy), int(x / sx)
+            my1 = max(my0 + 1, int((y + patch_size) / sy))
+            mx1 = max(mx0 + 1, int((x + patch_size) / sx))
+            frac = mask[my0:my1, mx0:mx1].mean()
+            if frac >= tissue_fraction:
+                region = reader.read_region(
+                    (int(round(x * ds)), int(round(y * ds))), level,
+                    (patch_size, patch_size),
+                )
+                tiles.append(np.asarray(region)[..., :3])
+                coords.append((x, y))
+                if len(tiles) >= chunk:
+                    yield np.stack(tiles), np.asarray(coords, np.int64)
+                    tiles, coords = [], []
+    if tiles:
+        yield np.stack(tiles), np.asarray(coords, np.int64)
 
 
 def iter_openslide_tiles(

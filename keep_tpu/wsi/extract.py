@@ -83,7 +83,48 @@ def extract_features(
     while pending:
         feats, n = pending.popleft()
         outs.append(np.asarray(feats)[:n])
+    if not outs:  # empty iterable (e.g. a slide with no tissue tiles)
+        return np.zeros((0, 0), np.float32)
     return np.concatenate(outs, axis=0)
+
+
+def extract_wsi_to_h5(
+    model,
+    slide_path: str,
+    out_path: str,
+    patch_size: int = 256,
+    tissue_fraction: float = 0.25,
+    level: int = 0,
+    batch_size: int = 256,
+    **kw,
+) -> int:
+    """Pyramidal slide (.svs / .tif) → CLAM-style h5, streaming: tissue
+    tiles are read level-by-level through the native libtiff reader
+    (keep_tpu.io.wsi — no OpenSlide) and encoded in compiled fixed-shape
+    batches without ever materializing the slide in RAM. Returns the tile
+    count. Coords are (x, y) at ``level`` (level 0 = CLAM convention)."""
+    import h5py
+
+    from keep_tpu.io.tiles import iter_wsi_tiles
+
+    coords_acc: list[np.ndarray] = []
+
+    def tile_chunks():
+        for tiles, coords in iter_wsi_tiles(
+            slide_path, patch_size=patch_size,
+            tissue_fraction=tissue_fraction, chunk=batch_size, level=level,
+        ):
+            coords_acc.append(coords)
+            yield tiles
+
+    features = extract_features(model, tile_chunks(), batch_size=batch_size,
+                                **kw)
+    coords = (np.concatenate(coords_acc) if coords_acc
+              else np.zeros((0, 2), np.int64))
+    with h5py.File(out_path, "w") as f:
+        f.create_dataset("features", data=features)
+        f.create_dataset("coords", data=coords)
+    return len(coords)
 
 
 def extract_to_h5(

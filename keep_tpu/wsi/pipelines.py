@@ -165,13 +165,45 @@ def zero_shot_segment(
         mag = 16
         lowres = np.asarray(mask)[::mag, ::mag]
     elif mask_path is not None:
-        gt, lowres, mag = _openslide_gt(mask_path, kept, patch_size)
+        gt, lowres, mag = _mask_path_gt(mask_path, kept, patch_size)
     else:
         raise ValueError("provide mask or mask_path")
 
     auc, best_thd = roc_best_threshold(gt, probs)
     dice = dice_at_lowres(probs, kept, lowres, mag, patch_size, best_thd)
     return auc, dice
+
+
+def _mask_path_gt(mask_path: str, coords: np.ndarray, patch_size: int):
+    """Slide-file GT: OpenSlide when importable (reference parity,
+    segment_utils.py:91-127), else the native pyramidal-TIFF reader
+    (keep_tpu.io.wsi) — same decision rules either way."""
+    try:
+        return _openslide_gt(mask_path, coords, patch_size)
+    except ImportError:
+        return _tiffwsi_gt(mask_path, coords, patch_size)
+
+
+def _tiffwsi_gt(mask_path: str, coords: np.ndarray, patch_size: int):
+    from keep_tpu.io.wsi import WSIReader
+
+    def to_gray(rgb: np.ndarray) -> np.ndarray:
+        # PIL convert("L") ITU-R 601 luma, same rounding
+        r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+    with WSIReader(mask_path) as slide:
+        gt = np.zeros(len(coords), np.int64)
+        for i, (x, y) in enumerate(np.asarray(coords, np.int64)):
+            region = to_gray(
+                slide.read_region((int(x), int(y)), 0, (patch_size, patch_size))
+            )
+            gt[i] = int(np.count_nonzero(region) > patch_size * patch_size / 2)
+        idx = slide.best_level_for_downsample(16)
+        lowres = to_gray(
+            slide.read_region((0, 0), idx, slide.level_dimensions[idx])
+        )
+        return gt, lowres, int(round(slide.level_downsamples[idx]))
 
 
 def _openslide_gt(mask_path: str, coords: np.ndarray, patch_size: int):

@@ -52,6 +52,23 @@ def load_model(args, calib_pixels=None):
     return model, tokenizer
 
 
+def _try_open_pyramid(path: str):
+    """Native WSIReader when the file is a multi-level pyramid (or .svs);
+    None routes to the simple whole-image PIL path."""
+    if not str(path).lower().endswith((".tif", ".tiff", ".svs")):
+        return None
+    try:
+        from keep_tpu.io.wsi import WSIReader
+
+        reader = WSIReader(path, backend="native")
+    except Exception:
+        return None
+    if reader.level_count > 1 or str(path).lower().endswith(".svs"):
+        return reader
+    reader.close()
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("task", choices=["detection", "segmentation",
@@ -80,7 +97,13 @@ def main(argv=None):
                         help="extract+--int8: SmoothQuant-calibrate the "
                              "visual tower on the slide's first N tiles "
                              "(0 disables; quant.smooth_vit)")
-    parser.add_argument("--image", help="extract: level-0 RGB image (PIL-readable)")
+    parser.add_argument("--image", help="extract: level-0 RGB image "
+                        "(PIL-readable), or a pyramidal .tif/.svs slide — "
+                        "pyramids stream through the native libtiff reader "
+                        "(keep_tpu.io.wsi, no OpenSlide)")
+    parser.add_argument("--wsi-level", type=int, default=0,
+                        help="extract from a pyramid: pyramid level to read "
+                             "tiles at (0 = full resolution)")
     parser.add_argument("--out", help="extract: output h5 path (features+coords)")
     parser.add_argument("--tissue-fraction", type=float, default=0.25)
     parser.add_argument("--batch-size", type=int, default=256)
@@ -100,6 +123,45 @@ def main(argv=None):
         # outsources to CLAM (README.md:74 'precomputed patch features')
         if not (args.image and args.out):
             parser.error("extract needs --image and --out")
+        mesh = None
+        if args.mesh_dp:
+            from keep_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axes=("dp",))
+            logging.info("extraction sharded over %d devices",
+                         mesh.shape["dp"])
+
+        pyramid = _try_open_pyramid(args.image)
+        if pyramid is not None:
+            # streaming path: tissue tiles read window-by-window through the
+            # native libtiff reader — the whole slide never sits in RAM
+            from keep_tpu.io.tiles import iter_wsi_tiles
+            from keep_tpu.wsi.extract import extract_wsi_to_h5
+
+            logging.info("pyramidal slide %s: %d levels, level %d is %s",
+                         args.image, pyramid.level_count, args.wsi_level,
+                         pyramid.level_dimensions[args.wsi_level])
+            calib = None
+            if args.int8 and args.int8_calib:
+                first = next(iter_wsi_tiles(
+                    pyramid, patch_size=args.patch_size,
+                    tissue_fraction=args.tissue_fraction,
+                    chunk=args.int8_calib, level=args.wsi_level), None)
+                if first is not None:
+                    from keep_tpu.ops.preprocess import preprocess
+
+                    calib = preprocess(jnp.asarray(first[0]))
+                    logging.info("int8 calibration on %d tiles",
+                                 calib.shape[0])
+            model, _ = load_model(args, calib_pixels=calib)
+            n = extract_wsi_to_h5(
+                model, args.image, args.out, patch_size=args.patch_size,
+                tissue_fraction=args.tissue_fraction, level=args.wsi_level,
+                batch_size=args.batch_size, resize=True, mesh=mesh)
+            pyramid.close()
+            print(f"wrote {n} features to {args.out}")
+            return
+
         from PIL import Image
 
         from keep_tpu.io.tiles import cut_tiles
@@ -120,13 +182,6 @@ def main(argv=None):
             calib = preprocess(jnp.asarray(tiles[: args.int8_calib]))
             logging.info("int8 calibration on %d tiles", calib.shape[0])
         model, _ = load_model(args, calib_pixels=calib)
-        mesh = None
-        if args.mesh_dp:
-            from keep_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(axes=("dp",))
-            logging.info("extraction sharded over %d devices",
-                         mesh.shape["dp"])
         extract_to_h5(model, tiles, coords, args.out,
                       batch_size=args.batch_size, resize=True, mesh=mesh)
         print(f"wrote {len(tiles)} features to {args.out}")

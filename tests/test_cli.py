@@ -160,6 +160,70 @@ def test_wsi_cli_cohort_segmentation(model_dir, tmp_path, capsys):
     assert rec["n"] == 2 and "mean_dice" in rec
 
 
+def test_wsi_cli_segmentation_tiff_mask(model_dir, tmp_path, capsys):
+    """--mask as a pyramidal TIFF slide path: with no OpenSlide in the
+    image, the native libtiff GT branch engages and must reproduce the
+    .npy-mask numbers exactly (the pyramid's 16x level IS the [::16, ::16]
+    emulation when boundaries align)."""
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.wsi.run import main
+
+    mask = np.zeros((10 * 256, 10 * 256), np.uint8)
+    mask[:, : 5 * 256] = 255
+    np.save(tmp_path / "mask.npy", mask)
+    write_pyramid(str(tmp_path / "mask.tif"),
+                  np.repeat(mask[..., None], 3, axis=2), tile=256)
+
+    outs = []
+    for m in ("mask.npy", "mask.tif"):
+        main([
+            "segmentation", "--model", str(model_dir / "model"),
+            "--prompts", str(model_dir / "prompts.json"),
+            "--h5", str(model_dir / "slide.h5"),
+            "--mask", str(tmp_path / m),
+            "--text-batch-size", "8", "--max-length", "32", "--topn", "2",
+            "--patch-size", "256",
+        ])
+        outs.append(capsys.readouterr().out)
+    assert "AUROC:" in outs[0] and "Dice:" in outs[0]
+    assert outs[0] == outs[1]
+
+
+def test_wsi_cli_extract_pyramid(model_dir, tmp_path, capsys):
+    """extract on a pyramidal .tif streams through the native reader and
+    produces the same h5 as the flat-PNG path on the same level-0 image."""
+    from PIL import Image
+
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.wsi.run import main as run_main
+
+    rng = np.random.default_rng(3)
+    img = np.full((200, 200, 3), 250, np.uint8)
+    img[40:160, 40:160] = rng.integers(80, 200, (120, 120, 3)).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "slide.png")
+    write_pyramid(str(tmp_path / "slide.tif"), img, tile=32, min_size=64)
+
+    h5s = {}
+    for name in ("slide.png", "slide.tif"):
+        out = tmp_path / f"{name}.h5"
+        run_main([
+            "extract", "--model", str(model_dir / "model"),
+            "--image", str(tmp_path / name), "--out", str(out),
+            "--patch-size", "32", "--batch-size", "8",
+        ])
+        assert "wrote" in capsys.readouterr().out
+        with h5py.File(out) as f:
+            h5s[name] = (f["features"][:], f["coords"][:])
+
+    feats_png, coords_png = h5s["slide.png"]
+    feats_tif, coords_tif = h5s["slide.tif"]
+    assert len(feats_tif) > 0
+    # same tiles (thumbnail-scale==1 here so selection is identical) and
+    # identical features
+    np.testing.assert_array_equal(coords_png, coords_tif)
+    np.testing.assert_allclose(feats_png, feats_tif, atol=1e-5)
+
+
 def test_wsi_cli_int8(model_dir, capsys):
     from keep_tpu.wsi.run import main
 
