@@ -43,9 +43,39 @@ def encode_image(
         params["visual"], pixels, cfg.vision, dtype=dtype, use_flash=use_flash,
         gelu_approx=gelu_approx, remat=remat,
     )
+    return _visual_head(params, feats)
+
+
+def _visual_head(params: dict, feats: Array) -> Array:
     head = params["visual_head"]
     feats = linear(head["fc2"], gelu(linear(head["fc1"], feats)))
     return l2_normalize(feats.astype(jnp.float32))
+
+
+def encode_image_pp(
+    params: dict,
+    pixels: Array,
+    cfg: KEEPConfig,
+    mesh,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    use_flash: bool = False,
+    gelu_approx: bool = False,
+    remat: bool = False,
+    num_microbatches: int | None = None,
+    batch_axis: str | None = "dp",
+) -> Array:
+    """encode_image with the ViT trunk pipelined over the mesh's 'pp' axis
+    (GPipe; parallel/pp.py). Exact vs :func:`encode_image`; the stem, head
+    MLP and text tower stay replicated SPMD."""
+    from keep_tpu.parallel.pp import vit_forward_pp
+
+    feats = vit_forward_pp(
+        params["visual"], pixels, cfg.vision, mesh, dtype=dtype,
+        use_flash=use_flash, gelu_approx=gelu_approx, remat=remat,
+        num_microbatches=num_microbatches, batch_axis=batch_axis,
+    )
+    return _visual_head(params, feats)
 
 
 def encode_text(

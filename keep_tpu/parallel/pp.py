@@ -54,6 +54,8 @@ def pipeline_blocks(
     mesh: Mesh,
     axis: str = "pp",
     num_microbatches: int | None = None,
+    batch_axis: str | None = None,
+    remat: bool = False,
 ) -> Array:
     """Run ``x`` through all L stacked layers, pipelined over ``axis``.
 
@@ -62,6 +64,12 @@ def pipeline_blocks(
     [L, ...] pytree; ``x`` [B, ...] activations. Returns exactly what a
     single-device scan over all L layers would. Constraints (static):
     L % n_stages == 0 and B % num_microbatches == 0.
+
+    ``batch_axis``: compose with data parallelism on a 2-D (dp, pp) mesh —
+    the microbatch's batch dimension stays sharded over that mesh axis
+    through the shard_map (no gather; each dp slice runs its own pipeline).
+    ``remat``: checkpoint each layer inside the stage scan (training needs
+    it for the same HBM reasons as the plain tower path).
     """
     n = mesh.shape[axis]
     L = jax.tree.leaves(blocks)[0].shape[0]
@@ -71,19 +79,21 @@ def pipeline_blocks(
     b = x.shape[0]
     if b % m:
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    step_fn = jax.checkpoint(block_fn) if remat else block_fn
     if n == 1:  # degenerate mesh: plain scan
         def body(c, lp):
-            return block_fn(lp, c), None
+            return step_fn(lp, c), None
         return lax.scan(body, x, blocks)[0]
 
     xs = x.reshape(m, b // m, *x.shape[1:])
+    xspec = P(None, batch_axis) if batch_axis else P()
 
     def spmd(local_blocks, xs):
         idx = lax.axis_index(axis)
 
         def local_stage(h):
             def body(c, lp):
-                return block_fn(lp, c), None
+                return step_fn(lp, c), None
             return lax.scan(body, h, local_blocks)[0]
 
         zero = jnp.zeros_like(xs[0])
@@ -122,10 +132,57 @@ def pipeline_blocks(
     out = jax.shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), xspec),
+        out_specs=xspec,
     )(blocks, xs)
-    return out.reshape(b, *x.shape[1:])
+    out = out.reshape(b, *x.shape[1:])
+    if batch_axis:
+        # merging [m, mb] -> [B] can't express "shard the mb factor", so
+        # GSPMD would replicate here; re-pin the batch axis for downstream
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(batch_axis)))
+    return out
+
+
+def pp_state_shardings(tree, mesh: Mesh, axis: str = "pp"):
+    """NamedShardings for a TrainState-shaped pytree: every leaf that lives
+    under a ``visual``→``blocks`` path (params AND the Adam moments, whose
+    pytrees mirror the params') stages its leading layer axis over
+    ``axis``; everything else replicates. Same matcher idea as
+    ``parallel.tp.tp_shardings``."""
+    n = mesh.shape[axis]
+
+    def one(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        staged = (
+            "blocks" in names
+            and "visual" in names
+            and np.ndim(leaf) >= 1
+            and np.shape(leaf)[0] % n == 0
+        )
+        return NamedSharding(mesh, P(axis) if staged else P())
+
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def place_pp(tree, mesh: Mesh, axis: str = "pp"):
+    """device_put a TrainState (or params) with its pipeline shardings."""
+    return jax.tree.map(jax.device_put, tree,
+                        pp_state_shardings(tree, mesh, axis))
+
+
+def pp_fraction(params, mesh: Mesh, axis: str = "pp") -> float:
+    """Fraction of parameter elements staged over ``axis``."""
+    import math
+
+    shardings = pp_state_shardings(params, mesh, axis)
+    total = split = 0
+    for leaf, sh in zip(jax.tree.leaves(params), jax.tree.leaves(shardings)):
+        n = math.prod(np.shape(leaf)) or 1
+        total += n
+        if sh.spec != P():
+            split += n
+    return split / max(total, 1)
 
 
 def vit_forward_pp(
@@ -138,6 +195,8 @@ def vit_forward_pp(
     dtype: jnp.dtype = jnp.float32,
     use_flash: bool = False,
     gelu_approx: bool = False,
+    batch_axis: str | None = None,
+    remat: bool = False,
 ) -> Array:
     """ViT image encode with the 24-block trunk pipelined over ``axis``.
 
@@ -174,6 +233,7 @@ def vit_forward_pp(
     tokens = pipeline_blocks(
         lambda lp, c: block_fn(lp, c),
         params["blocks"], tokens, mesh, axis, num_microbatches,
+        batch_axis=batch_axis, remat=remat,
     )
 
     if not cfg.fc_norm:

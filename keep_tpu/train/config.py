@@ -82,6 +82,12 @@ class SolverConfig:
     # XLA's SPMD partitioner inserts the TP collectives. 1 = off. Mutually
     # exclusive with fsdp (compose tp with plain dp instead).
     tp: int = 1
+    # Pipeline parallelism: pp-axis size of a 2-D (dp, pp) mesh. The visual
+    # trunk's stacked blocks (and their Adam moments) stage over 'pp'
+    # (GPipe schedule, parallel/pp.py); batch stays sharded over 'dp'
+    # through the pipeline. Requires depth % pp == 0 and
+    # batch_size % (pp * dp) == 0. Mutually exclusive with tp/fsdp/accum.
+    pp: int = 1
 
 
 @dataclasses.dataclass

@@ -367,21 +367,38 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     # multi-device: shard the batch over the mesh's 'dp' axis, replicate
     # params/opt state (the reference wires DDP here, main.py:264-271)
     mesh = None
+    pp_mesh = None
     n_dev = len(jax.devices())
     tp = max(1, int(getattr(cfg.solver, "tp", 1)))
-    if tp > 1 and cfg.solver.fsdp:
-        raise ValueError("solver.tp and solver.fsdp are mutually exclusive "
-                         "(compose tp with plain dp)")
-    if tp > 1 and n_dev % tp:
-        raise ValueError(f"solver.tp={tp} does not divide {n_dev} devices")
+    pp = max(1, int(getattr(cfg.solver, "pp", 1)))
+    if sum(x > 1 for x in (tp, pp)) + (1 if cfg.solver.fsdp else 0) > 1:
+        raise ValueError("solver.tp / solver.pp / solver.fsdp are mutually "
+                         "exclusive (each composes with plain dp)")
+    if pp > 1 and accum > 1:
+        raise ValueError("solver.pp does not compose with accum_freq > 1")
+    mp = max(tp, pp)
+    if mp > 1 and n_dev % mp:
+        raise ValueError(f"solver.{'tp' if tp > 1 else 'pp'}={mp} does not "
+                         f"divide {n_dev} devices")
     if n_dev > 1:
-        dp = n_dev // tp
+        dp = n_dev // mp
         if cfg.dataloader.batch_size % dp == 0:
             from keep_tpu.parallel.mesh import make_mesh
 
             if tp > 1:
                 mesh = make_mesh(axes=("dp", "mp"), shape=(dp, tp))
                 logging.info("2-D mesh: dp=%d x tp=%d devices", dp, tp)
+            elif pp > 1:
+                if (cfg.dataloader.batch_size % pp
+                        or (cfg.dataloader.batch_size // pp) % dp):
+                    raise ValueError(
+                        f"solver.pp={pp}: batch_size "
+                        f"{cfg.dataloader.batch_size} must split into pp "
+                        f"microbatches each divisible by dp={dp}")
+                mesh = make_mesh(axes=("dp", "pp"), shape=(dp, pp))
+                pp_mesh = mesh
+                logging.info("2-D mesh: dp=%d x pp=%d devices (GPipe over "
+                             "the visual trunk)", dp, pp)
             else:
                 mesh = make_mesh(axes=("dp",))
                 logging.info("data-parallel mesh over %d devices", n_dev)
@@ -411,6 +428,14 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         logging.info(
             "TP: %.0f%% of param elements split over mp=%d",
             100 * tp_fraction(state.params, mesh), tp)
+    elif pp_mesh is not None:
+        # stage the visual trunk's layers (and their Adam moments) over 'pp'
+        from keep_tpu.parallel.pp import place_pp, pp_fraction
+
+        state = place_pp(state, pp_mesh)
+        logging.info(
+            "PP: %.0f%% of param elements staged over pp=%d",
+            100 * pp_fraction(state.params, pp_mesh), pp)
     else:
         state = put_state(state)
 
@@ -430,7 +455,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 static = jax.tree.map(lambda x: bool(np.asarray(x) > 0.5), m)
             _phase_steps[key] = make_train_step(
                 cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
-                donate=False, static_frozen=static,
+                donate=False, static_frozen=static, pp_mesh=pp_mesh,
             )
         return _phase_steps[key]
 

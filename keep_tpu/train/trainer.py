@@ -62,11 +62,19 @@ class LossConfig:
     local_loss: bool = False
 
 
-def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True):
+def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
+                  pp_mesh=None):
     # remat trades recompute for memory: ViT-L+BERT backward at useful batch
     # sizes exceeds one v5e's 16GB HBM without it
-    img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
-                            use_flash=use_flash, remat=remat)
+    if pp_mesh is not None:
+        # ViT trunk staged over the mesh's 'pp' axis (GPipe, parallel/pp.py);
+        # batch stays sharded over 'dp' through the pipeline
+        img = keep.encode_image_pp(params, batch["pixels"], cfg, pp_mesh,
+                                   dtype=dtype, use_flash=use_flash,
+                                   remat=remat, batch_axis="dp")
+    else:
+        img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
+                                use_flash=use_flash, remat=remat)
     txt = keep.encode_text(
         params,
         batch["input_ids"],
@@ -82,9 +90,10 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True):
 
 def compute_loss(
     params, batch, cfg: KEEPConfig, loss_cfg: LossConfig,
-    *, dtype=jnp.bfloat16, use_flash=False, axis_name=None,
+    *, dtype=jnp.bfloat16, use_flash=False, axis_name=None, pp_mesh=None,
 ):
-    img, txt = _encode_batch(params, batch, cfg, dtype, use_flash)
+    img, txt = _encode_batch(params, batch, cfg, dtype, use_flash,
+                             pp_mesh=pp_mesh)
     scale = jnp.exp(params["logit_scale"])
     if loss_cfg.kind == "hierarchy_metric":
         # HyMetricLoss consumes the global batch: with pjit sharding the
@@ -118,6 +127,7 @@ def make_train_step(
     use_flash: bool = False,
     donate: bool = True,
     static_frozen=None,
+    pp_mesh=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """One optimizer step. Shard the batch over 'dp' (NamedSharding) and keep
     params replicated. The optional third ``frozen`` argument (a
@@ -143,7 +153,8 @@ def make_train_step(
                     params, static_frozen,
                 )
             return compute_loss(
-                params, batch, cfg, loss_cfg, dtype=dtype, use_flash=use_flash
+                params, batch, cfg, loss_cfg, dtype=dtype,
+                use_flash=use_flash, pp_mesh=pp_mesh,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -115,6 +115,82 @@ def test_pipeline_is_differentiable(rng):
     )
 
 
+def test_pipeline_dp_composition(rng):
+    """pipeline_blocks(batch_axis='dp') on a 2-D (dp, pp) mesh: values AND
+    grads match the plain scan while the microbatch batch dim stays
+    dp-sharded through the shard_map (no gather)."""
+    from jax.sharding import NamedSharding
+
+    L, d, b = 8, 16, 16
+    blocks = _toy_blocks(rng, L, d)
+    x = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    def run(bl, xx):
+        return pipeline_blocks(_toy_block_fn, bl, xx, mesh,
+                               num_microbatches=4, batch_axis="dp")
+
+    got = jax.jit(run)(blocks, xs)
+    # output keeps the dp batch sharding
+    assert "dp" in str(got.sharding.spec) or got.sharding.spec == P("dp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_toy_ref(blocks, x)),
+                               atol=1e-6, rtol=1e-6)
+
+    def loss_pp(bl):
+        return jnp.sum(run(bl, xs) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(blocks)
+    g_ref = jax.grad(lambda bl: jnp.sum(_toy_ref(bl, x) ** 2))(blocks)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5),
+        g_pp, g_ref,
+    )
+
+
+def test_pipeline_remat_matches(rng):
+    """remat=True (per-layer jax.checkpoint inside the stage scan) is
+    numerically identical in both values and grads."""
+    L, d, b, n = 4, 8, 4, 4
+    blocks = _toy_blocks(rng, L, d)
+    x = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    mesh = _mesh(n)
+
+    def loss(bl, remat):
+        return jnp.sum(pipeline_blocks(_toy_block_fn, bl, x, mesh,
+                                       remat=remat) ** 2)
+
+    g0 = jax.grad(lambda bl: loss(bl, False))(blocks)
+    g1 = jax.grad(lambda bl: loss(bl, True))(blocks)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-6, rtol=1e-6),
+        g0, g1,
+    )
+
+
+def test_pp_state_shardings_matcher(rng):
+    """pp_state_shardings stages exactly the visual blocks (params and a
+    mirrored Adam-moment pytree), replicates everything else."""
+    from keep_tpu.parallel.pp import pp_fraction, pp_state_shardings
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    tree = {
+        "visual": {"blocks": {"w": jnp.zeros((8, 4, 4))},
+                   "pos_embed": jnp.zeros((1, 5, 4))},
+        "text": {"blocks": {"w": jnp.zeros((8, 4, 4))}},
+        "mu": {"visual": {"blocks": {"w": jnp.zeros((8, 4, 4))}}},
+    }
+    sh = pp_state_shardings(tree, mesh)
+    assert sh["visual"]["blocks"]["w"].spec == P("pp")
+    assert sh["mu"]["visual"]["blocks"]["w"].spec == P("pp")
+    assert sh["visual"]["pos_embed"].spec == P()
+    assert sh["text"]["blocks"]["w"].spec == P()  # text tower not staged
+    frac = pp_fraction(tree, mesh)  # (128 + 128 staged) / 404 elements
+    assert frac == pytest.approx(256 / 404)
+
+
 def test_vit_forward_pp_parity(rng):
     """Full ViT encode with the trunk pipelined over 4 stages == the plain
     forward (stem/head replicated, 8-layer trunk staged 2 layers/device)."""

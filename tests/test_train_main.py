@@ -325,6 +325,37 @@ def test_train_tp_equivalence(run_dirs, tmp_path):
         tmain.train(cfg_bad)
 
 
+def test_train_pp_equivalence(run_dirs, tmp_path):
+    """solver.pp=2 trains on a 2-D (dp=4, pp=2) mesh — the visual trunk
+    GPipe-staged over 'pp' (parallel/pp.py), batch sharded over 'dp' — and
+    produces the SAME trajectory as replicated DP; pp+tp together is a
+    config error."""
+    import json as _json
+
+    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
+                       freeze_visual_epochs=0)
+    tmain.train(cfg_rep)
+    cfg_p = make_cfg(run_dirs, tmp_path / "pp", epochs=2,
+                     freeze_visual_epochs=0)
+    cfg_p = dataclasses.replace(
+        cfg_p, solver=dataclasses.replace(cfg_p.solver, pp=2))
+    tmain.train(cfg_p)
+
+    def losses(d):
+        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
+        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
+        return [v for v in vals if v is not None]
+
+    a, b = losses(tmp_path / "rep"), losses(tmp_path / "pp")
+    assert a and len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    cfg_bad = dataclasses.replace(
+        cfg_p, solver=dataclasses.replace(cfg_p.solver, pp=2, tp=2))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tmain.train(cfg_bad)
+
+
 def test_fsdp_placement_unit():
     """fsdp_spec/place_state/sharded_fraction mechanics on the virtual mesh."""
     from jax.sharding import PartitionSpec as P
