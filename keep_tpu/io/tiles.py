@@ -106,25 +106,33 @@ def _iter_reader_tiles(reader, patch_size, tissue_fraction, chunk, level):
     sy = h / max(1, overview.shape[0])
     sx = w / max(1, overview.shape[1])
 
-    tiles, coords = [], []
+    # pass 1: tissue-candidate coords from the thumbnail mask (host-cheap)
+    coords = []
     for y in range(0, h - patch_size + 1, patch_size):
         for x in range(0, w - patch_size + 1, patch_size):
             my0, mx0 = int(y / sy), int(x / sx)
             my1 = max(my0 + 1, int((y + patch_size) / sy))
             mx1 = max(mx0 + 1, int((x + patch_size) / sx))
-            frac = mask[my0:my1, mx0:mx1].mean()
-            if frac >= tissue_fraction:
-                region = reader.read_region(
-                    (int(round(x * ds)), int(round(y * ds))), level,
-                    (patch_size, patch_size),
-                )
-                tiles.append(np.asarray(region)[..., :3])
+            if mask[my0:my1, mx0:mx1].mean() >= tissue_fraction:
                 coords.append((x, y))
-                if len(tiles) >= chunk:
-                    yield np.stack(tiles), np.asarray(coords, np.int64)
-                    tiles, coords = [], []
-    if tiles:
-        yield np.stack(tiles), np.asarray(coords, np.int64)
+
+    # pass 2: decode chunk-by-chunk — batched threaded native reads when
+    # the reader supports them (per-thread TIFF handles, GIL released),
+    # else one read_region per tile
+    batched = getattr(reader, "read_regions", None)
+    for i in range(0, len(coords), chunk):
+        cs = np.asarray(coords[i : i + chunk], np.int64)
+        locs = np.rint(cs * ds).astype(np.int64)
+        if batched is not None:
+            tiles = batched(locs, level, (patch_size, patch_size))
+        else:  # e.g. an openslide.OpenSlide passed directly
+            tiles = np.stack([
+                np.asarray(reader.read_region(
+                    (int(lx), int(ly)), level, (patch_size, patch_size)
+                ))[..., :3]
+                for lx, ly in locs
+            ])
+        yield tiles, cs
 
 
 def iter_openslide_tiles(

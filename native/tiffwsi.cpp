@@ -17,9 +17,11 @@
 // C ABI only (ctypes). Links: -ltiff. Handles are mutex-guarded (a TIFF*
 // is not thread-safe); distinct handles may be used concurrently.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 #include <tiffio.h>
@@ -215,6 +217,40 @@ int tiffwsi_read_region(void* handle, int level, int64_t x, int64_t y,
     }
   }
   return kOk;
+}
+
+// Batched threaded region reads: n same-size regions at one level, decoded
+// on up to `threads` worker threads, each with its OWN TIFF handle (a
+// TIFF* is single-threaded; per-thread handles instead of a shared mutex
+// so JPEG tile decode scales). xy = int64[n*2] (x, y) level coords;
+// out = n consecutive w*h*3 RGB buffers. Returns 0 or the first error.
+int tiffwsi_read_regions(const char* path, int level, const int64_t* xy,
+                         int n, uint32_t w, uint32_t h, uint8_t* out,
+                         int threads) {
+  if (!path || !xy || !out || n < 0) return kErrArgs;
+  if (n == 0) return kOk;
+  int t = threads < 1 ? 1 : threads;
+  if (t > n) t = n;
+  std::atomic<int> next(0), err(0);
+  auto worker = [&]() {
+    void* handle = tiffwsi_open(path);
+    if (!handle) {
+      err.store(kErrOpen);
+      return;
+    }
+    int i;
+    while ((i = next.fetch_add(1)) < n && !err.load()) {
+      int rc = tiffwsi_read_region(handle, level, xy[2 * i], xy[2 * i + 1],
+                                   w, h, out + size_t(i) * w * h * 3);
+      if (rc != 0) err.store(rc);
+    }
+    tiffwsi_close(handle);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int k = 0; k < t; ++k) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return err.load();
 }
 
 // Build a tiled pyramidal TIFF from a level-0 RGB image. Levels 2x2

@@ -217,6 +217,27 @@ def test_iter_wsi_tiles_level1(tmp_path, rng):
         np.testing.assert_array_equal(t, lvl1[y:y + 64, x:x + 64])
 
 
+def test_read_regions_batched_threaded(pyramid_path, level0, rng):
+    """read_regions == N read_region calls, on every thread count and
+    level (per-thread TIFF handles in C++; order preserved)."""
+    with WSIReader(pyramid_path) as s:
+        locs = np.stack([
+            rng.integers(-16, 760, 12), rng.integers(-16, 520, 12)
+        ], axis=1).astype(np.int64)
+        ref = np.stack([s.read_region(l, 0, (96, 80)) for l in locs])
+        for threads in (1, 4, 16):
+            got = s.read_regions(locs, 0, (96, 80), threads=threads)
+            np.testing.assert_array_equal(got, ref)
+        # level-1 semantics identical too
+        ref1 = np.stack([s.read_region(l, 1, (40, 40)) for l in locs])
+        np.testing.assert_array_equal(s.read_regions(locs, 1, (40, 40)), ref1)
+        # empty batch
+        assert s.read_regions(np.zeros((0, 2)), 0, (8, 8)).shape == (0, 8, 8, 3)
+    # PIL fallback path agrees
+    with WSIReader(pyramid_path, backend="pil") as s:
+        np.testing.assert_array_equal(s.read_regions(locs, 0, (96, 80)), ref)
+
+
 def test_segmentation_mask_path_native_fallback(tmp_path):
     """zero_shot_segment(mask_path=...) without OpenSlide: the native
     reader branch must agree with the in-memory mask branch on the same
