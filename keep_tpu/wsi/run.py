@@ -69,6 +69,71 @@ def _try_open_pyramid(path: str):
     return None
 
 
+def _flat_tiles(args, image_path):
+    """Whole-image (PIL) tile cut for non-pyramid inputs."""
+    from PIL import Image
+
+    from keep_tpu.io.tiles import cut_tiles
+
+    Image.MAX_IMAGE_PIXELS = None
+    img = np.asarray(Image.open(image_path).convert("RGB"))
+    tiles, coords = cut_tiles(img, patch_size=args.patch_size,
+                              tissue_fraction=args.tissue_fraction)
+    logging.info("cut %d tissue tiles (%dpx) from %s", len(tiles),
+                 args.patch_size, image_path)
+    return tiles, coords
+
+
+def _slide_calib(args, image_path):
+    """SmoothQuant calibration pixels from the slide's own first tiles —
+    the exact preprocessing the encode path applies — or None."""
+    if not (getattr(args, "int8", False) and args.int8_calib):
+        return None
+    from keep_tpu.ops.preprocess import preprocess
+
+    pyramid = _try_open_pyramid(image_path)
+    if pyramid is not None:
+        from keep_tpu.io.tiles import iter_wsi_tiles
+
+        first = next(iter_wsi_tiles(
+            pyramid, patch_size=args.patch_size,
+            tissue_fraction=args.tissue_fraction,
+            chunk=args.int8_calib, level=args.wsi_level), None)
+        pyramid.close()
+        tiles = first[0] if first is not None else None
+    else:
+        tiles, _ = _flat_tiles(args, image_path)
+        tiles = tiles[: args.int8_calib] if len(tiles) else None
+    if tiles is None or not len(tiles):
+        return None
+    logging.info("int8 calibration on %d tiles", len(tiles))
+    return preprocess(jnp.asarray(tiles))
+
+
+def _extract_one(model, args, image_path, out_path, mesh) -> int:
+    """One slide → one h5: streaming native-pyramid path when the file is
+    a pyramid, whole-image PIL path otherwise. Returns the tile count."""
+    pyramid = _try_open_pyramid(image_path)
+    if pyramid is not None:
+        from keep_tpu.wsi.extract import extract_wsi_to_h5
+
+        logging.info("pyramidal slide %s: %d levels, level %d is %s",
+                     image_path, pyramid.level_count, args.wsi_level,
+                     pyramid.level_dimensions[args.wsi_level])
+        pyramid.close()
+        return extract_wsi_to_h5(
+            model, image_path, out_path, patch_size=args.patch_size,
+            tissue_fraction=args.tissue_fraction, level=args.wsi_level,
+            batch_size=args.batch_size, resize=True, mesh=mesh)
+
+    from keep_tpu.wsi.extract import extract_to_h5
+
+    tiles, coords = _flat_tiles(args, image_path)
+    extract_to_h5(model, tiles, coords, out_path,
+                  batch_size=args.batch_size, resize=True, mesh=mesh)
+    return len(tiles)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("task", choices=["detection", "segmentation",
@@ -104,6 +169,11 @@ def main(argv=None):
     parser.add_argument("--wsi-level", type=int, default=0,
                         help="extract from a pyramid: pyramid level to read "
                              "tiles at (0 = full resolution)")
+    parser.add_argument("--slide-dir", help="extract: directory of slides "
+                        "(.svs/.tif/.png/...) — cohort mode, one h5 per "
+                        "slide under --out-dir/h5_files/")
+    parser.add_argument("--out-dir", help="extract --slide-dir: output root "
+                        "(h5 tree ready for --data-source cohort eval)")
     parser.add_argument("--out", help="extract: output h5 path (features+coords)")
     parser.add_argument("--tissue-fraction", type=float, default=0.25)
     parser.add_argument("--batch-size", type=int, default=256)
@@ -121,8 +191,12 @@ def main(argv=None):
     if args.task == "extract":
         # pixels → CLAM-style h5: the feature-extraction step the reference
         # outsources to CLAM (README.md:74 'precomputed patch features')
-        if not (args.image and args.out):
-            parser.error("extract needs --image and --out")
+        if args.slide_dir:
+            if not args.out_dir:
+                parser.error("extract --slide-dir needs --out-dir")
+        elif not (args.image and args.out):
+            parser.error("extract needs --image and --out "
+                         "(or --slide-dir and --out-dir)")
         mesh = None
         if args.mesh_dp:
             from keep_tpu.parallel.mesh import make_mesh
@@ -131,60 +205,40 @@ def main(argv=None):
             logging.info("extraction sharded over %d devices",
                          mesh.shape["dp"])
 
-        pyramid = _try_open_pyramid(args.image)
-        if pyramid is not None:
-            # streaming path: tissue tiles read window-by-window through the
-            # native libtiff reader — the whole slide never sits in RAM
-            from keep_tpu.io.tiles import iter_wsi_tiles
-            from keep_tpu.wsi.extract import extract_wsi_to_h5
+        if args.slide_dir:
+            # cohort mode: every slide in the dir → <out-dir>/h5_files/
+            # <stem>.h5, the exact tree WSIDataset/--data-source consumes.
+            # The model loads ONCE (int8 calibrates on the first slide).
+            import glob
+            import os
 
-            logging.info("pyramidal slide %s: %d levels, level %d is %s",
-                         args.image, pyramid.level_count, args.wsi_level,
-                         pyramid.level_dimensions[args.wsi_level])
-            calib = None
-            if args.int8 and args.int8_calib:
-                first = next(iter_wsi_tiles(
-                    pyramid, patch_size=args.patch_size,
-                    tissue_fraction=args.tissue_fraction,
-                    chunk=args.int8_calib, level=args.wsi_level), None)
-                if first is not None:
-                    from keep_tpu.ops.preprocess import preprocess
-
-                    calib = preprocess(jnp.asarray(first[0]))
-                    logging.info("int8 calibration on %d tiles",
-                                 calib.shape[0])
-            model, _ = load_model(args, calib_pixels=calib)
-            n = extract_wsi_to_h5(
-                model, args.image, args.out, patch_size=args.patch_size,
-                tissue_fraction=args.tissue_fraction, level=args.wsi_level,
-                batch_size=args.batch_size, resize=True, mesh=mesh)
-            pyramid.close()
-            print(f"wrote {n} features to {args.out}")
+            exts = (".svs", ".tif", ".tiff", ".png", ".jpg", ".jpeg")
+            slides = sorted(
+                p for p in glob.glob(os.path.join(args.slide_dir, "*"))
+                if p.lower().endswith(exts)
+            )
+            if not slides:
+                parser.error(f"no slides ({'/'.join(exts)}) in {args.slide_dir}")
+            h5_dir = os.path.join(args.out_dir, "h5_files")
+            os.makedirs(h5_dir, exist_ok=True)
+            model = None
+            total = 0
+            for path in slides:
+                if model is None:
+                    model, _ = load_model(
+                        args, calib_pixels=_slide_calib(args, path))
+                stem = os.path.splitext(os.path.basename(path))[0]
+                out = os.path.join(h5_dir, stem + ".h5")
+                n = _extract_one(model, args, path, out, mesh)
+                logging.info("%s: %d tiles -> %s", stem, n, out)
+                total += n
+            print(f"wrote {total} features across {len(slides)} slides "
+                  f"to {h5_dir}")
             return
 
-        from PIL import Image
-
-        from keep_tpu.io.tiles import cut_tiles
-        from keep_tpu.wsi.extract import extract_to_h5
-
-        Image.MAX_IMAGE_PIXELS = None
-        img = np.asarray(Image.open(args.image).convert("RGB"))
-        tiles, coords = cut_tiles(img, patch_size=args.patch_size,
-                                  tissue_fraction=args.tissue_fraction)
-        logging.info("cut %d tissue tiles (%dpx) from %s", len(tiles),
-                     args.patch_size, args.image)
-        calib = None
-        if args.int8 and args.int8_calib and len(tiles):
-            # SmoothQuant calibration on this slide's own first tiles: the
-            # exact preprocessing the encode path applies
-            from keep_tpu.ops.preprocess import preprocess
-
-            calib = preprocess(jnp.asarray(tiles[: args.int8_calib]))
-            logging.info("int8 calibration on %d tiles", calib.shape[0])
-        model, _ = load_model(args, calib_pixels=calib)
-        extract_to_h5(model, tiles, coords, args.out,
-                      batch_size=args.batch_size, resize=True, mesh=mesh)
-        print(f"wrote {len(tiles)} features to {args.out}")
+        model, _ = load_model(args, calib_pixels=_slide_calib(args, args.image))
+        n = _extract_one(model, args, args.image, args.out, mesh)
+        print(f"wrote {n} features to {args.out}")
         return
     from keep_tpu.io.h5 import WSIDataset, read_h5_slide
     from keep_tpu.wsi import cohort as cohort_mod

@@ -224,6 +224,55 @@ def test_wsi_cli_extract_pyramid(model_dir, tmp_path, capsys):
     np.testing.assert_allclose(feats_png, feats_tif, atol=1e-5)
 
 
+def test_wsi_cli_extract_slide_dir(model_dir, tmp_path, capsys):
+    """Cohort extraction: --slide-dir with a mixed bag (pyramidal .tif +
+    flat .png) → out-dir/h5_files/<stem>.h5 each, then the detection
+    cohort driver runs straight off that tree."""
+    import pandas as pd
+    from PIL import Image
+
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.wsi.run import main as run_main
+
+    rng = np.random.default_rng(9)
+    slides = tmp_path / "slides"
+    slides.mkdir()
+    img = np.full((200, 200, 3), 250, np.uint8)
+    img[40:160, 40:160] = rng.integers(80, 200, (120, 120, 3)).astype(np.uint8)
+    write_pyramid(str(slides / "case_a.tif"), img, tile=32, min_size=64)
+    Image.fromarray(img).save(slides / "case_b.png")
+    (slides / "notes.txt").write_text("not a slide")
+
+    out_root = tmp_path / "extracted"
+    run_main([
+        "extract", "--model", str(model_dir / "model"),
+        "--slide-dir", str(slides), "--out-dir", str(out_root),
+        "--patch-size", "32", "--batch-size", "8",
+    ])
+    assert "across 2 slides" in capsys.readouterr().out
+    a = out_root / "h5_files" / "case_a.h5"
+    b = out_root / "h5_files" / "case_b.h5"
+    with h5py.File(a) as fa, h5py.File(b) as fb:
+        # same image through both paths -> same features
+        np.testing.assert_array_equal(fa["coords"][:], fb["coords"][:])
+        np.testing.assert_allclose(fa["features"][:], fb["features"][:],
+                                   atol=1e-5)
+
+    pd.DataFrame({"slide_id": ["case_a", "case_b"],
+                  "Diagnosis": ["Tumor", "Tumor"]}
+                 ).to_csv(tmp_path / "cohort.csv", index=False)
+    run_main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--cohort-csv", str(tmp_path / "cohort.csv"),
+        "--data-source", str(out_root), "--patch-size", "32",
+        "--max-length", "16", "--no-screening",
+    ])
+    out = capsys.readouterr().out
+    rec = json.loads(out[out.index("{"):])
+    assert rec["n"] == 2
+
+
 def test_wsi_cli_int8(model_dir, capsys):
     from keep_tpu.wsi.run import main
 
