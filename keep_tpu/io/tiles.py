@@ -135,42 +135,6 @@ def _iter_reader_tiles(reader, patch_size, tissue_fraction, chunk, level):
         yield tiles, cs
 
 
-def iter_openslide_tiles(
-    slide_path: str,
-    patch_size: int = 256,
-    tissue_fraction: float = 0.25,
-    chunk: int = 256,
-) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Stream (tiles, coords) chunks from an OpenSlide-readable WSI (gated on
-    the OpenSlide C library, like the reference's mask reads)."""
-    try:
-        import openslide
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("OpenSlide required for .svs/.tif pyramids; "
-                          "pass an in-memory image to cut_tiles instead") from e
-    slide = openslide.open_slide(slide_path)
-    w, h = slide.dimensions
-    # tissue detection on a downsampled overview
-    scale = max(1, int(max(w, h) / 2048))
-    overview = np.array(
-        slide.get_thumbnail((w // scale, h // scale)).convert("RGB")
-    )
-    mask = tissue_mask(overview)
-
-    tiles, coords = [], []
-    for y in range(0, h - patch_size + 1, patch_size):
-        for x in range(0, w - patch_size + 1, patch_size):
-            my, mx = y // scale, x // scale
-            msize = max(1, patch_size // scale)
-            frac = mask[my : my + msize, mx : mx + msize].mean()
-            if frac >= tissue_fraction:
-                region = np.array(
-                    slide.read_region((x, y), 0, (patch_size, patch_size)).convert("RGB")
-                )
-                tiles.append(region)
-                coords.append((x, y))
-                if len(tiles) >= chunk:
-                    yield np.stack(tiles), np.asarray(coords, np.int64)
-                    tiles, coords = [], []
-    if tiles:
-        yield np.stack(tiles), np.asarray(coords, np.int64)
+# (iter_openslide_tiles was removed: iter_wsi_tiles accepts an
+# openslide.OpenSlide reader directly via its read_region fallback and is
+# the single maintained tile-streaming path.)

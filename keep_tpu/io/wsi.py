@@ -73,6 +73,10 @@ def _load_lib():
             ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.tiffwsi_append_stripped.restype = ctypes.c_int
+        lib.tiffwsi_append_stripped.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ]
         _lib = lib
     return _lib
 
@@ -106,6 +110,20 @@ def write_pyramid(
     )
     if rc != 0:
         raise OSError(f"tiffwsi_write_pyramid({path}) failed (rc={rc})")
+
+
+def append_stripped_page(path: str, image: np.ndarray) -> None:
+    """Append a STRIPPED RGB directory to an existing TIFF — composes
+    Aperio-like layouts (tiled pyramid + stripped thumbnail page, which
+    readers skip on tiled slides) for tests and tooling."""
+    img = np.ascontiguousarray(np.asarray(image, np.uint8))
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected [H, W, 3] RGB uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    rc = _load_lib().tiffwsi_append_stripped(
+        os.fspath(path).encode(), img.ctypes.data, w, h)
+    if rc != 0:
+        raise OSError(f"tiffwsi_append_stripped({path}) failed (rc={rc})")
 
 
 class WSIReader:
@@ -160,14 +178,23 @@ class WSIReader:
         levels = []
         n = getattr(img, "n_frames", 1)
         w0 = h0 = None
+        base_tiled = False
+
+        def is_tiled(im):  # TIFFTAG_TILEWIDTH present
+            return 322 in getattr(im, "tag_v2", {})
+
         for i in range(n):
             img.seek(i)
             w, h = img.size
             if w0 is None:
                 w0, h0 = w, h
-            else:  # skip label/macro pages, like the native reader
+                base_tiled = is_tiled(img)
+            else:  # skip label/macro pages and (for tiled pyramids) the
+                # stripped SVS thumbnail page, like the native reader
                 ar0, ar = w0 / h0, w / h
                 if not (0.95 * ar0 <= ar <= 1.05 * ar0):
+                    continue
+                if base_tiled and not is_tiled(img):
                     continue
             levels.append((i, w, h))
         img.seek(0)
@@ -322,10 +349,13 @@ def open_slide(path: str) -> "WSIReader | object":
         return WSIReader(path, backend="native")
     except Exception:
         pass
-    try:
-        import openslide  # pragma: no cover - not in the test image
+    try:  # pragma: no cover - openslide not in the test image
+        import openslide
 
-        return openslide.open_slide(path)  # pragma: no cover
-    except ImportError:
+        return openslide.open_slide(path)
+    except Exception:
+        # ImportError (module or the C library missing) or an
+        # OpenSlideError on formats it doesn't speak (e.g. plain PNG) —
+        # either way the PIL fallback still gets its chance
         pass
     return WSIReader(path, backend="pil")

@@ -402,6 +402,13 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             else:
                 mesh = make_mesh(axes=("dp",))
                 logging.info("data-parallel mesh over %d devices", n_dev)
+        elif mp > 1:
+            # an explicit tp/pp request must not silently degrade to a
+            # replicated single-device run
+            raise ValueError(
+                f"batch_size {cfg.dataloader.batch_size} not divisible by "
+                f"dp={dp} (devices {n_dev} / "
+                f"{'tp' if tp > 1 else 'pp'}={mp})")
         else:
             logging.warning(
                 "batch_size %d not divisible by dp=%d; running "

@@ -83,8 +83,10 @@ def extract_features(
     while pending:
         feats, n = pending.popleft()
         outs.append(np.asarray(feats)[:n])
-    if not outs:  # empty iterable (e.g. a slide with no tissue tiles)
-        return np.zeros((0, 0), np.float32)
+    if not outs:  # empty iterable (e.g. a slide with no tissue tiles):
+        # keep the feature width so downstream cohort math still shapes up
+        dim = getattr(getattr(model, "cfg", None), "projection_dim", 0)
+        return np.zeros((0, dim), np.float32)
     return np.concatenate(outs, axis=0)
 
 

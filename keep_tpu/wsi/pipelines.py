@@ -188,9 +188,12 @@ def _tiffwsi_gt(mask_path: str, coords: np.ndarray, patch_size: int):
     from keep_tpu.io.wsi import WSIReader
 
     def to_gray(rgb: np.ndarray) -> np.ndarray:
-        # PIL convert("L") ITU-R 601 luma, same rounding
+        # PIL convert("L")'s exact fixed-point ITU-R 601 luma (rounded) —
+        # the openslide branch goes through convert("L"), so edge pixels
+        # must binarize identically here
         r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
-        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+            np.uint8)
 
     with WSIReader(mask_path) as slide:
         gt = np.zeros(len(coords), np.int64)
@@ -203,7 +206,9 @@ def _tiffwsi_gt(mask_path: str, coords: np.ndarray, patch_size: int):
         lowres = to_gray(
             slide.read_region((0, 0), idx, slide.level_dimensions[idx])
         )
-        return gt, lowres, int(round(slide.level_downsamples[idx]))
+        # truncate like the openslide branch's int(level_downsamples[idx])
+        # so Dice is host-independent on non-power-of-2 pyramids
+        return gt, lowres, int(slide.level_downsamples[idx])
 
 
 def _openslide_gt(mask_path: str, coords: np.ndarray, patch_size: int):

@@ -69,8 +69,16 @@ def _try_open_pyramid(path: str):
     return None
 
 
+_flat_cache: dict = {}  # one entry: the --int8 calib pass precedes the
+# extract pass over the same flat image; don't decode + grid-scan it twice
+
+
 def _flat_tiles(args, image_path):
-    """Whole-image (PIL) tile cut for non-pyramid inputs."""
+    """Whole-image (PIL) tile cut for non-pyramid inputs (memoized for the
+    calib-then-extract double visit)."""
+    key = (image_path, args.patch_size, args.tissue_fraction)
+    if _flat_cache.get("key") == key:
+        return _flat_cache["value"]
     from PIL import Image
 
     from keep_tpu.io.tiles import cut_tiles
@@ -81,7 +89,17 @@ def _flat_tiles(args, image_path):
                               tissue_fraction=args.tissue_fraction)
     logging.info("cut %d tissue tiles (%dpx) from %s", len(tiles),
                  args.patch_size, image_path)
+    _flat_cache.clear()
+    _flat_cache.update(key=key, value=(tiles, coords))
     return tiles, coords
+
+
+def _check_wsi_level(args, pyramid, image_path):
+    if not 0 <= args.wsi_level < pyramid.level_count:
+        pyramid.close()
+        raise SystemExit(
+            f"error: --wsi-level {args.wsi_level} out of range — "
+            f"{image_path} has {pyramid.level_count} level(s)")
 
 
 def _slide_calib(args, image_path):
@@ -93,6 +111,7 @@ def _slide_calib(args, image_path):
 
     pyramid = _try_open_pyramid(image_path)
     if pyramid is not None:
+        _check_wsi_level(args, pyramid, image_path)
         from keep_tpu.io.tiles import iter_wsi_tiles
 
         first = next(iter_wsi_tiles(
@@ -115,6 +134,7 @@ def _extract_one(model, args, image_path, out_path, mesh) -> int:
     a pyramid, whole-image PIL path otherwise. Returns the tile count."""
     pyramid = _try_open_pyramid(image_path)
     if pyramid is not None:
+        _check_wsi_level(args, pyramid, image_path)
         from keep_tpu.wsi.extract import extract_wsi_to_h5
 
         logging.info("pyramidal slide %s: %d levels, level %d is %s",

@@ -76,13 +76,17 @@ int tiffwsi_codec_ok(int compression) {
 
 // Open a pyramidal (or flat) TIFF. Directories whose aspect ratio deviates
 // >5% from the first full-resolution directory are skipped (Aperio label /
-// macro images); remaining levels are sorted by descending width.
+// macro images), and — when the base directory is tiled — so are stripped
+// directories (the Aperio SVS thumbnail is a stripped page with the
+// slide's aspect ratio; OpenSlide likewise only counts tiled directories
+// as levels). Remaining levels are sorted by descending width.
 void* tiffwsi_open(const char* path) {
   TIFF* tif = TIFFOpen(path, "rm");  // m: no mmap — files can exceed RAM
   if (!tif) return nullptr;
   auto* s = new Slide{tif, {}, {}};
   tdir_t dir = 0;
   uint32_t w0 = 0, h0 = 0;
+  bool base_tiled = false;
   do {
     uint32_t w = 0, h = 0;
     if (!TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w) ||
@@ -93,9 +97,14 @@ void* tiffwsi_open(const char* path) {
     if (w0 == 0) {
       w0 = w;
       h0 = h;
+      base_tiled = TIFFIsTiled(tif);
     } else {
       double ar0 = double(w0) / double(h0), ar = double(w) / double(h);
       if (ar < 0.95 * ar0 || ar > 1.05 * ar0) {  // label/macro page
+        ++dir;
+        continue;
+      }
+      if (base_tiled && !TIFFIsTiled(tif)) {  // SVS stripped thumbnail
         ++dir;
         continue;
       }
@@ -251,6 +260,38 @@ int tiffwsi_read_regions(const char* path, int level, const int64_t* xy,
   for (int k = 0; k < t; ++k) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
   return err.load();
+}
+
+// Append a STRIPPED RGB directory to an existing TIFF — composes
+// Aperio-like layouts (tiled pyramid + stripped thumbnail page) for tests
+// and tooling; the reader intentionally skips such pages on tiled slides.
+int tiffwsi_append_stripped(const char* path, const uint8_t* rgb, uint32_t w,
+                            uint32_t h) {
+  if (!path || !rgb || !w || !h) return kErrArgs;
+  TIFF* tif = TIFFOpen(path, "a");
+  if (!tif) return kErrOpen;
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, w);
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, h);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+  TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+  TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP, 16);
+  for (uint32_t r = 0; r < h; ++r) {
+    if (TIFFWriteScanline(tif, const_cast<uint8_t*>(rgb + size_t(r) * w * 3),
+                          r, 0) < 0) {
+      TIFFClose(tif);
+      return kErrWrite;
+    }
+  }
+  if (!TIFFWriteDirectory(tif)) {
+    TIFFClose(tif);
+    return kErrWrite;
+  }
+  TIFFClose(tif);
+  return kOk;
 }
 
 // Build a tiled pyramidal TIFF from a level-0 RGB image. Levels 2x2

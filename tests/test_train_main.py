@@ -324,6 +324,14 @@ def test_train_tp_equivalence(run_dirs, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         tmain.train(cfg_bad)
 
+    # an explicit tp request with a bad batch size must FAIL, not silently
+    # degrade to a replicated single-device run
+    cfg_nd = dataclasses.replace(
+        cfg_t, dataloader=dataclasses.replace(cfg_t.dataloader, batch_size=6,
+                                              caption_num=2))
+    with pytest.raises(ValueError, match="not divisible"):
+        tmain.train(cfg_nd)
+
 
 def test_train_pp_equivalence(run_dirs, tmp_path):
     """solver.pp=2 trains on a 2-D (dp=4, pp=2) mesh — the visual trunk

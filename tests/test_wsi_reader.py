@@ -161,6 +161,48 @@ def test_open_slide_helper_and_errors(pyramid_path, tmp_path):
         open_slide(str(bad))
 
 
+def test_svs_stripped_thumbnail_page_not_a_level(tmp_path, level0):
+    """Aperio SVS layout: [tiled full-res, STRIPPED thumbnail (slide
+    aspect), tiled reduced levels]. The stripped page must not appear in
+    level_dimensions (it would corrupt level indices/downsamples vs
+    OpenSlide and best_level_for_downsample could pick it as Dice GT)."""
+    from keep_tpu.io.wsi import append_stripped_page
+
+    p = tmp_path / "aperio_like.tif"
+    write_pyramid(str(p), level0, tile=64, min_size=64)
+    with WSIReader(str(p)) as s:
+        dims_before = list(s.level_dimensions)
+    thumb = _box2(_box2(level0))  # same aspect as the slide
+    append_stripped_page(str(p), thumb)
+    # libtiff appends at the end; a real SVS has it at directory 1 — the
+    # filter is order-independent (any stripped page on a tiled slide)
+    for backend in ("native", "pil"):
+        with WSIReader(str(p), backend=backend) as s:
+            assert s.level_dimensions == dims_before, backend
+    # flat stripped files are still fine: stripped base keeps its pages
+    from PIL import Image
+
+    flat = tmp_path / "flat.tif"
+    Image.fromarray(thumb).save(flat)
+    with WSIReader(str(flat)) as s:
+        assert s.level_count == 1
+
+
+def test_empty_slide_keeps_feature_width(tmp_path):
+    """A no-tissue slide writes (0, projection_dim) features, not (0, 0)."""
+    from keep_tpu.wsi.extract import extract_features
+
+    class ToyModel:
+        class cfg:
+            projection_dim = 7
+
+        def encode_image(self, pixels):  # pragma: no cover - never called
+            raise AssertionError
+
+    feats = extract_features(ToyModel(), iter(()), batch_size=4)
+    assert feats.shape == (0, 7)
+
+
 def test_write_pyramid_validates(tmp_path):
     with pytest.raises(ValueError):
         write_pyramid(str(tmp_path / "x.tif"), np.zeros((4, 4), np.uint8))
