@@ -63,6 +63,47 @@ def place_tp(params, mesh: Mesh, axis: str = "mp"):
     return jax.tree.map(jax.device_put, params, tp_shardings(params, mesh, axis))
 
 
+def tp_fsdp_shardings(
+    params,
+    mesh: Mesh,
+    axis: str = "mp",
+    dp_axis: str = "dp",
+    min_size: int = 1 << 16,
+):
+    """Megatron-LM-style 2-D sharding: the tensor-parallel layout over
+    ``axis`` composed with FSDP over ``dp_axis`` — each large leaf
+    additionally shards its largest still-unsharded ``dp``-divisible axis,
+    so per-device state memory drops by ~dp·mp on the big matrices while
+    the math stays the tp math (XLA re-gathers the dp shards at use, the
+    same collectives plain FSDP pays)."""
+    import math
+
+    n_mp = mesh.shape[axis]
+    n_dp = mesh.shape[dp_axis]
+
+    def one(path, leaf):
+        shape = np.shape(leaf)
+        tp_spec = _spec_for(path, shape, n_mp, axis)
+        spec = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
+        if math.prod(shape) >= min_size:
+            cands = [(s, i) for i, s in enumerate(shape)
+                     if spec[i] is None and s % n_dp == 0]
+            if cands:
+                _, ax = max(cands)
+                spec[ax] = dp_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def place_tp_fsdp(params, mesh: Mesh, axis: str = "mp", dp_axis: str = "dp",
+                  min_size: int = 1 << 16):
+    """device_put with the composed tp x fsdp shardings."""
+    return jax.tree.map(
+        jax.device_put, params,
+        tp_fsdp_shardings(params, mesh, axis, dp_axis, min_size))
+
+
 def tp_fraction(params, mesh: Mesh, axis: str = "mp") -> float:
     """Fraction of parameter elements that actually split over ``axis``."""
     import math

@@ -79,8 +79,9 @@ class SolverConfig:
     fsdp_min_size: int = 1 << 16  # leaves below this many elements replicate
     # Tensor parallelism: mp-axis size of a 2-D (dp, mp) mesh. Params (and
     # their Adam moments) take the Megatron layout from parallel/tp.py;
-    # XLA's SPMD partitioner inserts the TP collectives. 1 = off. Mutually
-    # exclusive with fsdp (compose tp with plain dp instead).
+    # XLA's SPMD partitioner inserts the TP collectives. 1 = off. Set
+    # fsdp=true TOO for the Megatron-LM 2-D state layout (large leaves
+    # additionally sharded over 'dp').
     tp: int = 1
     # Pipeline parallelism: pp-axis size of a 2-D (dp, pp) mesh. The visual
     # trunk's stacked blocks (and their Adam moments) stage over 'pp'

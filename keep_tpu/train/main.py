@@ -371,9 +371,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     n_dev = len(jax.devices())
     tp = max(1, int(getattr(cfg.solver, "tp", 1)))
     pp = max(1, int(getattr(cfg.solver, "pp", 1)))
-    if sum(x > 1 for x in (tp, pp)) + (1 if cfg.solver.fsdp else 0) > 1:
-        raise ValueError("solver.tp / solver.pp / solver.fsdp are mutually "
-                         "exclusive (each composes with plain dp)")
+    if tp > 1 and pp > 1:
+        raise ValueError("solver.tp and solver.pp are mutually exclusive")
+    if pp > 1 and cfg.solver.fsdp:
+        raise ValueError("solver.pp and solver.fsdp are mutually exclusive "
+                         "(tp composes with fsdp; pp does not)")
     if pp > 1 and accum > 1:
         raise ValueError("solver.pp does not compose with accum_freq > 1")
     mp = max(tp, pp)
@@ -417,7 +419,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         mesh, batch_axis=1 if accum > 1 else 0
     )
     put_eval = make_eval_placement(mesh, put_repl)
-    if mesh is not None and cfg.solver.fsdp:
+    if mesh is not None and cfg.solver.fsdp and tp == 1:
         from keep_tpu.parallel.fsdp import place_state, sharded_fraction
 
         state = place_state(state, mesh, min_size=cfg.solver.fsdp_min_size)
@@ -428,13 +430,24 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     elif mesh is not None and tp > 1:
         # Megatron layout over 'mp' for params AND their Adam moments (the
         # moment pytrees mirror the param paths, so the same matcher
-        # applies); unmatched leaves (step, LN, embeddings) replicate
-        from keep_tpu.parallel.tp import place_tp, tp_fraction
+        # applies); unmatched leaves (step, LN, embeddings) replicate —
+        # unless solver.fsdp also shards them (and the tp leaves' other
+        # axis) over 'dp', Megatron-LM's 2-D state layout
+        from keep_tpu.parallel.tp import (
+            place_tp, place_tp_fsdp, tp_fraction)
 
-        state = place_tp(state, mesh)
-        logging.info(
-            "TP: %.0f%% of param elements split over mp=%d",
-            100 * tp_fraction(state.params, mesh), tp)
+        if cfg.solver.fsdp:
+            state = place_tp_fsdp(state, mesh,
+                                  min_size=cfg.solver.fsdp_min_size)
+            logging.info(
+                "TP x FSDP: %.0f%% of param elements split over mp=%d, "
+                "large leaves also sharded over dp=%d",
+                100 * tp_fraction(state.params, mesh), tp, dp)
+        else:
+            state = place_tp(state, mesh)
+            logging.info(
+                "TP: %.0f%% of param elements split over mp=%d",
+                100 * tp_fraction(state.params, mesh), tp)
     elif pp_mesh is not None:
         # stage the visual trunk's layers (and their Adam moments) over 'pp'
         from keep_tpu.parallel.pp import place_pp, pp_fraction

@@ -298,7 +298,7 @@ def test_train_fsdp_equivalence(run_dirs, tmp_path):
 def test_train_tp_equivalence(run_dirs, tmp_path):
     """solver.tp=2 trains on a 2-D (dp=4, mp=2) mesh with Megatron param
     shardings (parallel/tp.py) and produces the SAME trajectory as
-    replicated DP; tp+fsdp together is a config error."""
+    replicated DP; pp+fsdp together is a config error."""
     import json as _json
 
     cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
@@ -320,7 +320,8 @@ def test_train_tp_equivalence(run_dirs, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
     cfg_bad = dataclasses.replace(
-        cfg_t, solver=dataclasses.replace(cfg_t.solver, tp=2, fsdp=True))
+        cfg_t, solver=dataclasses.replace(cfg_t.solver, tp=1, pp=2,
+                                          fsdp=True))
     with pytest.raises(ValueError, match="mutually exclusive"):
         tmain.train(cfg_bad)
 
@@ -331,6 +332,62 @@ def test_train_tp_equivalence(run_dirs, tmp_path):
                                               caption_num=2))
     with pytest.raises(ValueError, match="not divisible"):
         tmain.train(cfg_nd)
+
+
+def test_train_tp_fsdp_equivalence(run_dirs, tmp_path):
+    """solver.tp=2 + solver.fsdp (Megatron-LM 2-D state layout: 'mp' on
+    feature axes, 'dp' on the large leaves' remaining axes) produces the
+    same trajectory as replicated DP."""
+    import json as _json
+
+    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
+                       freeze_visual_epochs=0)
+    tmain.train(cfg_rep)
+    cfg_c = make_cfg(run_dirs, tmp_path / "combo", epochs=2,
+                     freeze_visual_epochs=0)
+    cfg_c = dataclasses.replace(
+        cfg_c, solver=dataclasses.replace(cfg_c.solver, tp=2, fsdp=True,
+                                          fsdp_min_size=128))
+    tmain.train(cfg_c)
+
+    def losses(d):
+        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
+        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
+        return [v for v in vals if v is not None]
+
+    a, b = losses(tmp_path / "rep"), losses(tmp_path / "combo")
+    assert a and len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_tp_fsdp_spec_composition():
+    """A qkv-style [in, out] leaf gets 'mp' on its output axis AND 'dp' on
+    its input axis; small leaves replicate; fsdp-only leaves get 'dp'."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from keep_tpu.parallel.tp import tp_fsdp_shardings
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "mp"))
+    params = {
+        "blocks": {"qkv": {"kernel": jnp.zeros((24, 64, 128)),
+                           "bias": jnp.zeros((24, 128))},
+                   "proj": {"kernel": jnp.zeros((24, 128, 64))},
+                   "ln": {"scale": jnp.zeros((24, 64))}},
+        "pos_embed": jnp.zeros((1, 197, 64)),
+        "big_plain": jnp.zeros((256, 64)),
+    }
+    sh = tp_fsdp_shardings(params, mesh, min_size=1024)
+    assert sh["blocks"]["qkv"]["kernel"].spec == P(None, "dp", "mp")
+    assert sh["blocks"]["proj"]["kernel"].spec == P(None, "mp", "dp")
+    # both >= the tiny test min_size, so fsdp adds 'dp' to the layer axis /
+    # largest free axis on top of (or without) the tp split
+    assert sh["blocks"]["qkv"]["bias"].spec == P("dp", "mp")
+    assert sh["blocks"]["ln"]["scale"].spec == P(None, "dp")
+    assert sh["big_plain"].spec == P("dp", None)  # fsdp-only leaf
+    # pos_embed: 197 not divisible, 64-dim axis... largest dp-divisible
+    # axis wins only if >= min_size; 1*197*64 = 12608 >= 1024 -> 'dp' on
+    # the 64 axis (the only divisible one)
+    assert sh["pos_embed"].spec == P(None, None, "dp")
 
 
 def test_train_pp_equivalence(run_dirs, tmp_path):
