@@ -99,11 +99,14 @@ def forward(
     gelu_approx: bool = False,
     remat: bool = False,
     position_ids: Array | None = None,
+    act_sharding=None,
 ) -> dict:
     """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}.
 
     ``position_ids`` overrides the default 0..S-1 positions (RoBERTa-family
-    towers derive positions from the padding mask — ``models.hf_text``)."""
+    towers derive positions from the padding mask — ``models.hf_text``).
+    ``act_sharding`` pins the [B, S, D] stream at block boundaries
+    (Megatron-SP via GSPMD constraints — ``parallel.sp``); an identity."""
     b, s = input_ids.shape
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
@@ -129,8 +132,14 @@ def forward(
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
+    if act_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, act_sharding)
+
     def scan_body(carry, layer_params):
-        return block_fn(layer_params, carry, mask_bias), None
+        out = block_fn(layer_params, carry, mask_bias)
+        if act_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, act_sharding)
+        return out, None
 
     x, _ = jax.lax.scan(scan_body, x, params["blocks"])
 

@@ -37,11 +37,12 @@ def encode_image(
     use_flash: bool = False,
     gelu_approx: bool = False,
     remat: bool = False,
+    act_sharding=None,
 ) -> Array:
     """[B, H, W, 3] normalized pixels → [B, projection_dim] unit features."""
     feats = vit.forward(
         params["visual"], pixels, cfg.vision, dtype=dtype, use_flash=use_flash,
-        gelu_approx=gelu_approx, remat=remat,
+        gelu_approx=gelu_approx, remat=remat, act_sharding=act_sharding,
     )
     return _visual_head(params, feats)
 
@@ -89,6 +90,7 @@ def encode_text(
     use_flash: bool = False,
     gelu_approx: bool = False,
     remat: bool = False,
+    act_sharding=None,
 ) -> Array:
     """[B, S] token ids (+mask) → [B, hidden] unit features (BERT pooler)."""
     out = bert.forward(
@@ -101,6 +103,7 @@ def encode_text(
         use_flash=use_flash,
         gelu_approx=gelu_approx,
         remat=remat,
+        act_sharding=act_sharding,
     )
     return l2_normalize(out["pooler_output"].astype(jnp.float32))
 

@@ -196,12 +196,18 @@ def forward(
     patch_dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
     ln_stats: bool = False,
+    act_sharding=None,
 ) -> Array:
     """Image encoder forward: [B, H, W, 3] (normalized pixels) → [B, D] CLS features.
 
     ``ln_stats=True`` additionally returns ``{"qkv": [L, D], "fc1": [L, D]}``
     per-layer per-channel abs-max of the LN outputs feeding qkv/fc1 — the
-    calibration pass for ``quant.smooth_vit``."""
+    calibration pass for ``quant.smooth_vit``.
+
+    ``act_sharding`` (a NamedSharding for the [B, S, D] stream, e.g.
+    ``parallel.sp.seq_sharding``) pins the residual stream at every block
+    boundary — Megatron-style sequence parallelism via GSPMD constraints;
+    mathematically an identity."""
     b, h, w, _ = x.shape
     ps = cfg.patch_size
     if h % ps or w % ps:
@@ -232,9 +238,15 @@ def forward(
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
+    if act_sharding is not None:
+        tokens = jax.lax.with_sharding_constraint(tokens, act_sharding)
+
     def scan_body(carry, layer_params):
         out = block_fn(layer_params, carry)
-        return (out[0], out[1]) if ln_stats else (out, None)
+        out, extra = (out[0], out[1]) if ln_stats else (out, None)
+        if act_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, act_sharding)
+        return out, extra
 
     tokens, stats = jax.lax.scan(scan_body, tokens, params["blocks"])
     if not cfg.fc_norm:

@@ -83,6 +83,12 @@ class SolverConfig:
     # fsdp=true TOO for the Megatron-LM 2-D state layout (large leaves
     # additionally sharded over 'dp').
     tp: int = 1
+    # Sequence parallelism (requires tp > 1): Megatron-SP — the [B, S, D]
+    # residual stream is constrained to P('dp', 'mp', None) at block
+    # boundaries, so LN/elementwise regions run sequence-sharded over the
+    # tp group and GSPMD inserts the all-gather/reduce-scatter pair
+    # (parallel/sp.py). Identity math; trajectory == replicated DP.
+    sp: bool = False
     # Pipeline parallelism: pp-axis size of a 2-D (dp, pp) mesh. The visual
     # trunk's stacked blocks (and their Adam moments) stage over 'pp'
     # (GPipe schedule, parallel/pp.py); batch stays sharded over 'dp'

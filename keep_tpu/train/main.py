@@ -371,8 +371,14 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     n_dev = len(jax.devices())
     tp = max(1, int(getattr(cfg.solver, "tp", 1)))
     pp = max(1, int(getattr(cfg.solver, "pp", 1)))
+    sp = bool(getattr(cfg.solver, "sp", False))
     if tp > 1 and pp > 1:
         raise ValueError("solver.tp and solver.pp are mutually exclusive")
+    if sp and tp <= 1:
+        raise ValueError("solver.sp requires solver.tp > 1 (sequence shards "
+                         "over the tensor-parallel 'mp' axis)")
+    if sp and accum > 1:
+        raise ValueError("solver.sp does not compose with accum_freq > 1")
     if pp > 1 and cfg.solver.fsdp:
         raise ValueError("solver.pp and solver.fsdp are mutually exclusive "
                          "(tp composes with fsdp; pp does not)")
@@ -415,6 +421,13 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             logging.warning(
                 "batch_size %d not divisible by dp=%d; running "
                 "single-device", cfg.dataloader.batch_size, dp)
+    act_sharding = None
+    if sp and mesh is not None:
+        from keep_tpu.parallel.sp import seq_sharding
+
+        act_sharding = seq_sharding(mesh)
+        logging.info("SP: residual streams sequence-sharded over mp=%d "
+                     "(Megatron-SP via GSPMD constraints)", tp)
     put_state, put_batch, put_repl = make_placement(
         mesh, batch_axis=1 if accum > 1 else 0
     )
@@ -476,6 +489,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             _phase_steps[key] = make_train_step(
                 cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
                 donate=False, static_frozen=static, pp_mesh=pp_mesh,
+                act_sharding=act_sharding,
             )
         return _phase_steps[key]
 

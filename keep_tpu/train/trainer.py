@@ -63,7 +63,7 @@ class LossConfig:
 
 
 def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
-                  pp_mesh=None):
+                  pp_mesh=None, act_sharding=None):
     # remat trades recompute for memory: ViT-L+BERT backward at useful batch
     # sizes exceeds one v5e's 16GB HBM without it
     if pp_mesh is not None:
@@ -74,7 +74,8 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
                                    remat=remat, batch_axis="dp")
     else:
         img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
-                                use_flash=use_flash, remat=remat)
+                                use_flash=use_flash, remat=remat,
+                                act_sharding=act_sharding)
     txt = keep.encode_text(
         params,
         batch["input_ids"],
@@ -84,6 +85,7 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
         dtype=dtype,
         use_flash=use_flash,
         remat=remat,
+        act_sharding=act_sharding,
     )
     return img, txt
 
@@ -91,9 +93,10 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
 def compute_loss(
     params, batch, cfg: KEEPConfig, loss_cfg: LossConfig,
     *, dtype=jnp.bfloat16, use_flash=False, axis_name=None, pp_mesh=None,
+    act_sharding=None,
 ):
     img, txt = _encode_batch(params, batch, cfg, dtype, use_flash,
-                             pp_mesh=pp_mesh)
+                             pp_mesh=pp_mesh, act_sharding=act_sharding)
     scale = jnp.exp(params["logit_scale"])
     if loss_cfg.kind == "hierarchy_metric":
         # HyMetricLoss consumes the global batch: with pjit sharding the
@@ -128,6 +131,7 @@ def make_train_step(
     donate: bool = True,
     static_frozen=None,
     pp_mesh=None,
+    act_sharding=None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """One optimizer step. Shard the batch over 'dp' (NamedSharding) and keep
     params replicated. The optional third ``frozen`` argument (a
@@ -155,6 +159,7 @@ def make_train_step(
             return compute_loss(
                 params, batch, cfg, loss_cfg, dtype=dtype,
                 use_flash=use_flash, pp_mesh=pp_mesh,
+                act_sharding=act_sharding,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -390,6 +390,37 @@ def test_tp_fsdp_spec_composition():
     assert sh["pos_embed"].spec == P(None, None, "dp")
 
 
+def test_train_tp_sp_equivalence(run_dirs, tmp_path):
+    """solver.tp=2 + solver.sp (Megatron-SP: the residual streams
+    sequence-sharded over 'mp' via GSPMD constraints, parallel/sp.py)
+    produces the same trajectory as replicated DP; sp without tp is a
+    config error."""
+    import json as _json
+
+    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
+                       freeze_visual_epochs=0)
+    tmain.train(cfg_rep)
+    cfg_s = make_cfg(run_dirs, tmp_path / "sp", epochs=2,
+                     freeze_visual_epochs=0)
+    cfg_s = dataclasses.replace(
+        cfg_s, solver=dataclasses.replace(cfg_s.solver, tp=2, sp=True))
+    tmain.train(cfg_s)
+
+    def losses(d):
+        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
+        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
+        return [v for v in vals if v is not None]
+
+    a, b = losses(tmp_path / "rep"), losses(tmp_path / "sp")
+    assert a and len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    cfg_bad = dataclasses.replace(
+        cfg_s, solver=dataclasses.replace(cfg_s.solver, tp=1, sp=True))
+    with pytest.raises(ValueError, match="requires solver.tp"):
+        tmain.train(cfg_bad)
+
+
 def test_train_pp_equivalence(run_dirs, tmp_path):
     """solver.pp=2 trains on a 2-D (dp=4, pp=2) mesh — the visual trunk
     GPipe-staged over 'pp' (parallel/pp.py), batch sharded over 'dp' — and
