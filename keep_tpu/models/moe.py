@@ -1,0 +1,220 @@
+"""Mixture-of-Experts MLP + MoE transformer trunk, TPU-native (beyond
+reference — the reference model zoo is dense-only; this exists so the
+trainer's device-mesh story covers expert parallelism ('ep') alongside
+dp/fsdp/tp/sp/pp, and so LIMoE/Switch-style sparse towers drop into the
+same stack).
+
+Design (Switch Transformer routing, Fedus et al. 2021, expressed as
+static-shape einsums so everything lands on the MXU and nothing is
+data-dependent under jit):
+
+- router logits [T, E] → top-k gates; per-expert capacity
+  C = ceil(k·T/E · capacity_factor). Tokens over capacity are DROPPED
+  (their MLP contribution is zero — the residual stream carries them).
+- dispatch/combine are one-hot [T, E, C] einsums: gather-free,
+  all-to-all-free as written; under a mesh with the expert-stacked
+  kernels sharded P('ep', ...) GSPMD turns the [E, C, D] einsums into
+  exactly the dispatch all-to-alls a hand-written MoE would use.
+- aux load-balancing loss: E · Σ_e f_e · P_e (Switch eq. 4) — 1.0 at
+  perfect balance; add ``aux_weight * (aux - 1)`` to the task loss.
+
+Param pytree (E experts, k top-k, stacked trunks add a leading [L]):
+  router: {kernel [D, E]}                      (no bias — Switch)
+  wi:     {kernel [E, D, F], bias [E, F]}
+  wo:     {kernel [E, F, D], bias [E, D]}
+
+Expert parallelism: ``ep_shardings(params, mesh)`` pins the expert axis
+of wi/wo (and nothing else) over 'ep'; activations flow [T, D] →
+[E, C, D] → [T, D], and the [E, ·, ·] intermediates shard over 'ep'
+automatically. Forward is parity-tested vs the dense ``ops.nn.mlp`` when
+all experts carry the same weights, and sharded == unsharded on an
+8-device mesh (tests/test_moe.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keep_tpu.ops.nn import gelu, layer_norm, linear, mha_attention
+
+Array = jax.Array
+
+
+def moe_capacity(num_tokens: int, num_experts: int, top_k: int,
+                 capacity_factor: float) -> int:
+    """Per-expert token capacity (static — shapes under jit depend on it)."""
+    return max(1, math.ceil(top_k * num_tokens / num_experts * capacity_factor))
+
+
+def moe_mlp(
+    p: dict,
+    x: Array,
+    *,
+    top_k: int = 1,
+    capacity_factor: float = 1.25,
+    gelu_approx: bool = False,
+) -> tuple[Array, Array]:
+    """Sparse MLP over a [..., D] stream. Returns (out [..., D], aux []).
+
+    Routing/dispatch math runs in fp32 (router logits are tiny); expert
+    matmuls run in the stream dtype (bf16 in training).
+    """
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xt = x.reshape(-1, d)  # [T, D]
+    t = xt.shape[0]
+    e = p["router"]["kernel"].shape[-1]
+    c = moe_capacity(t, e, top_k, capacity_factor)
+
+    logits = jnp.einsum(
+        "td,de->te", xt.astype(jnp.float32),
+        p["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
+
+    # top-k routing as k sequential argmax rounds (k is a small static int);
+    # each round's winners claim capacity slots in token order via cumsum
+    remaining = probs
+    dispatch = jnp.zeros((t, e, c), jnp.float32)
+    combine = jnp.zeros((t, e, c), jnp.float32)
+    # slots already taken per expert, carried across rounds
+    fill = jnp.zeros((e,), jnp.int32)
+    importance = jnp.zeros((e,), jnp.float32)  # f_e numerator (kept tokens)
+    for _ in range(top_k):
+        idx = jnp.argmax(remaining, axis=-1)  # [T]
+        gate = jnp.take_along_axis(remaining, idx[:, None], axis=-1)[:, 0]
+        onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [T, E]
+        # position of each token within its expert's slots this round
+        pos_in_round = (jnp.cumsum(onehot, axis=0) - onehot)  # [T, E]
+        pos = pos_in_round + fill[None, :].astype(jnp.float32)
+        my_pos = jnp.sum(pos * onehot, axis=-1)  # [T]
+        kept = (my_pos < c).astype(jnp.float32) * jnp.sum(onehot, axis=-1)
+        slot = jax.nn.one_hot(my_pos.astype(jnp.int32), c, dtype=jnp.float32)
+        disp = onehot[:, :, None] * slot[:, None, :] * kept[:, None, None]
+        dispatch = dispatch + disp
+        combine = combine + disp * gate[:, None, None]
+        fill = fill + jnp.sum(onehot * kept[:, None], axis=0).astype(jnp.int32)
+        fill = jnp.minimum(fill, c)
+        importance = importance + jnp.sum(onehot, axis=0)
+        remaining = remaining * (1.0 - onehot)  # mask this round's winner
+
+    # Switch aux loss over the FIRST-choice assignment statistics
+    f_e = importance / (top_k * t)  # fraction routed to e (pre-drop)
+    p_e = jnp.mean(probs, axis=0)
+    aux = e * jnp.sum(f_e * p_e)
+
+    # [T,E,C] x [T,D] -> [E,C,D]: the all-to-all point under an 'ep' mesh
+    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(x.dtype), xt)
+    h = jnp.einsum("ecd,edf->ecf", expert_in, p["wi"]["kernel"].astype(x.dtype))
+    h = gelu(h + p["wi"]["bias"][:, None, :].astype(x.dtype),
+             approximate=gelu_approx)
+    out = jnp.einsum("ecf,efd->ecd", h, p["wo"]["kernel"].astype(x.dtype))
+    out = out + p["wo"]["bias"][:, None, :].astype(x.dtype)
+    yt = jnp.einsum("tec,ecd->td", combine.astype(x.dtype), out)
+    return yt.reshape(orig_shape), aux
+
+
+def block(p: dict, x: Array, cfg, *, top_k: int = 1,
+          capacity_factor: float = 1.25, gelu_approx: bool = False
+          ) -> tuple[Array, Array]:
+    """Pre-LN transformer block whose MLP is the sparse ``moe_mlp``:
+    attention sub-block identical to ``vit.block``'s XLA path, MoE second
+    half. Returns (out, aux)."""
+    b, s, d = x.shape
+    h = cfg.num_heads
+    dh = d // h
+    ln1 = layer_norm(p["norm1"], x, cfg.ln_eps)
+    qkv = linear(p["attn"]["qkv"], ln1).reshape(b, s, 3, h, dh)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)
+    attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    x = x + linear(p["attn"]["proj"], attn)
+    y, aux = moe_mlp(p["moe"], layer_norm(p["norm2"], x, cfg.ln_eps),
+                     top_k=top_k, capacity_factor=capacity_factor,
+                     gelu_approx=gelu_approx)
+    return x + y, aux
+
+
+def forward_trunk(params: dict, tokens: Array, cfg, *, top_k: int = 1,
+                  capacity_factor: float = 1.25, gelu_approx: bool = False,
+                  remat: bool = False) -> tuple[Array, Array]:
+    """Stacked-MoE trunk over [B, S, D] tokens → ([B, S, D], mean aux).
+    Blocks stacked on a leading [L] axis and scanned, like ``vit.forward``."""
+    block_fn = functools.partial(block, cfg=cfg, top_k=top_k,
+                                 capacity_factor=capacity_factor,
+                                 gelu_approx=gelu_approx)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def scan_body(carry, layer_params):
+        out, aux = block_fn(layer_params, carry)
+        return out, aux
+
+    tokens, auxes = jax.lax.scan(scan_body, tokens, params["blocks"])
+    return tokens, jnp.mean(auxes)
+
+
+def init(key: jax.Array, cfg, num_experts: int, depth: int | None = None,
+         dtype: jnp.dtype = jnp.float32) -> dict:
+    """MoE trunk params: ``depth`` stacked blocks (default cfg.depth), each
+    with ``num_experts`` experts of the cfg's MLP shape."""
+    d, f = cfg.embed_dim, cfg.mlp_dim
+    l = depth if depth is not None else cfg.depth
+    ks = jax.random.split(key, 6)
+
+    def lin(key, *shape):
+        std = shape[-2] ** -0.5
+        return {"kernel": (jax.random.normal(key, shape) * std).astype(dtype),
+                "bias": jnp.zeros(shape[:-2] + shape[-1:], dtype)}
+
+    def ln(shape):
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    return {
+        "blocks": {
+            "norm1": ln((l, d)),
+            "attn": {"qkv": lin(ks[0], l, d, 3 * d),
+                     "proj": lin(ks[1], l, d, d)},
+            "norm2": ln((l, d)),
+            "moe": {
+                "router": {"kernel": (
+                    jax.random.normal(ks[2], (l, d, num_experts)) * 0.02
+                ).astype(dtype)},
+                "wi": lin(ks[3], l, num_experts, d, f),
+                "wo": lin(ks[4], l, num_experts, f, d),
+            },
+        },
+    }
+
+
+def ep_shardings(params, mesh, axis: str = "ep"):
+    """NamedShardings: expert-stacked leaves (paths through 'moe' → wi/wo)
+    shard their expert axis over ``axis``; everything else (router, attn,
+    LN) replicates. Works for params AND optimizer moments (mirrored
+    paths). The expert axis is positional: kernels are [..., E, in, out]
+    (ndim-3), biases [..., E, out] (ndim-2); leaves whose E doesn't divide
+    the mesh axis replicate rather than error."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_ep = mesh.shape[axis]
+
+    def one(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        nd = np.ndim(leaf)
+        spec = [None] * nd
+        if "moe" in keys and any(k in ("wi", "wo") for k in keys):
+            e_ax = nd - 3 if "kernel" in keys else nd - 2
+            if 0 <= e_ax < nd and np.shape(leaf)[e_ax] % n_ep == 0:
+                spec[e_ax] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def place_ep(params, mesh, axis: str = "ep"):
+    """device_put with the expert-parallel shardings."""
+    return jax.tree.map(jax.device_put, params, ep_shardings(params, mesh, axis))

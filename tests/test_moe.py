@@ -1,0 +1,153 @@
+"""MoE MLP + trunk (models/moe.py): routing math, capacity drops, Switch
+aux loss, dense parity with identical experts, grads through the router,
+and expert-parallel ('ep') sharding parity on the 8-device mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import ViTConfig
+from keep_tpu.models import moe
+
+
+def tiny_cfg():
+    return ViTConfig(embed_dim=32, depth=2, num_heads=4, mlp_ratio=2.0,
+                     patch_size=4, img_size=16)
+
+
+def dense_mlp(wi, wo, x):
+    h = jax.nn.gelu(x @ wi["kernel"][0] + wi["bias"][0], approximate=False)
+    return h @ wo["kernel"][0] + wo["bias"][0]
+
+
+def make_moe_params(key, d=32, f=64, e=4):
+    ks = jax.random.split(key, 4)
+    return {
+        "router": {"kernel": jax.random.normal(ks[0], (d, e)) * 0.02},
+        "wi": {"kernel": jax.random.normal(ks[1], (e, d, f)) * d**-0.5,
+               "bias": jnp.zeros((e, f))},
+        "wo": {"kernel": jax.random.normal(ks[2], (e, f, d)) * f**-0.5,
+               "bias": jnp.zeros((e, d))},
+    }
+
+
+def test_identical_experts_match_gated_dense():
+    """With every expert carrying the SAME weights and capacity ample, the
+    MoE output must equal gate * dense_mlp(x) token-for-token (top-1 gate =
+    the router's max softmax prob)."""
+    key = jax.random.PRNGKey(0)
+    p = make_moe_params(key)
+    # copy expert 0 into all experts
+    for w in ("wi", "wo"):
+        p[w] = {k: jnp.broadcast_to(v[:1], v.shape) for k, v in p[w].items()}
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 5, 32))
+    out, aux = moe.moe_mlp(p, x, top_k=1, capacity_factor=4.0)
+
+    probs = jax.nn.softmax(
+        x.reshape(-1, 32) @ p["router"]["kernel"], axis=-1)
+    gate = jnp.max(probs, axis=-1).reshape(6, 5, 1)
+    want = gate * dense_mlp(p["wi"], p["wo"], x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    assert np.isfinite(float(aux))
+
+
+def test_top2_sums_both_gates():
+    """top_k=2 with identical experts → (g1 + g2) * dense(x)."""
+    p = make_moe_params(jax.random.PRNGKey(2))
+    for w in ("wi", "wo"):
+        p[w] = {k: jnp.broadcast_to(v[:1], v.shape) for k, v in p[w].items()}
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 32))
+    out, _ = moe.moe_mlp(p, x, top_k=2, capacity_factor=8.0)
+    probs = jax.nn.softmax(x.reshape(-1, 32) @ p["router"]["kernel"], axis=-1)
+    top2 = jnp.sum(jax.lax.top_k(probs, 2)[0], axis=-1).reshape(4, 3, 1)
+    want = top2 * dense_mlp(p["wi"], p["wo"], x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_capacity_drops_are_zero_rows():
+    """Route every token to expert 0 with capacity 1: token 0 is served,
+    later tokens are dropped (zero MLP contribution)."""
+    p = make_moe_params(jax.random.PRNGKey(4))
+    # zero router -> uniform logits -> argmax tie-breaks to expert 0 for
+    # every token (gate 1/E, nonzero)
+    p["router"]["kernel"] = jnp.zeros_like(p["router"]["kernel"])
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 32))
+    # T=8, E=4, top_k=1, cf=0.5 -> capacity = ceil(8/4*0.5) = 1
+    out, _ = moe.moe_mlp(p, x, top_k=1, capacity_factor=0.5)
+    out = np.asarray(out)[0]
+    assert np.abs(out[0]).max() > 0
+    np.testing.assert_allclose(out[1:], 0.0, atol=1e-6)
+
+
+def test_aux_loss_balance():
+    """Uniform router → aux == 1 (perfect balance); a router that sends
+    everything to one expert → aux ≈ E."""
+    p = make_moe_params(jax.random.PRNGKey(6))
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 32))
+    p["router"]["kernel"] = jnp.zeros_like(p["router"]["kernel"])
+    _, aux_uniform = moe.moe_mlp(p, x, capacity_factor=8.0)
+    assert abs(float(aux_uniform) - 1.0) < 1e-5
+    # pin feature 0 to 1.0 and give only kernel[0, 1] weight: every token's
+    # expert-1 logit is exactly +100 -> total collapse onto expert 1
+    x = x.at[..., 0].set(1.0)
+    p["router"]["kernel"] = p["router"]["kernel"].at[0, 1].set(100.0)
+    _, aux_collapsed = moe.moe_mlp(p, x, capacity_factor=8.0)
+    assert float(aux_collapsed) > 3.5  # ≈ E = 4
+
+
+def test_trunk_forward_and_grads():
+    """Stacked MoE trunk scans; a loss over (trunk output + aux) produces
+    finite, nonzero grads including through the router."""
+    cfg = tiny_cfg()
+    params = moe.init(jax.random.PRNGKey(8), cfg, num_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 17, 32))
+
+    def loss_fn(params):
+        y, aux = moe.forward_trunk(params, x, cfg, capacity_factor=2.0)
+        return jnp.mean(y**2) + 0.01 * aux
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert float(jnp.abs(grads["blocks"]["moe"]["router"]["kernel"]).max()) > 0
+    assert float(jnp.abs(grads["blocks"]["moe"]["wi"]["kernel"]).max()) > 0
+
+
+def test_ep_sharding_parity():
+    """Experts sharded over an 8-device (dp=2, ep=4) mesh: the wi/wo kernels
+    actually split on 'ep', and the jitted trunk forward matches the
+    unsharded result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_cfg()
+    params = moe.init(jax.random.PRNGKey(10), cfg, num_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, 17, 32))
+
+    def fwd(params, x):
+        y, aux = moe.forward_trunk(params, x, cfg, capacity_factor=2.0)
+        return y, aux
+
+    y_ref, aux_ref = jax.jit(fwd)(params, x)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("dp", "ep"))
+    sh = moe.ep_shardings(params, mesh)
+    assert sh["blocks"]["moe"]["wi"]["kernel"].spec == P(None, "ep", None, None)
+    assert sh["blocks"]["moe"]["wi"]["bias"].spec == P(None, "ep", None)
+    assert sh["blocks"]["moe"]["wo"]["kernel"].spec == P(None, "ep", None, None)
+    assert sh["blocks"]["moe"]["router"]["kernel"].spec == P(None, None, None)
+    with jax.set_mesh(mesh):
+        sp = moe.place_ep(params, mesh)
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        y_sh, aux_sh = jax.jit(fwd)(sp, xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert abs(float(aux_sh) - float(aux_ref)) < 1e-5
