@@ -8,13 +8,18 @@ Design (Switch Transformer routing, Fedus et al. 2021, expressed as
 static-shape einsums so everything lands on the MXU and nothing is
 data-dependent under jit):
 
-- router logits [T, E] → top-k gates; per-expert capacity
-  C = ceil(k·T/E · capacity_factor). Tokens over capacity are DROPPED
-  (their MLP contribution is zero — the residual stream carries them).
-- dispatch/combine are one-hot [T, E, C] einsums: gather-free,
-  all-to-all-free as written; under a mesh with the expert-stacked
-  kernels sharded P('ep', ...) GSPMD turns the [E, C, D] einsums into
-  exactly the dispatch all-to-alls a hand-written MoE would use.
+- routing is GROUPED (GShard-style): a [B, S, D] stream routes each
+  batch row independently, with per-expert capacity
+  C = ceil(k·S/E · capacity_factor) PER GROUP — the one-hot
+  dispatch/combine tensors are [G, S, E, C] ≈ k·cf·S elements per token
+  (NOT the O(T²) a global flat routing would cost), and the group axis
+  rides the 'dp' sharding of the batch. Tokens over their group's
+  capacity are DROPPED (their MLP contribution is zero — the residual
+  stream carries them).
+- dispatch/combine are one-hot einsums: gather-free, all-to-all-free as
+  written; under a mesh with the expert-stacked kernels sharded
+  P('ep', ...) GSPMD turns the [G, E, C, D] einsums into exactly the
+  dispatch all-to-alls a hand-written MoE would use.
 - aux load-balancing loss: E · Σ_e f_e · P_e (Switch eq. 4) — 1.0 at
   perfect balance; add ``aux_weight * (aux - 1)`` to the task loss.
 
@@ -45,10 +50,12 @@ from keep_tpu.ops.nn import gelu, layer_norm, linear, mha_attention
 Array = jax.Array
 
 
-def moe_capacity(num_tokens: int, num_experts: int, top_k: int,
+def moe_capacity(group_tokens: int, num_experts: int, top_k: int,
                  capacity_factor: float) -> int:
-    """Per-expert token capacity (static — shapes under jit depend on it)."""
-    return max(1, math.ceil(top_k * num_tokens / num_experts * capacity_factor))
+    """Per-expert, per-GROUP token capacity (static — shapes under jit
+    depend on it)."""
+    return max(1, math.ceil(
+        top_k * group_tokens / num_experts * capacity_factor))
 
 
 def moe_mlp(
@@ -59,62 +66,76 @@ def moe_mlp(
     capacity_factor: float = 1.25,
     gelu_approx: bool = False,
 ) -> tuple[Array, Array]:
-    """Sparse MLP over a [..., D] stream. Returns (out [..., D], aux []).
+    """Sparse MLP over a [..., S, D] stream. Returns (out, aux []).
 
-    Routing/dispatch math runs in fp32 (router logits are tiny); expert
-    matmuls run in the stream dtype (bf16 in training).
+    Routing is per GROUP — the leading axes (batch) — with capacity
+    ``moe_capacity(S, E, k, cf)`` per group, GShard-style: the one-hot
+    dispatch tensors stay [G, S, E, C] (linear in tokens), capacity slots
+    don't leak between groups, and the group axis shards over 'dp' with
+    the batch. A 2-D [T, D] input routes as a single group. Routing math
+    runs in fp32 (router logits are tiny); expert matmuls run in the
+    stream dtype (bf16 in training).
     """
     orig_shape = x.shape
     d = orig_shape[-1]
-    xt = x.reshape(-1, d)  # [T, D]
-    t = xt.shape[0]
+    xg = x[None] if x.ndim == 2 else x.reshape(-1, orig_shape[-2], d)
+    g, s, _ = xg.shape  # [G, S, D]
     e = p["router"]["kernel"].shape[-1]
-    c = moe_capacity(t, e, top_k, capacity_factor)
+    if top_k > e:
+        raise ValueError(f"top_k={top_k} > num_experts={e}")
+    c = moe_capacity(s, e, top_k, capacity_factor)
 
     logits = jnp.einsum(
-        "td,de->te", xt.astype(jnp.float32),
+        "gsd,de->gse", xg.astype(jnp.float32),
         p["router"]["kernel"].astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)  # [G, S, E]
 
     # top-k routing as k sequential argmax rounds (k is a small static int);
-    # each round's winners claim capacity slots in token order via cumsum
+    # each round's winners claim their group's capacity slots in token
+    # order via a per-group cumsum
     remaining = probs
-    dispatch = jnp.zeros((t, e, c), jnp.float32)
-    combine = jnp.zeros((t, e, c), jnp.float32)
-    # slots already taken per expert, carried across rounds
-    fill = jnp.zeros((e,), jnp.int32)
-    importance = jnp.zeros((e,), jnp.float32)  # f_e numerator (kept tokens)
+    dispatch = jnp.zeros((g, s, e, c), jnp.float32)
+    combine = jnp.zeros((g, s, e, c), jnp.float32)
+    # slots already taken per (group, expert), carried across rounds
+    fill = jnp.zeros((g, e), jnp.int32)
+    # per-expert assignment counts across ALL top-k rounds, pre-drop
+    importance = jnp.zeros((e,), jnp.float32)
     for _ in range(top_k):
-        idx = jnp.argmax(remaining, axis=-1)  # [T]
-        gate = jnp.take_along_axis(remaining, idx[:, None], axis=-1)[:, 0]
-        onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [T, E]
-        # position of each token within its expert's slots this round
-        pos_in_round = (jnp.cumsum(onehot, axis=0) - onehot)  # [T, E]
-        pos = pos_in_round + fill[None, :].astype(jnp.float32)
-        my_pos = jnp.sum(pos * onehot, axis=-1)  # [T]
+        idx = jnp.argmax(remaining, axis=-1)  # [G, S]
+        gate = jnp.take_along_axis(remaining, idx[..., None], axis=-1)[..., 0]
+        onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [G, S, E]
+        # position of each token within its (group, expert) slots this round
+        pos_in_round = jnp.cumsum(onehot, axis=1) - onehot  # [G, S, E]
+        pos = pos_in_round + fill[:, None, :].astype(jnp.float32)
+        my_pos = jnp.sum(pos * onehot, axis=-1)  # [G, S]
         kept = (my_pos < c).astype(jnp.float32) * jnp.sum(onehot, axis=-1)
         slot = jax.nn.one_hot(my_pos.astype(jnp.int32), c, dtype=jnp.float32)
-        disp = onehot[:, :, None] * slot[:, None, :] * kept[:, None, None]
+        disp = (onehot[..., None] * slot[..., None, :]
+                * kept[..., None, None])
         dispatch = dispatch + disp
-        combine = combine + disp * gate[:, None, None]
-        fill = fill + jnp.sum(onehot * kept[:, None], axis=0).astype(jnp.int32)
-        fill = jnp.minimum(fill, c)
-        importance = importance + jnp.sum(onehot, axis=0)
+        combine = combine + disp * gate[..., None, None]
+        fill = jnp.minimum(
+            fill + jnp.sum(onehot * kept[..., None], axis=1).astype(jnp.int32),
+            c)
+        importance = importance + jnp.sum(onehot, axis=(0, 1))
         remaining = remaining * (1.0 - onehot)  # mask this round's winner
 
-    # Switch aux loss over the FIRST-choice assignment statistics
-    f_e = importance / (top_k * t)  # fraction routed to e (pre-drop)
-    p_e = jnp.mean(probs, axis=0)
+    # Switch aux loss: f_e = fraction of (token, round) assignments routed
+    # to expert e across all top-k rounds, PRE-drop (capacity overflow must
+    # still penalize imbalance); p_e = mean router prob
+    f_e = importance / (top_k * g * s)
+    p_e = jnp.mean(probs, axis=(0, 1))
     aux = e * jnp.sum(f_e * p_e)
 
-    # [T,E,C] x [T,D] -> [E,C,D]: the all-to-all point under an 'ep' mesh
-    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(x.dtype), xt)
-    h = jnp.einsum("ecd,edf->ecf", expert_in, p["wi"]["kernel"].astype(x.dtype))
-    h = gelu(h + p["wi"]["bias"][:, None, :].astype(x.dtype),
+    # [G,S,E,C] x [G,S,D] -> [G,E,C,D]: the all-to-all point on an 'ep' mesh
+    expert_in = jnp.einsum("gsec,gsd->gecd", dispatch.astype(x.dtype), xg)
+    h = jnp.einsum("gecd,edf->gecf", expert_in,
+                   p["wi"]["kernel"].astype(x.dtype))
+    h = gelu(h + p["wi"]["bias"][None, :, None, :].astype(x.dtype),
              approximate=gelu_approx)
-    out = jnp.einsum("ecf,efd->ecd", h, p["wo"]["kernel"].astype(x.dtype))
-    out = out + p["wo"]["bias"][:, None, :].astype(x.dtype)
-    yt = jnp.einsum("tec,ecd->td", combine.astype(x.dtype), out)
+    out = jnp.einsum("gecf,efd->gecd", h, p["wo"]["kernel"].astype(x.dtype))
+    out = out + p["wo"]["bias"][None, :, None, :].astype(x.dtype)
+    yt = jnp.einsum("gsec,gecd->gsd", combine.astype(x.dtype), out)
     return yt.reshape(orig_shape), aux
 
 

@@ -29,18 +29,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 
-def fsdp_spec(shape, n_dev: int, min_size: int = 1 << 16) -> P:
-    """PartitionSpec sharding the LARGEST ``n_dev``-divisible axis; P() when
-    the leaf is small or no axis divides."""
-    if math.prod(shape) < min_size:
-        return P()
-    cands = [(s, i) for i, s in enumerate(shape) if s % n_dev == 0]
-    if not cands:
-        return P()
-    _, ax = max(cands)
-    spec = [None] * len(shape)
-    spec[ax] = "dp"
-    return P(*spec)
+def fsdp_spec(shape, n_dev: int, min_size: int = 1 << 16, *,
+              base=None, axis: str = "dp") -> P:
+    """PartitionSpec sharding the LARGEST still-free ``n_dev``-divisible
+    axis over ``axis``; unchanged ``base`` (or P()) when the leaf is small
+    or no axis divides. ``base`` is an existing spec (e.g. the Megatron tp
+    layout — ``tp.tp_fsdp_shardings``) whose already-sharded axes are
+    excluded and preserved in the result."""
+    spec = ([None] * len(shape) if base is None
+            else list(base) + [None] * (len(shape) - len(base)))
+    if math.prod(shape) >= min_size:
+        cands = [(s, i) for i, s in enumerate(shape)
+                 if spec[i] is None and s % n_dev == 0]
+        if cands:
+            _, ax = max(cands)
+            spec[ax] = axis
+    return P(*spec) if any(s is not None for s in spec) else P()
 
 
 def state_shardings(tree, mesh: Mesh, min_size: int = 1 << 16):

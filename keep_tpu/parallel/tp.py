@@ -72,11 +72,12 @@ def tp_fsdp_shardings(
 ):
     """Megatron-LM-style 2-D sharding: the tensor-parallel layout over
     ``axis`` composed with FSDP over ``dp_axis`` — each large leaf
-    additionally shards its largest still-unsharded ``dp``-divisible axis,
-    so per-device state memory drops by ~dp·mp on the big matrices while
-    the math stays the tp math (XLA re-gathers the dp shards at use, the
-    same collectives plain FSDP pays)."""
-    import math
+    additionally shards its largest still-unsharded ``dp``-divisible axis
+    (``fsdp.fsdp_spec`` with the tp layout as ``base``), so per-device
+    state memory drops by ~dp·mp on the big matrices while the math stays
+    the tp math (XLA re-gathers the dp shards at use, the same collectives
+    plain FSDP pays)."""
+    from keep_tpu.parallel.fsdp import fsdp_spec
 
     n_mp = mesh.shape[axis]
     n_dp = mesh.shape[dp_axis]
@@ -84,14 +85,8 @@ def tp_fsdp_shardings(
     def one(path, leaf):
         shape = np.shape(leaf)
         tp_spec = _spec_for(path, shape, n_mp, axis)
-        spec = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
-        if math.prod(shape) >= min_size:
-            cands = [(s, i) for i, s in enumerate(shape)
-                     if spec[i] is None and s % n_dp == 0]
-            if cands:
-                _, ax = max(cands)
-                spec[ax] = dp_axis
-        return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, fsdp_spec(
+            shape, n_dp, min_size, base=tuple(tp_spec), axis=dp_axis))
 
     return jax.tree_util.tree_map_with_path(one, params)
 

@@ -85,6 +85,27 @@ def test_capacity_drops_are_zero_rows():
     np.testing.assert_allclose(out[1:], 0.0, atol=1e-6)
 
 
+def test_capacity_is_per_group():
+    """Routing is grouped by batch row (GShard): each group has its own
+    capacity slots, so token 0 of EVERY group is served (a global flat
+    routing would serve only the first group's token)."""
+    p = make_moe_params(jax.random.PRNGKey(12))
+    p["router"]["kernel"] = jnp.zeros_like(p["router"]["kernel"])
+    x = jax.random.normal(jax.random.PRNGKey(13), (3, 8, 32))
+    out, _ = moe.moe_mlp(p, x, top_k=1, capacity_factor=0.5)  # C=1 per group
+    out = np.asarray(out)
+    for grp in range(3):
+        assert np.abs(out[grp, 0]).max() > 0
+        np.testing.assert_allclose(out[grp, 1:], 0.0, atol=1e-6)
+
+
+def test_top_k_exceeding_experts_raises():
+    p = make_moe_params(jax.random.PRNGKey(14))
+    x = jax.random.normal(jax.random.PRNGKey(15), (1, 4, 32))
+    with pytest.raises(ValueError, match="top_k"):
+        moe.moe_mlp(p, x, top_k=5)
+
+
 def test_aux_loss_balance():
     """Uniform router → aux == 1 (perfect balance); a router that sends
     everything to one expert → aux ≈ E."""

@@ -110,6 +110,21 @@ def make_cfg(run_dirs, out_dir, **solver_kw) -> TrainRunConfig:
     )
 
 
+def _losses(d):
+    lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
+    vals = [json.loads(ln).get("train_loss") for ln in lines.splitlines()]
+    return [v for v in vals if v is not None]
+
+
+@pytest.fixture(scope="module")
+def rep2_losses(run_dirs, tmp_path_factory):
+    """Replicated-DP baseline trajectory (epochs=2, no freeze) shared by
+    every parallelism-equivalence test — trained once per module."""
+    d = tmp_path_factory.mktemp("rep2")
+    tmain.train(make_cfg(run_dirs, d, epochs=2, freeze_visual_epochs=0))
+    return _losses(d)
+
+
 def test_train_e2e_mesh_really_shards(run_dirs, tmp_path, monkeypatch):
     """train() on the 8-device mesh: the batch must actually shard over 'dp'
     (1 sample per device), state replicated; checkpoints + results land."""
@@ -269,15 +284,10 @@ def test_train_accum_hierarchy(run_dirs, tmp_path):
     assert np.isfinite(res["train_loss"])
 
 
-def test_train_fsdp_equivalence(run_dirs, tmp_path):
+def test_train_fsdp_equivalence(run_dirs, tmp_path, rep2_losses):
     """solver.fsdp shards the training state over the 8-device mesh (ZeRO-3
     analog, parallel/fsdp.py) and produces the SAME trajectory as replicated
     DP — XLA's SPMD partitioner inserts the gathers/reduce-scatters."""
-    import json as _json
-
-    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
-                       freeze_visual_epochs=0)
-    tmain.train(cfg_rep)
     cfg_f = make_cfg(run_dirs, tmp_path / "fsdp", epochs=2,
                      freeze_visual_epochs=0)
     cfg_f = dataclasses.replace(
@@ -285,37 +295,22 @@ def test_train_fsdp_equivalence(run_dirs, tmp_path):
                                           fsdp_min_size=256))
     tmain.train(cfg_f)
 
-    def losses(d):
-        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
-        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
-        return [v for v in vals if v is not None]
-
-    a, b = losses(tmp_path / "rep"), losses(tmp_path / "fsdp")
+    a, b = rep2_losses, _losses(tmp_path / "fsdp")
     assert a and len(a) == len(b)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
-def test_train_tp_equivalence(run_dirs, tmp_path):
+def test_train_tp_equivalence(run_dirs, tmp_path, rep2_losses):
     """solver.tp=2 trains on a 2-D (dp=4, mp=2) mesh with Megatron param
     shardings (parallel/tp.py) and produces the SAME trajectory as
     replicated DP; pp+fsdp together is a config error."""
-    import json as _json
-
-    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
-                       freeze_visual_epochs=0)
-    tmain.train(cfg_rep)
     cfg_t = make_cfg(run_dirs, tmp_path / "tp", epochs=2,
                      freeze_visual_epochs=0)
     cfg_t = dataclasses.replace(
         cfg_t, solver=dataclasses.replace(cfg_t.solver, tp=2))
     tmain.train(cfg_t)
 
-    def losses(d):
-        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
-        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
-        return [v for v in vals if v is not None]
-
-    a, b = losses(tmp_path / "rep"), losses(tmp_path / "tp")
+    a, b = rep2_losses, _losses(tmp_path / "tp")
     assert a and len(a) == len(b)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
@@ -334,15 +329,10 @@ def test_train_tp_equivalence(run_dirs, tmp_path):
         tmain.train(cfg_nd)
 
 
-def test_train_tp_fsdp_equivalence(run_dirs, tmp_path):
+def test_train_tp_fsdp_equivalence(run_dirs, tmp_path, rep2_losses):
     """solver.tp=2 + solver.fsdp (Megatron-LM 2-D state layout: 'mp' on
     feature axes, 'dp' on the large leaves' remaining axes) produces the
     same trajectory as replicated DP."""
-    import json as _json
-
-    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
-                       freeze_visual_epochs=0)
-    tmain.train(cfg_rep)
     cfg_c = make_cfg(run_dirs, tmp_path / "combo", epochs=2,
                      freeze_visual_epochs=0)
     cfg_c = dataclasses.replace(
@@ -350,12 +340,7 @@ def test_train_tp_fsdp_equivalence(run_dirs, tmp_path):
                                           fsdp_min_size=128))
     tmain.train(cfg_c)
 
-    def losses(d):
-        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
-        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
-        return [v for v in vals if v is not None]
-
-    a, b = losses(tmp_path / "rep"), losses(tmp_path / "combo")
+    a, b = rep2_losses, _losses(tmp_path / "combo")
     assert a and len(a) == len(b)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
@@ -390,28 +375,18 @@ def test_tp_fsdp_spec_composition():
     assert sh["pos_embed"].spec == P(None, None, "dp")
 
 
-def test_train_tp_sp_equivalence(run_dirs, tmp_path):
+def test_train_tp_sp_equivalence(run_dirs, tmp_path, rep2_losses):
     """solver.tp=2 + solver.sp (Megatron-SP: the residual streams
     sequence-sharded over 'mp' via GSPMD constraints, parallel/sp.py)
     produces the same trajectory as replicated DP; sp without tp is a
     config error."""
-    import json as _json
-
-    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
-                       freeze_visual_epochs=0)
-    tmain.train(cfg_rep)
     cfg_s = make_cfg(run_dirs, tmp_path / "sp", epochs=2,
                      freeze_visual_epochs=0)
     cfg_s = dataclasses.replace(
         cfg_s, solver=dataclasses.replace(cfg_s.solver, tp=2, sp=True))
     tmain.train(cfg_s)
 
-    def losses(d):
-        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
-        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
-        return [v for v in vals if v is not None]
-
-    a, b = losses(tmp_path / "rep"), losses(tmp_path / "sp")
+    a, b = rep2_losses, _losses(tmp_path / "sp")
     assert a and len(a) == len(b)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
@@ -421,28 +396,18 @@ def test_train_tp_sp_equivalence(run_dirs, tmp_path):
         tmain.train(cfg_bad)
 
 
-def test_train_pp_equivalence(run_dirs, tmp_path):
+def test_train_pp_equivalence(run_dirs, tmp_path, rep2_losses):
     """solver.pp=2 trains on a 2-D (dp=4, pp=2) mesh — the visual trunk
     GPipe-staged over 'pp' (parallel/pp.py), batch sharded over 'dp' — and
     produces the SAME trajectory as replicated DP; pp+tp together is a
     config error."""
-    import json as _json
-
-    cfg_rep = make_cfg(run_dirs, tmp_path / "rep", epochs=2,
-                       freeze_visual_epochs=0)
-    tmain.train(cfg_rep)
     cfg_p = make_cfg(run_dirs, tmp_path / "pp", epochs=2,
                      freeze_visual_epochs=0)
     cfg_p = dataclasses.replace(
         cfg_p, solver=dataclasses.replace(cfg_p.solver, pp=2))
     tmain.train(cfg_p)
 
-    def losses(d):
-        lines = (d / "exp" / "checkpoints" / "results.jsonl").read_text()
-        vals = [_json.loads(ln).get("train_loss") for ln in lines.splitlines()]
-        return [v for v in vals if v is not None]
-
-    a, b = losses(tmp_path / "rep"), losses(tmp_path / "pp")
+    a, b = rep2_losses, _losses(tmp_path / "pp")
     assert a and len(a) == len(b)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
