@@ -33,6 +33,13 @@ class ViTConfig:
     pool: str = "token"  # 'token' | 'avg' | 'none'
     act: str = "gelu"  # 'gelu' | 'quick_gelu' (OpenAI-CLIP '-quickgelu' arches)
     fc_norm: bool = False  # timm gap-ViT: final LN AFTER pooling, not before
+    # Sparse-MoE trunk (beyond reference, models/moe.py): 0 = dense (the
+    # reference architecture). >0 replaces every block's MLP with a
+    # Switch-routed expert pool; train with solver.ep to shard experts.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01  # weight of the load-balancing loss
 
     @property
     def head_dim(self) -> int:

@@ -38,13 +38,29 @@ def encode_image(
     gelu_approx: bool = False,
     remat: bool = False,
     act_sharding=None,
+    return_aux: bool = False,
 ) -> Array:
-    """[B, H, W, 3] normalized pixels → [B, projection_dim] unit features."""
-    feats = vit.forward(
-        params["visual"], pixels, cfg.vision, dtype=dtype, use_flash=use_flash,
-        gelu_approx=gelu_approx, remat=remat, act_sharding=act_sharding,
-    )
-    return _visual_head(params, feats)
+    """[B, H, W, 3] normalized pixels → [B, projection_dim] unit features.
+
+    ``return_aux=True`` additionally returns the MoE load-balancing aux
+    loss (0.0 for the dense trunk) — the trainer adds
+    ``cfg.vision.moe_aux_weight * aux`` when ``moe_experts > 0``."""
+    if getattr(cfg.vision, "moe_experts", 0) > 0:
+        from keep_tpu.models import moe
+
+        feats, aux = moe.vit_forward(
+            params["visual"], pixels, cfg.vision, dtype=dtype,
+            gelu_approx=gelu_approx, remat=remat,
+        )
+    else:
+        feats = vit.forward(
+            params["visual"], pixels, cfg.vision, dtype=dtype,
+            use_flash=use_flash, gelu_approx=gelu_approx, remat=remat,
+            act_sharding=act_sharding,
+        )
+        aux = jnp.zeros((), jnp.float32)
+    feats = _visual_head(params, feats)
+    return (feats, aux) if return_aux else feats
 
 
 def _visual_head(params: dict, feats: Array) -> Array:
@@ -126,8 +142,14 @@ def init(key: jax.Array, cfg: KEEPConfig, dtype: jnp.dtype = jnp.float32) -> dic
             "bias": jnp.zeros((fan_out,), dtype),
         }
 
+    if getattr(cfg.vision, "moe_experts", 0) > 0:
+        from keep_tpu.models import moe
+
+        visual = moe.init_vit(kv, cfg.vision, dtype)
+    else:
+        visual = vit.init(kv, cfg.vision, dtype)
     return {
-        "visual": vit.init(kv, cfg.vision, dtype),
+        "visual": visual,
         "visual_head": {"fc1": lin(kh1, d_in, d_out), "fc2": lin(kh2, d_out, d_out)},
         "text": bert.init(kt, cfg.text, dtype),
         "logit_scale": jnp.asarray(np.log(1.0 / cfg.logit_scale_init), jnp.float32),

@@ -212,6 +212,69 @@ def init(key: jax.Array, cfg, num_experts: int, depth: int | None = None,
     }
 
 
+def vit_forward(
+    params: dict,
+    x: Array,
+    cfg,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
+    gelu_approx: bool = False,
+) -> tuple[Array, Array]:
+    """MoE-ViT image encoder: [B, H, W, 3] → ([B, D] pooled, aux []).
+    The stem (patchify, CLS, pos-embed resample) and final LN/pool are
+    ``vit.forward``'s; the trunk is the Switch-MoE ``forward_trunk``.
+    Selected by ``cfg.moe_experts > 0`` (``keep.encode_image``)."""
+    from keep_tpu.models import vit as _vit
+
+    b, h, w, _ = x.shape
+    ps = cfg.patch_size
+    if h % ps or w % ps:
+        raise ValueError(f"image size {(h, w)} not a multiple of patch_size {ps}")
+    x = x.astype(dtype)
+    tokens = _vit.patchify(params["patch_embed"], x, ps)
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (b, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = _vit.resample_pos_embed(
+        params["pos_embed"], (h // ps, w // ps), cfg.num_prefix_tokens)
+    tokens = tokens + pos.astype(dtype)
+
+    tokens, aux = forward_trunk(
+        params, tokens, cfg, top_k=cfg.moe_top_k,
+        capacity_factor=cfg.moe_capacity_factor, gelu_approx=gelu_approx,
+        remat=remat)
+    tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
+    return tokens[:, 0], aux
+
+
+def init_vit(key: jax.Array, cfg, dtype: jnp.dtype = jnp.float32) -> dict:
+    """Full MoE-ViT visual params: vit-shaped stem/norm + MoE trunk blocks
+    (``cfg.moe_experts`` experts per layer)."""
+    k_stem, k_trunk = jax.random.split(key)
+    d = cfg.embed_dim
+
+    def trunc(key, shape, std=0.02):
+        return (jax.random.truncated_normal(key, -2, 2, shape) * std).astype(dtype)
+
+    ks = jax.random.split(k_stem, 3)
+    pdim = cfg.patch_size * cfg.patch_size * 3
+    out = init(k_trunk, cfg, num_experts=cfg.moe_experts, dtype=dtype)
+    out.update({
+        "patch_embed": {
+            "kernel": (jax.random.normal(ks[0], (pdim, d)) * pdim**-0.5
+                       ).astype(dtype),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "cls_token": trunc(ks[1], (1, 1, d)),
+        "pos_embed": trunc(
+            ks[2], (1, cfg.num_prefix_tokens + cfg.num_patches, d)),
+        "norm": {"scale": jnp.ones((d,), dtype),
+                 "bias": jnp.zeros((d,), dtype)},
+    })
+    return out
+
+
 def ep_shardings(params, mesh, axis: str = "ep"):
     """NamedShardings: expert-stacked leaves (paths through 'moe' → wi/wo)
     shard their expert axis over ``axis``; everything else (router, attn,

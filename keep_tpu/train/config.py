@@ -89,6 +89,11 @@ class SolverConfig:
     # tp group and GSPMD inserts the all-gather/reduce-scatter pair
     # (parallel/sp.py). Identity math; trajectory == replicated DP.
     sp: bool = False
+    # Expert parallelism (requires model.vision.moe_experts > 0): ep-axis
+    # size of a 2-D (dp, ep) mesh — the MoE trunk's expert-stacked kernels
+    # (and their Adam moments) shard over 'ep' (moe.ep_shardings); GSPMD
+    # derives the dispatch all-to-alls. 1 = off.
+    ep: int = 1
     # Pipeline parallelism: pp-axis size of a 2-D (dp, pp) mesh. The visual
     # trunk's stacked blocks (and their Adam moments) stage over 'pp'
     # (GPipe schedule, parallel/pp.py); batch stays sharded over 'dp'

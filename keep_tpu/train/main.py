@@ -372,6 +372,8 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     tp = max(1, int(getattr(cfg.solver, "tp", 1)))
     pp = max(1, int(getattr(cfg.solver, "pp", 1)))
     sp = bool(getattr(cfg.solver, "sp", False))
+    ep = max(1, int(getattr(cfg.solver, "ep", 1)))
+    moe = int(getattr(cfg.keep.vision, "moe_experts", 0))
     if tp > 1 and pp > 1:
         raise ValueError("solver.tp and solver.pp are mutually exclusive")
     if sp and tp <= 1:
@@ -379,14 +381,28 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                          "over the tensor-parallel 'mp' axis)")
     if sp and accum > 1:
         raise ValueError("solver.sp does not compose with accum_freq > 1")
+    if ep > 1 and moe <= 0:
+        raise ValueError("solver.ep requires model.vision.moe_experts > 0 "
+                         "(a dense trunk has no expert axis)")
+    if ep > 1 and (tp > 1 or pp > 1):
+        raise ValueError("solver.ep composes with dp only "
+                         "(not solver.tp / solver.pp)")
+    if moe > 0 and (tp > 1 or pp > 1):
+        raise ValueError("the MoE trunk trains with dp/fsdp/ep; "
+                         "solver.tp / solver.pp are not composed with it")
     if pp > 1 and cfg.solver.fsdp:
         raise ValueError("solver.pp and solver.fsdp are mutually exclusive "
                          "(tp composes with fsdp; pp does not)")
     if pp > 1 and accum > 1:
         raise ValueError("solver.pp does not compose with accum_freq > 1")
-    mp = max(tp, pp)
+    if ep > 1 and cfg.solver.fsdp:
+        raise ValueError("solver.ep and solver.fsdp are mutually exclusive "
+                         "(expert leaves already shard; compose ep with "
+                         "plain dp)")
+    mp = max(tp, pp, ep)
     if mp > 1 and n_dev % mp:
-        raise ValueError(f"solver.{'tp' if tp > 1 else 'pp'}={mp} does not "
+        which = "tp" if tp > 1 else ("pp" if pp > 1 else "ep")
+        raise ValueError(f"solver.{which}={mp} does not "
                          f"divide {n_dev} devices")
     if n_dev > 1:
         dp = n_dev // mp
@@ -407,16 +423,20 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 pp_mesh = mesh
                 logging.info("2-D mesh: dp=%d x pp=%d devices (GPipe over "
                              "the visual trunk)", dp, pp)
+            elif ep > 1:
+                mesh = make_mesh(axes=("dp", "ep"), shape=(dp, ep))
+                logging.info("2-D mesh: dp=%d x ep=%d devices (experts "
+                             "sharded over 'ep')", dp, ep)
             else:
                 mesh = make_mesh(axes=("dp",))
                 logging.info("data-parallel mesh over %d devices", n_dev)
         elif mp > 1:
-            # an explicit tp/pp request must not silently degrade to a
+            # an explicit tp/pp/ep request must not silently degrade to a
             # replicated single-device run
             raise ValueError(
                 f"batch_size {cfg.dataloader.batch_size} not divisible by "
                 f"dp={dp} (devices {n_dev} / "
-                f"{'tp' if tp > 1 else 'pp'}={mp})")
+                f"{'tp' if tp > 1 else ('pp' if pp > 1 else 'ep')}={mp})")
         else:
             logging.warning(
                 "batch_size %d not divisible by dp=%d; running "
@@ -469,6 +489,15 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         logging.info(
             "PP: %.0f%% of param elements staged over pp=%d",
             100 * pp_fraction(state.params, pp_mesh), pp)
+    elif mesh is not None and ep > 1:
+        # expert parallelism: the MoE trunk's expert-stacked kernels (and
+        # their Adam moments — mirrored paths) shard over 'ep'; router,
+        # attention, text tower replicate. GSPMD derives the dispatch
+        # all-to-alls from these shardings (models/moe.py).
+        from keep_tpu.models.moe import ep_shardings
+
+        state = jax.tree.map(jax.device_put, state, ep_shardings(state, mesh))
+        logging.info("EP: expert kernels sharded over ep=%d", ep)
     else:
         state = put_state(state)
 

@@ -66,6 +66,7 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
                   pp_mesh=None, act_sharding=None):
     # remat trades recompute for memory: ViT-L+BERT backward at useful batch
     # sizes exceeds one v5e's 16GB HBM without it
+    aux = jnp.zeros((), jnp.float32)
     if pp_mesh is not None:
         # ViT trunk staged over the mesh's 'pp' axis (GPipe, parallel/pp.py);
         # batch stays sharded over 'dp' through the pipeline
@@ -73,9 +74,10 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
                                    dtype=dtype, use_flash=use_flash,
                                    remat=remat, batch_axis="dp")
     else:
-        img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
-                                use_flash=use_flash, remat=remat,
-                                act_sharding=act_sharding)
+        img, aux = keep.encode_image(params, batch["pixels"], cfg,
+                                     dtype=dtype, use_flash=use_flash,
+                                     remat=remat, act_sharding=act_sharding,
+                                     return_aux=True)
     txt = keep.encode_text(
         params,
         batch["input_ids"],
@@ -87,7 +89,7 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
         remat=remat,
         act_sharding=act_sharding,
     )
-    return img, txt
+    return img, txt, aux
 
 
 def compute_loss(
@@ -95,20 +97,24 @@ def compute_loss(
     *, dtype=jnp.bfloat16, use_flash=False, axis_name=None, pp_mesh=None,
     act_sharding=None,
 ):
-    img, txt = _encode_batch(params, batch, cfg, dtype, use_flash,
-                             pp_mesh=pp_mesh, act_sharding=act_sharding)
+    img, txt, aux = _encode_batch(params, batch, cfg, dtype, use_flash,
+                                  pp_mesh=pp_mesh, act_sharding=act_sharding)
     scale = jnp.exp(params["logit_scale"])
     if loss_cfg.kind == "hierarchy_metric":
         # HyMetricLoss consumes the global batch: with pjit sharding the
         # [n, n] similarity forces the all-gather automatically.
-        return hy_metric_loss(
+        loss = hy_metric_loss(
             img, txt, batch["node_connection"], scale,
             caption_num=loss_cfg.caption_num, loss_type=loss_cfg.loss_subtype,
         )
-    return clip_loss(
-        img, txt, scale, axis_name=axis_name, local_loss=loss_cfg.local_loss,
-        labels=batch.get("labels"),
-    )
+    else:
+        loss = clip_loss(
+            img, txt, scale, axis_name=axis_name,
+            local_loss=loss_cfg.local_loss, labels=batch.get("labels"),
+        )
+    if getattr(cfg.vision, "moe_experts", 0) > 0:
+        loss = loss + cfg.vision.moe_aux_weight * aux
+    return loss
 
 
 def _apply_freeze(tree, frozen):
@@ -210,7 +216,7 @@ def make_accum_train_step(
             return _encode_batch(params, mb, cfg, dtype, use_flash)
 
         def cache_one(_, mb):
-            img, txt = encode(state.params, mb)
+            img, txt, _aux = encode(state.params, mb)
             return None, (jax.lax.stop_gradient(img), jax.lax.stop_gradient(txt))
 
         stacked = {k: v for k, v in batches.items() if k != "node_connection"}
@@ -220,7 +226,7 @@ def make_accum_train_step(
 
         def loss_for_chunk(params, j):
             mb = jax.tree.map(lambda x: x[j], stacked)
-            img_j, txt_j = encode(params, mb)
+            img_j, txt_j, aux_j = encode(params, mb)
             img_all = jax.lax.dynamic_update_slice_in_dim(
                 img_cache.reshape(-1, img_cache.shape[-1]), img_j, j * micro, 0
             )
@@ -230,12 +236,17 @@ def make_accum_train_step(
             scale = jnp.exp(params["logit_scale"])
             if loss_cfg.kind == "hierarchy_metric":
                 # super-batch group structure: accum·caption_num groups
-                return hy_metric_loss(
+                loss = hy_metric_loss(
                     img_all, txt_all, batches["node_connection"], scale,
                     caption_num=accum_freq * loss_cfg.caption_num,
                     loss_type=loss_cfg.loss_subtype,
                 )
-            return clip_loss(img_all, txt_all, scale)
+            else:
+                loss = clip_loss(img_all, txt_all, scale)
+            if getattr(cfg.vision, "moe_experts", 0) > 0:
+                # each chunk's backward carries its own live aux loss
+                loss = loss + cfg.vision.moe_aux_weight * aux_j
+            return loss
 
         def accum_one(grads, j):
             loss, g = jax.value_and_grad(loss_for_chunk)(state.params, j)

