@@ -214,6 +214,10 @@ class KEEPModel:
         from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import quantize_linear_weights, smooth_vit
 
+        if getattr(self.cfg.vision, "moe_experts", 0) > 0:
+            raise NotImplementedError(
+                "int8 quantization covers the dense trunk only; the MoE "
+                "trunk (vision.moe_experts > 0) serves in bf16")
         params = dict(self.params)
         params["visual"] = fold_layerscale(params["visual"])
         if calib_pixels is not None:

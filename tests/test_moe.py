@@ -175,6 +175,11 @@ def test_keep_moe_integration():
     _, daux = keep.encode_image(dparams, px, dense, return_aux=True)
     assert float(daux) == 0.0
 
+    # int8 quantization is dense-only: a clean error, not a KeyError
+    model = keep.KEEPModel(params=params, cfg=cfg)
+    with pytest.raises(NotImplementedError, match="dense trunk"):
+        model.quantize()
+
 
 def test_ep_sharding_parity():
     """Experts sharded over an 8-device (dp=2, ep=4) mesh: the wi/wo kernels
