@@ -275,6 +275,33 @@ def test_train_resume_equivalence(run_dirs, tmp_path):
                                    err_msg=k)
 
 
+def test_train_moe_resume_equivalence(run_dirs, tmp_path):
+    """Full-fidelity resume holds for the MoE trunk too (Orbax round-trips
+    the expert/router pytree): 2 epochs continuous == 1 + resume + 1."""
+    vk = dict(moe_experts=2, moe_capacity_factor=2.0)
+    cfg_a = make_cfg(run_dirs, tmp_path / "a", epochs=2, vision_kw=vk)
+    tmain.train(cfg_a)
+    cfg_b1 = make_cfg(run_dirs, tmp_path / "b", epochs=1, vision_kw=vk)
+    tmain.train(cfg_b1)
+    cfg_b2 = make_cfg(run_dirs, tmp_path / "b", epochs=2, vision_kw=vk)
+    cfg_b2.save.resume = "latest"
+    tmain.train(cfg_b2)
+
+    from keep_tpu.train import checkpoint as ckpt
+
+    pa = ckpt.restore(str(tmp_path / "a" / "exp" / "checkpoints"))["params"]
+    pb = ckpt.restore(str(tmp_path / "b" / "exp" / "checkpoints"))["params"]
+    flat_a = {jax.tree_util.keystr(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(pa)}
+    flat_b = {jax.tree_util.keystr(p): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(pb)}
+    assert flat_a.keys() == flat_b.keys()
+    assert any("'moe'" in k or "moe" in k for k in flat_a)
+    for k in flat_a:
+        np.testing.assert_allclose(flat_a[k], flat_b[k], rtol=0, atol=1e-7,
+                                   err_msg=k)
+
+
 def test_train_accum_hierarchy(run_dirs, tmp_path):
     """accum_freq=2 through train(): two group-blocked host batches form one
     optimizer step with a combined cross-chunk node_connection."""
