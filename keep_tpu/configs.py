@@ -40,6 +40,10 @@ class ViTConfig:
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
     moe_aux_weight: float = 0.01  # weight of the load-balancing loss
+    # 'einsum' = grouped one-hot dispatch (EP-shardable — REQUIRED under an
+    # 'ep' mesh axis); 'gather' = global routing, sort-free gather dispatch
+    # (the single-device/dp fast path; top-1 only, measured in docs/PERF.md)
+    moe_dispatch: str = "einsum"
 
     @property
     def head_dim(self) -> int:

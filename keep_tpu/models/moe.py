@@ -58,6 +58,92 @@ def moe_capacity(group_tokens: int, num_experts: int, top_k: int,
         top_k * group_tokens / num_experts * capacity_factor))
 
 
+def _chunked_cumsum(x: Array, rows: int = 128) -> Array:
+    """Inclusive cumsum along axis 0 as a two-level scan: within fixed-size
+    chunks, then across chunk totals. Both scans run over short axes — on
+    TPU this avoids the long single-axis prefix pass (the VPU cost that
+    made the flat-routing cumsum a bottleneck; scripts/moe_lab.py)."""
+    t = x.shape[0]
+    cols = -(-t // rows)
+    xp = jnp.pad(x, ((0, rows * cols - t),) + ((0, 0),) * (x.ndim - 1))
+    x3 = xp.reshape((rows, cols) + x.shape[1:])
+    within = jnp.cumsum(x3, axis=1)
+    totals = jnp.cumsum(within[:, -1], axis=0)
+    off = jnp.concatenate([jnp.zeros_like(totals[:1]), totals[:-1]], axis=0)
+    return (within + off[:, None]).reshape((rows * cols,) + x.shape[1:])[:t]
+
+
+def moe_mlp_gather(
+    p: dict,
+    x: Array,
+    *,
+    capacity_factor: float = 1.25,
+    gelu_approx: bool = False,
+) -> tuple[Array, Array]:
+    """Top-1 sparse MLP with GLOBAL routing and gather-only data movement
+    (the single-device / dp fast path; `dispatch='gather'`).
+
+    Where `moe_mlp` builds [G, S, E, C] one-hot dispatch/combine tensors
+    (the shardable einsum form EP needs), this routes the whole [..., S, D]
+    stream as ONE group of T tokens and moves rows by gathers:
+
+    - capacity C = ceil(T/E · cf) over ALL tokens — per-group capacity
+      exists only to keep EP-shardable shapes, so global routing strictly
+      reduces drops at the same cf;
+    - slot assignment via a chunked token-order cumsum (`_chunked_cumsum`);
+    - the inverse map (which token fills expert slot (e, p)) is a scalar
+      scatter of token ids into [E*C] (slots are unique by construction) —
+      measured faster than both argsort (+1.8 ms/layer) and a vmapped
+      searchsorted (+1.6 ms/layer) on v5e;
+    - expert matmuls see [E, C, D] with C ≈ T·cf/E (fat MXU tiles vs the
+      grouped path's C ≈ S·cf/E ≈ 31-wide slivers).
+
+    Measured (scripts/moe_lab.py, 24-layer ViT-L trunk, B=64, E=8, one
+    v5e): see docs/PERF.md. Returns (out, aux) like `moe_mlp`. Top-1 only —
+    the trunk falls back to the einsum path for top_k > 1.
+    """
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xf = x.reshape(-1, d)
+    t = xf.shape[0]
+    e = p["router"]["kernel"].shape[-1]
+    c = moe_capacity(t, e, 1, capacity_factor)
+
+    logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
+                        p["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)                       # [T]
+    gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
+    onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)       # [T, E]
+    counts = _chunked_cumsum(onehot)                       # [T, E] inclusive
+    my_pos = jnp.sum((counts - onehot) * onehot, axis=-1)  # [T]
+    kept = my_pos < c
+    slot = jnp.where(kept, idx * c + my_pos, e * c)        # [T]; E*C = pad
+
+    # inverse map: scatter token ids into their (unique) slots; unfilled
+    # capacity keeps the sentinel t and masks to zero rows
+    inv = jnp.full((e * c + 1,), t, jnp.int32).at[slot].set(
+        jnp.arange(t, dtype=jnp.int32), unique_indices=True, mode="drop")
+    tok = inv[: e * c].reshape(e, c)                       # [E, C]
+    filled = tok < t
+    tok = jnp.minimum(tok, t - 1)
+    expert_in = jnp.where(filled[..., None], xf[tok], 0)   # [E, C, D]
+
+    h = jnp.einsum("ecd,edf->ecf", expert_in,
+                   p["wi"]["kernel"].astype(x.dtype))
+    h = gelu(h + p["wi"]["bias"][:, None, :].astype(x.dtype),
+             approximate=gelu_approx)
+    out = jnp.einsum("ecf,efd->ecd", h, p["wo"]["kernel"].astype(x.dtype))
+    out = out + p["wo"]["bias"][:, None, :].astype(x.dtype)
+    flat = jnp.concatenate(
+        [out.reshape(e * c, d), jnp.zeros((1, d), x.dtype)], 0)
+    yt = flat[slot] * (gate * kept).astype(x.dtype)[:, None]
+
+    f_e = jnp.mean(onehot.astype(jnp.float32), axis=0)
+    aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    return yt.reshape(orig_shape), aux
+
+
 def moe_mlp(
     p: dict,
     x: Array,
@@ -140,11 +226,13 @@ def moe_mlp(
 
 
 def block(p: dict, x: Array, cfg, *, top_k: int = 1,
-          capacity_factor: float = 1.25, gelu_approx: bool = False
-          ) -> tuple[Array, Array]:
+          capacity_factor: float = 1.25, gelu_approx: bool = False,
+          dispatch: str = "einsum") -> tuple[Array, Array]:
     """Pre-LN transformer block whose MLP is the sparse ``moe_mlp``:
     attention sub-block identical to ``vit.block``'s XLA path, MoE second
-    half. Returns (out, aux)."""
+    half. ``dispatch``: 'einsum' (grouped, EP-shardable) or 'gather'
+    (global routing, single-device/dp fast path; top-1 only). Returns
+    (out, aux)."""
     b, s, d = x.shape
     h = cfg.num_heads
     dh = d // h
@@ -154,20 +242,30 @@ def block(p: dict, x: Array, cfg, *, top_k: int = 1,
     attn = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + linear(p["attn"]["proj"], attn)
-    y, aux = moe_mlp(p["moe"], layer_norm(p["norm2"], x, cfg.ln_eps),
-                     top_k=top_k, capacity_factor=capacity_factor,
-                     gelu_approx=gelu_approx)
+    ln2 = layer_norm(p["norm2"], x, cfg.ln_eps)
+    if dispatch == "gather" and top_k == 1:
+        y, aux = moe_mlp_gather(p["moe"], ln2,
+                                capacity_factor=capacity_factor,
+                                gelu_approx=gelu_approx)
+    elif dispatch in ("einsum", "gather"):
+        y, aux = moe_mlp(p["moe"], ln2, top_k=top_k,
+                         capacity_factor=capacity_factor,
+                         gelu_approx=gelu_approx)
+    else:
+        raise ValueError(f"unknown moe dispatch {dispatch!r} "
+                         "(expected 'einsum' or 'gather')")
     return x + y, aux
 
 
 def forward_trunk(params: dict, tokens: Array, cfg, *, top_k: int = 1,
                   capacity_factor: float = 1.25, gelu_approx: bool = False,
-                  remat: bool = False) -> tuple[Array, Array]:
+                  remat: bool = False, dispatch: str = "einsum"
+                  ) -> tuple[Array, Array]:
     """Stacked-MoE trunk over [B, S, D] tokens → ([B, S, D], mean aux).
     Blocks stacked on a leading [L] axis and scanned, like ``vit.forward``."""
     block_fn = functools.partial(block, cfg=cfg, top_k=top_k,
                                  capacity_factor=capacity_factor,
-                                 gelu_approx=gelu_approx)
+                                 gelu_approx=gelu_approx, dispatch=dispatch)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
@@ -243,7 +341,7 @@ def vit_forward(
     tokens, aux = forward_trunk(
         params, tokens, cfg, top_k=cfg.moe_top_k,
         capacity_factor=cfg.moe_capacity_factor, gelu_approx=gelu_approx,
-        remat=remat)
+        remat=remat, dispatch=getattr(cfg, "moe_dispatch", "einsum"))
     tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
     return tokens[:, 0], aux
 

@@ -387,6 +387,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     if ep > 1 and (tp > 1 or pp > 1):
         raise ValueError("solver.ep composes with dp only "
                          "(not solver.tp / solver.pp)")
+    if ep > 1 and getattr(cfg.keep.vision, "moe_dispatch", "einsum") \
+            == "gather":
+        raise ValueError("solver.ep requires vision.moe_dispatch='einsum' "
+                         "(the grouped one-hot dispatch is the EP-shardable "
+                         "form; 'gather' is the single-device/dp fast path)")
     if moe > 0 and (tp > 1 or pp > 1):
         raise ValueError("the MoE trunk trains with dp/fsdp/ep; "
                          "solver.tp / solver.pp are not composed with it")

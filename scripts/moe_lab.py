@@ -1,0 +1,301 @@
+#!/usr/bin/env python3
+"""MoE dispatch lab — measure alternatives to the one-hot einsum
+dispatch/combine on the real chip (docs/PERF.md found the einsums bound
+the Switch trunk at ~0.6x dense).
+
+Variants (all top-1, capacity semantics where stated):
+  v0  one-hot einsum dispatch+combine (shipped `moe_mlp`)
+  v1  scatter-dispatch / gather-combine: expert_in built by a ROW scatter
+      into [E*C, D] (slots are unique by construction), combine by a row
+      gather — same drop semantics, no [G,S,E,C] tensors at all
+  v2  sort-based ragged (no drops): tokens argsorted by expert id,
+      `lax.ragged_dot` grouped matmuls, unsort
+  v3  dense compute-everything: every token through every expert, weighted
+      combine (upper bound on MXU efficiency; E x the FLOPs)
+  v4  sort-free gather with a vmapped-searchsorted inverse map (measured
+      +1.6 ms/layer over v5 — kept for the record)
+  v5  the SHIPPED `moe_mlp_gather` (dispatch='gather'): global routing,
+      chunked cumsum, scalar-scatter inverse map, row gathers
+
+`--trunk` times the full 24-layer ViT-L MoE trunk (scan inside one jit —
+the honest measure; per-op timings here sit on the ~0.65 ms relay dispatch
+floor) for einsum vs gather vs a dense-MLP anchor.
+
+Run: python -m scripts.moe_lab [--batch 64] [--iters 20] [--trunk]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from keep_tpu.configs import ViTConfig
+from keep_tpu.models import moe
+from keep_tpu.ops.nn import gelu
+
+
+def v1_scatter(p, x, *, capacity_factor=1.25, gelu_approx=True):
+    """Capacity-dropping top-1 MoE with scatter dispatch / gather combine."""
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xf = x.reshape(-1, d)  # [T, D] — global routing (one group)
+    t = xf.shape[0]
+    e = p["router"]["kernel"].shape[-1]
+    c = moe.moe_capacity(t, e, 1, capacity_factor)
+
+    logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
+                        p["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)                      # [T]
+    gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
+    onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)      # [T, E]
+    pos = (jnp.cumsum(onehot, axis=0) - onehot)           # [T, E]
+    my_pos = jnp.sum(pos * onehot, axis=-1)               # [T]
+    kept = my_pos < c
+    slot = jnp.where(kept, idx * c + my_pos, e * c)       # dropped -> pad row
+
+    expert_in = jnp.zeros((e * c + 1, d), x.dtype).at[slot].set(
+        xf, unique_indices=True, mode="drop")
+    ei = expert_in[: e * c].reshape(e, c, d)
+    h = jnp.einsum("ecd,edf->ecf", ei, p["wi"]["kernel"].astype(x.dtype))
+    h = gelu(h + p["wi"]["bias"][:, None, :].astype(x.dtype),
+             approximate=gelu_approx)
+    out = jnp.einsum("ecf,efd->ecd", h, p["wo"]["kernel"].astype(x.dtype))
+    out = out + p["wo"]["bias"][:, None, :].astype(x.dtype)
+    flat = jnp.concatenate([out.reshape(e * c, d),
+                            jnp.zeros((1, d), x.dtype)], 0)
+    yt = flat[slot] * (gate.astype(x.dtype) * kept.astype(x.dtype))[:, None]
+
+    f_e = jnp.mean(onehot.astype(jnp.float32), axis=0)
+    aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    return yt.reshape(orig_shape), aux
+
+
+def v2_ragged(p, x, *, gelu_approx=True):
+    """Sort-based, drop-free top-1 MoE via lax.ragged_dot."""
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xf = x.reshape(-1, d)
+    t = xf.shape[0]
+    e = p["router"]["kernel"].shape[-1]
+
+    logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
+                        p["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)
+    gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
+
+    order = jnp.argsort(idx)                              # stable
+    xs = xf[order]
+    group_sizes = jnp.bincount(idx, length=e).astype(jnp.int32)
+
+    h = lax.ragged_dot(xs, p["wi"]["kernel"].astype(x.dtype), group_sizes)
+    # biases per sorted row
+    bias_i = p["wi"]["bias"].astype(x.dtype)[idx[order]]
+    h = gelu(h + bias_i, approximate=gelu_approx)
+    out = lax.ragged_dot(h, p["wo"]["kernel"].astype(x.dtype), group_sizes)
+    out = out + p["wo"]["bias"].astype(x.dtype)[idx[order]]
+    yt = jnp.zeros_like(xf).at[order].set(out, unique_indices=True)
+    yt = yt * gate.astype(x.dtype)[:, None]
+
+    f_e = jnp.mean(jax.nn.one_hot(idx, e, dtype=jnp.float32), axis=0)
+    aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    return yt.reshape(orig_shape), aux
+
+
+def v3_dense_all(p, x, *, gelu_approx=True):
+    """Every token through every expert; top-1 weighted combine."""
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xf = x.reshape(-1, d)
+    e = p["router"]["kernel"].shape[-1]
+    logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
+                        p["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)
+    gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
+    sel = jax.nn.one_hot(idx, e, dtype=x.dtype) * gate.astype(x.dtype)[:, None]
+
+    h = jnp.einsum("td,edf->etf", xf, p["wi"]["kernel"].astype(x.dtype))
+    h = gelu(h + p["wi"]["bias"][:, None, :].astype(x.dtype),
+             approximate=gelu_approx)
+    out = jnp.einsum("etf,efd->etd", h, p["wo"]["kernel"].astype(x.dtype))
+    out = out + p["wo"]["bias"][:, None, :].astype(x.dtype)
+    yt = jnp.einsum("etd,te->td", out, sel)
+    f_e = jnp.mean(jax.nn.one_hot(idx, e, dtype=jnp.float32), axis=0)
+    aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    return yt.reshape(orig_shape), aux
+
+
+def v4_sortgather(p, x, *, capacity_factor=1.25, gelu_approx=True):
+    """Capacity top-1 MoE, GLOBAL routing, gather-only data movement:
+    slot assignment via cumsum, inverse permutation via sort+searchsorted
+    (no [.., E, C] one-hot tensors, no scatter)."""
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xf = x.reshape(-1, d)
+    t = xf.shape[0]
+    e = p["router"]["kernel"].shape[-1]
+    c = moe.moe_capacity(t, e, 1, capacity_factor)
+
+    logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
+                        p["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)                      # [T]
+    gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
+    onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)
+    pos = jnp.cumsum(onehot, axis=0) - onehot
+    my_pos = jnp.sum(pos * onehot, axis=-1)               # [T]
+    kept = my_pos < c
+    slot = jnp.where(kept, idx * c + my_pos, e * c)       # [T]
+
+    # inverse permutation: src[j] = token filling slot j, else the zero row.
+    # Sort (slot, token) pairs; each kept slot value is unique, so
+    # searchsorted finds the filling token; unfilled slots resolve to some
+    # other slot's token — masked off by `filled`.
+    order = jnp.argsort(slot)
+    sorted_slots = slot[order]
+    j = jnp.arange(e * c)
+    src = jnp.searchsorted(sorted_slots, j)               # [E*C]
+    tok = order[jnp.minimum(src, t - 1)]
+    filled = sorted_slots[jnp.minimum(src, t - 1)] == j
+    expert_in = jnp.where(filled[:, None], xf[tok], 0).reshape(e, c, d)
+
+    h = jnp.einsum("ecd,edf->ecf", expert_in,
+                   p["wi"]["kernel"].astype(x.dtype))
+    h = gelu(h + p["wi"]["bias"][:, None, :].astype(x.dtype),
+             approximate=gelu_approx)
+    out = jnp.einsum("ecf,efd->ecd", h, p["wo"]["kernel"].astype(x.dtype))
+    out = out + p["wo"]["bias"][:, None, :].astype(x.dtype)
+    flat = jnp.concatenate([out.reshape(e * c, d),
+                            jnp.zeros((1, d), x.dtype)], 0)
+    yt = flat[slot] * (gate * kept).astype(x.dtype)[:, None]
+
+    f_e = jnp.mean(onehot.astype(jnp.float32), axis=0)
+    aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    return yt.reshape(orig_shape), aux
+
+
+def timed(fn, *args, iters=20):
+    r = fn(*args)
+    jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), r[0])
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), r[0])
+    return (time.time() - t0) / iters
+
+
+def bench_trunk(args):
+    """24-layer ViT-L MoE trunk: einsum vs gather dispatch vs dense MLP."""
+    from keep_tpu.ops.nn import layer_norm, linear, mha_attention
+
+    cfg = ViTConfig()
+    params = moe.init(jax.random.PRNGKey(0), cfg, num_experts=args.experts)
+
+    def dense_trunk(params, x):
+        b = x.shape[0]
+
+        def body(carry, lp):
+            s, d = carry.shape[1], carry.shape[2]
+            h, dh = cfg.num_heads, carry.shape[2] // cfg.num_heads
+            ln1 = layer_norm(lp["norm1"], carry, cfg.ln_eps)
+            qkv = linear(lp["attn"]["qkv"], ln1).reshape(
+                b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+            a = mha_attention(qkv[0], qkv[1], qkv[2], use_flash=False)
+            carry = carry + linear(
+                lp["attn"]["proj"], a.transpose(0, 2, 1, 3).reshape(b, s, d))
+            ln2 = layer_norm(lp["norm2"], carry, cfg.ln_eps)
+            hid = gelu(jnp.einsum(
+                "bsd,df->bsf", ln2, lp["moe"]["wi"]["kernel"][0].astype(
+                    ln2.dtype)), approximate=True)
+            y = jnp.einsum("bsf,fd->bsd", hid,
+                           lp["moe"]["wo"]["kernel"][0].astype(ln2.dtype))
+            return carry + y, jnp.float32(0)
+
+        out, _ = jax.lax.scan(body, x, params["blocks"])
+        return out, jnp.float32(0)
+
+    for b in (args.batch, 4 * args.batch):
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (b, 197, cfg.embed_dim), jnp.bfloat16)
+        for name, fn in (
+            ("einsum", functools.partial(
+                moe.forward_trunk, cfg=cfg, top_k=1, capacity_factor=args.cf,
+                gelu_approx=True, dispatch="einsum")),
+            ("gather", functools.partial(
+                moe.forward_trunk, cfg=cfg, top_k=1, capacity_factor=args.cf,
+                gelu_approx=True, dispatch="gather")),
+            ("dense-anchor", dense_trunk),
+        ):
+            dt = timed(jax.jit(fn), params, x, iters=max(5, args.iters // 2))
+            print(f"B={b:4d} {name:13s} {dt*1e3:8.2f} ms  "
+                  f"{b/dt:8.1f} img/s (24-layer trunk)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--cf", type=float, default=1.25)
+    ap.add_argument("--trunk", action="store_true")
+    args = ap.parse_args()
+    if args.trunk:
+        bench_trunk(args)
+        return
+
+    cfg = ViTConfig()  # ViT-L: D=1024, F=4096
+    b, s, d = args.batch, 197, cfg.embed_dim
+    key = jax.random.PRNGKey(0)
+    p1 = moe.init(key, cfg, num_experts=args.experts, depth=1)
+    # single-layer params (strip the [L] axis)
+    p = jax.tree.map(lambda a: a[0], p1["blocks"]["moe"])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, d), jnp.bfloat16)
+
+    v0 = jax.jit(functools.partial(
+        moe.moe_mlp, capacity_factor=args.cf, gelu_approx=True))
+    v1 = jax.jit(functools.partial(v1_scatter, capacity_factor=args.cf))
+    v2 = jax.jit(v2_ragged)
+    v3 = jax.jit(v3_dense_all)
+    v4 = jax.jit(functools.partial(v4_sortgather, capacity_factor=args.cf))
+    v5 = jax.jit(functools.partial(
+        moe.moe_mlp_gather, capacity_factor=args.cf, gelu_approx=True))
+
+    # parity at huge capacity (no drops anywhere): v0 == v1 == v2
+    big = jax.jit(functools.partial(
+        moe.moe_mlp, capacity_factor=float(args.experts), gelu_approx=True))
+    big1 = jax.jit(functools.partial(
+        v1_scatter, capacity_factor=float(args.experts)))
+    big4 = jax.jit(functools.partial(
+        v4_sortgather, capacity_factor=float(args.experts)))
+    xs = x[:2]
+    r0 = np.asarray(big(p, xs)[0], np.float32)
+    r1 = np.asarray(big1(p, xs)[0], np.float32)
+    r2 = np.asarray(v2(p, xs)[0], np.float32)
+    r4 = np.asarray(big4(p, xs)[0], np.float32)
+    print("parity v1 vs v0 (no drops):", np.max(np.abs(r1 - r0)))
+    print("parity v2 vs v0 (no drops):", np.max(np.abs(r2 - r0)))
+    print("parity v4 vs v0 (no drops):", np.max(np.abs(r4 - r0)))
+
+    for name, fn in [("v0 onehot-einsum", v0), ("v1 scatter/gather", v1),
+                     ("v2 ragged sort", v2), ("v3 dense-all", v3),
+                     ("v4 searchsorted", v4), ("v5 shipped gather", v5)]:
+        try:
+            dt = timed(fn, p, x, iters=args.iters)
+            print(f"{name:20s} {dt*1e3:8.3f} ms  "
+                  f"({b / dt:8.1f} img/s single layer)")
+        except Exception as ex:
+            print(f"{name:20s} FAILED: {ex}")
+
+
+if __name__ == "__main__":
+    main()

@@ -212,3 +212,102 @@ def test_ep_sharding_parity():
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
     assert abs(float(aux_sh) - float(aux_ref)) < 1e-5
+
+
+class TestGatherDispatch:
+    """`moe_mlp_gather` (dispatch='gather'): global-routing top-1 fast path
+    — must match the einsum path when no tokens drop, keep its own
+    capacity semantics when they do, and train."""
+
+    def test_matches_einsum_when_no_drops(self):
+        p = make_moe_params(jax.random.PRNGKey(20))
+        x = jax.random.normal(jax.random.PRNGKey(21), (6, 5, 32))
+        ref, aux_ref = moe.moe_mlp(p, x, top_k=1, capacity_factor=4.0)
+        out, aux = moe.moe_mlp_gather(p, x, capacity_factor=4.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # aux is identical: same router, same pre-drop assignment counts
+        assert abs(float(aux) - float(aux_ref)) < 1e-6
+
+    def test_identical_experts_match_gated_dense(self):
+        p = make_moe_params(jax.random.PRNGKey(22))
+        for w in ("wi", "wo"):
+            p[w] = {k: jnp.broadcast_to(v[:1], v.shape) for k, v in p[w].items()}
+        x = jax.random.normal(jax.random.PRNGKey(23), (4, 7, 32))
+        out, _ = moe.moe_mlp_gather(p, x, capacity_factor=4.0)
+        probs = jax.nn.softmax(x.reshape(-1, 32) @ p["router"]["kernel"], -1)
+        gate = jnp.max(probs, axis=-1).reshape(4, 7, 1)
+        want = gate * dense_mlp(p["wi"], p["wo"], x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_capacity_drops_are_zero_rows(self):
+        """Global capacity: route everything to expert 0; tokens beyond
+        C = ceil(T/E * cf) contribute exactly zero."""
+        p = make_moe_params(jax.random.PRNGKey(24))
+        x = jax.random.normal(jax.random.PRNGKey(25), (2, 8, 32))
+        x = x.at[..., 0].set(1.0)
+        p["router"]["kernel"] = jnp.zeros_like(
+            p["router"]["kernel"]).at[0, 0].set(100.0)
+        out, _ = moe.moe_mlp_gather(p, x, capacity_factor=1.0)
+        c = moe.moe_capacity(16, 4, 1, 1.0)  # = 4 slots, global
+        flat = np.asarray(out).reshape(16, 32)
+        assert np.all(flat[:c] != 0)
+        np.testing.assert_array_equal(flat[c:], 0)
+
+    def test_global_routing_beats_grouped_drops(self):
+        """The same skewed batch drops FEWER tokens under global routing
+        than under per-group capacity (the gather path's semantic edge):
+        pack all expert-0 traffic into group 0."""
+        p = make_moe_params(jax.random.PRNGKey(26))
+        x = jax.random.normal(jax.random.PRNGKey(27), (2, 8, 32)) * 0.01
+        # group 0 tokens all route to expert 0; group 1 spreads uniformly
+        x = x.at[0, :, 0].set(1.0)
+        p["router"]["kernel"] = jnp.zeros_like(
+            p["router"]["kernel"]).at[0, 0].set(100.0)
+        grouped, _ = moe.moe_mlp(p, x, top_k=1, capacity_factor=1.0)
+        glob, _ = moe.moe_mlp_gather(p, x, capacity_factor=1.0)
+        dropped_grouped = int(np.sum(~np.asarray(grouped).any(-1)))
+        dropped_global = int(np.sum(~np.asarray(glob).any(-1)))
+        assert dropped_global < dropped_grouped
+
+    def test_trunk_dispatch_flag_and_grads(self):
+        cfg = tiny_cfg()
+        params = moe.init(jax.random.PRNGKey(28), cfg, num_experts=4)
+        x = jax.random.normal(jax.random.PRNGKey(29), (2, 17, 32))
+
+        def loss_fn(params):
+            y, aux = moe.forward_trunk(params, x, cfg, capacity_factor=2.0,
+                                       dispatch="gather")
+            return jnp.mean(y**2) + 0.01 * aux
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree.leaves(grads))
+        assert float(jnp.abs(grads["blocks"]["moe"]["router"]["kernel"]).max()) > 0
+
+    def test_unknown_dispatch_raises(self):
+        cfg = tiny_cfg()
+        params = moe.init(jax.random.PRNGKey(30), cfg, num_experts=4)
+        x = jax.random.normal(jax.random.PRNGKey(31), (1, 17, 32))
+        with pytest.raises(ValueError, match="dispatch"):
+            moe.forward_trunk(params, x, cfg, dispatch="bogus")
+
+    def test_topk2_falls_back_to_einsum(self):
+        """dispatch='gather' with top_k=2 silently uses the einsum path
+        (gather is top-1 only) — outputs match einsum exactly."""
+        cfg = tiny_cfg()
+        params = moe.init(jax.random.PRNGKey(32), cfg, num_experts=4)
+        x = jax.random.normal(jax.random.PRNGKey(33), (2, 17, 32))
+        a, _ = moe.forward_trunk(params, x, cfg, top_k=2, dispatch="gather")
+        b, _ = moe.forward_trunk(params, x, cfg, top_k=2, dispatch="einsum")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_chunked_cumsum_matches_flat(self):
+        rng = np.random.default_rng(0)
+        for t in (1, 7, 128, 129, 1000):
+            x = jnp.asarray(rng.integers(0, 3, (t, 5)), jnp.int32)
+            np.testing.assert_array_equal(
+                np.asarray(moe._chunked_cumsum(x)),
+                np.cumsum(np.asarray(x), 0))

@@ -478,6 +478,15 @@ def test_train_moe_ep_equivalence(run_dirs, tmp_path):
     with pytest.raises(ValueError, match="composes with dp"):
         tmain.train(cfg_bad2)
 
+    # ep requires the EP-shardable einsum dispatch; the gather fast path
+    # is single-device/dp only
+    cfg_bad3 = make_cfg(run_dirs, tmp_path / "bad3", epochs=1,
+                        vision_kw=dict(moe_vision, moe_dispatch="gather"))
+    cfg_bad3 = dataclasses.replace(
+        cfg_bad3, solver=dataclasses.replace(cfg_bad3.solver, ep=2))
+    with pytest.raises(ValueError, match="moe_dispatch"):
+        tmain.train(cfg_bad3)
+
 
 def test_fsdp_placement_unit():
     """fsdp_spec/place_state/sharded_fraction mechanics on the virtual mesh."""
