@@ -13,6 +13,13 @@ Axes:
   is the long axis worth sharding, SURVEY §5).
 - 'mp': reserved model axis (unused at ViT-L scale; kept so meshes can grow
   to tp without API change).
+
+Device ordering: multi-axis meshes go through
+``jax.experimental.mesh_utils.create_device_mesh`` so the minor axis maps
+onto physically adjacent chips — collectives on the inner (tp/ep) axis
+then ride short ICI rings instead of whatever order ``jax.devices()``
+returns. Multi-slice pods (DCN between slices) use ``make_hybrid_mesh``,
+which keeps slice-crossing traffic on the designated outer axes only.
 """
 
 from __future__ import annotations
@@ -31,10 +38,59 @@ def make_mesh(
 ) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
-    devices = np.array(devices[:n])
+    devices = devices[:n]
     if shape is None:
         shape = (n,) + (1,) * (len(axes) - 1)
-    return Mesh(devices.reshape(shape), tuple(axes))
+    if len([s for s in shape if s > 1]) > 1:
+        # topology-aware ordering matters once >1 axis is real
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(
+                tuple(shape), devices=devices), tuple(axes))
+        except Exception:
+            pass  # virtual/CPU platforms without topology info
+    return Mesh(np.array(devices).reshape(shape), tuple(axes))
+
+
+def make_hybrid_mesh(
+    ici_shape: Sequence[int],
+    dcn_shape: Sequence[int],
+    axes: Sequence[str],
+) -> Mesh:
+    """Multi-slice mesh: ``dcn_shape`` counts slices per axis (axes with
+    >1 cross the data-center network), ``ici_shape`` the per-slice chip
+    layout. Axis i spans ``dcn_shape[i] * ici_shape[i]`` devices.
+
+    The standard recipe (scaling-book): keep 'dp' as the only
+    slice-crossing axis — gradient all-reduces tolerate DCN latency —
+    and pin tp/ep/pp axes inside a slice::
+
+        mesh = make_hybrid_mesh((n_per_slice, tp), (n_slices, 1),
+                                axes=("dp", "mp"))
+
+    Falls back to a plain reshape when slice topology is unavailable
+    (CPU/virtual meshes: devices are grouped by ``process_index`` so the
+    outer axes still align with process boundaries).
+    """
+    if len(ici_shape) != len(dcn_shape) or len(ici_shape) != len(axes):
+        raise ValueError(
+            f"ici_shape {tuple(ici_shape)} / dcn_shape {tuple(dcn_shape)} "
+            f"/ axes {tuple(axes)} must have equal rank")
+    try:
+        from jax.experimental import mesh_utils
+
+        return Mesh(
+            mesh_utils.create_hybrid_device_mesh(
+                tuple(ici_shape), tuple(dcn_shape), devices=jax.devices()),
+            tuple(axes))
+    except Exception:
+        shape = tuple(d * i for d, i in zip(dcn_shape, ici_shape))
+        n = int(np.prod(shape))
+        devices = sorted(
+            jax.devices()[:n],
+            key=lambda d: (getattr(d, "process_index", 0), d.id))
+        return Mesh(np.array(devices).reshape(shape), tuple(axes))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

@@ -25,6 +25,30 @@ def test_mesh_helpers():
     assert padded.shape == (16, 3) and n == 10
 
 
+def test_hybrid_and_2d_mesh():
+    """make_mesh multi-axis (topology-aware path with reshape fallback) and
+    make_hybrid_mesh (multi-slice DCN layout): right shapes/axes, every
+    device used once, and a dp-sharded computation runs on both."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from keep_tpu.parallel import make_hybrid_mesh
+
+    m2 = make_mesh(axes=("dp", "mp"), shape=(4, 2))
+    assert dict(m2.shape) == {"dp": 4, "mp": 2}
+    hyb = make_hybrid_mesh((2, 2), (2, 1), axes=("dp", "mp"))
+    assert dict(hyb.shape) == {"dp": 4, "mp": 2}
+    for mesh in (m2, hyb):
+        ids = sorted(d.id for d in mesh.devices.flat)
+        assert ids == sorted(d.id for d in jax.devices())
+        x = jnp.arange(8.0)
+        y = jax.jit(lambda x: x * 2,
+                    in_shardings=NamedSharding(mesh, P("dp")),
+                    out_shardings=NamedSharding(mesh, P("dp")))(x)
+        np.testing.assert_allclose(np.asarray(y), np.arange(8.0) * 2)
+    with pytest.raises(ValueError, match="rank"):
+        make_hybrid_mesh((2, 2), (2,), axes=("dp", "mp"))
+
+
 def test_sharded_wsi_scoring_matches_single(rng):
     """The WSI patch axis sharded over the mesh (SURVEY §5 long-axis plan):
     per-tile softmax scores are embarrassingly parallel — sharded run must
