@@ -72,6 +72,14 @@ class SolverConfig:
     freeze_visual_epochs: int = 1
     freeze_text_epochs: int = 1
     freeze_knowledge_epochs: int = 0
+    # LoRA fine-tuning (train/lora.py): rank > 0 trains rank-r adapters on
+    # the targeted kernels (+ logit_scale) with the base weights frozen;
+    # the optimizer state covers ~0.4% of the params at r=8. Scale = α/r.
+    # Checkpoints store the ADAPTER tree; lora.merge_lora bakes a
+    # standalone model for export. Composes with dp only.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: tuple = ("qkv", "proj", "out", "fc1", "fc2")
     # FSDP-style param/optimizer sharding over the 'dp' mesh axis (ZeRO-3
     # analog; parallel/fsdp.py). The reference replicates state on every
     # rank; this shards each large leaf's biggest divisible axis instead.

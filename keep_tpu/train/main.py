@@ -331,6 +331,30 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         )
     else:
         base_step_fn = None  # built per freeze phase by phase_step_fn below
+
+    # LoRA fine-tuning (train/lora.py): the optimizer state covers the
+    # adapter tree only; base params ride along as a frozen step input
+    lora_scale = None
+    lora_base = None
+    if cfg.solver.lora_rank > 0:
+        if accum > 1:
+            raise ValueError("solver.lora_rank does not compose with "
+                             "accum_freq > 1")
+        from keep_tpu.train import lora as lora_mod
+
+        lora_base = params
+        lora_scale = cfg.solver.lora_alpha / cfg.solver.lora_rank
+        params = lora_mod.init_lora(
+            jax.random.PRNGKey(cfg.seed + 1), params, cfg.solver.lora_rank,
+            targets=tuple(cfg.solver.lora_targets),
+        )
+        n_ad, n_ab = lora_mod.lora_param_count(params)
+        n_base = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(lora_base))
+        logging.info(
+            "LoRA r=%d α=%g on %s: %s adapter params (%.2f%% of %s base; "
+            "base frozen)", cfg.solver.lora_rank, cfg.solver.lora_alpha,
+            tuple(cfg.solver.lora_targets), f"{n_ad:,}",
+            100 * n_ad / n_base, f"{n_base:,}")
     state = tree_state(params, tx)
 
     start_epoch = 0
@@ -376,6 +400,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     moe = int(getattr(cfg.keep.vision, "moe_experts", 0))
     if tp > 1 and pp > 1:
         raise ValueError("solver.tp and solver.pp are mutually exclusive")
+    if cfg.solver.lora_rank > 0 and (tp > 1 or pp > 1 or ep > 1
+                                     or cfg.solver.fsdp):
+        raise ValueError("solver.lora_rank composes with dp only (the "
+                         "adapter tree is tiny — shard the batch, "
+                         "replicate the rest)")
     if sp and tp <= 1:
         raise ValueError("solver.sp requires solver.tp > 1 (sequence shards "
                          "over the tensor-parallel 'mp' axis)")
@@ -457,6 +486,8 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         mesh, batch_axis=1 if accum > 1 else 0
     )
     put_eval = make_eval_placement(mesh, put_repl)
+    if lora_base is not None:
+        lora_base = put_repl(lora_base)
     if mesh is not None and cfg.solver.fsdp and tp == 1:
         from keep_tpu.parallel.fsdp import place_state, sharded_fraction
 
@@ -523,8 +554,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             _phase_steps[key] = make_train_step(
                 cfg.keep, loss_cfg, tx, dtype=dtype, use_flash=use_flash,
                 donate=False, static_frozen=static, pp_mesh=pp_mesh,
-                act_sharding=act_sharding,
+                act_sharding=act_sharding, lora_scale=lora_scale,
             )
+        if lora_scale is not None:
+            raw = _phase_steps[key]
+            return lambda s, b, f: raw(s, b, f, lora_base)
         return _phase_steps[key]
 
     cur_phase = None
@@ -606,9 +640,18 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             and ((epoch + 1) % cfg.solver.zeroshot_frequency == 0
                  or epoch + 1 == cfg.solver.epochs)
         ):
-            enc_img = lambda px: eval_enc_img(state.params, put_eval(px))
+            if lora_scale is not None:
+                # bake the adapters once per eval: the encoders see a
+                # plain merged param tree (same compiled encode fns)
+                from keep_tpu.train.lora import apply_lora
+
+                eval_p = jax.jit(apply_lora, static_argnames=("scale",))(
+                    lora_base, state.params, scale=lora_scale)
+            else:
+                eval_p = state.params
+            enc_img = lambda px: eval_enc_img(eval_p, put_eval(px))
             enc_txt = lambda ids, mask: eval_enc_txt(
-                state.params, put_eval(ids), put_eval(mask))
+                eval_p, put_eval(ids), put_eval(mask))
             zs = zs_eval.zero_shot_eval(
                 enc_img, enc_txt, tokenizer, eval_data,
                 prompts_path=cfg.dataset.zeroshot_cls_prompts or None,

@@ -138,6 +138,7 @@ def make_train_step(
     static_frozen=None,
     pp_mesh=None,
     act_sharding=None,
+    lora_scale: float = None,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     """One optimizer step. Shard the batch over 'dp' (NamedSharding) and keep
     params replicated. The optional third ``frozen`` argument (a
@@ -153,15 +154,25 @@ def make_train_step(
     (+rematerialization). Grads for those leaves become exactly the zeros the
     dynamic mask would produce, so training is bit-identical; the cost is one
     extra compile per freeze phase. Keep passing the dynamic ``frozen`` mask
-    too — it also masks the post-optimizer update (decoupled weight decay)."""
+    too — it also masks the post-optimizer update (decoupled weight decay).
 
-    def step(state: TrainState, batch: dict, frozen=None):
+    ``lora_scale`` switches the step to LoRA fine-tuning (train/lora.py):
+    ``state.params`` is the ADAPTER tree, the frozen base params arrive as
+    the step's fourth argument, and the model forward consumes
+    ``apply_lora(base, adapters, lora_scale)`` — grads flow only into the
+    rank-r factors (+ logit_scale)."""
+
+    def step(state: TrainState, batch: dict, frozen=None, base=None):
         def loss_fn(params):
             if static_frozen is not None:
                 params = jax.tree.map(
                     lambda p, f: jax.lax.stop_gradient(p) if f else p,
                     params, static_frozen,
                 )
+            if lora_scale is not None:
+                from keep_tpu.train.lora import apply_lora
+
+                params = apply_lora(base, params, lora_scale)
             return compute_loss(
                 params, batch, cfg, loss_cfg, dtype=dtype,
                 use_flash=use_flash, pp_mesh=pp_mesh,
