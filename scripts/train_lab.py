@@ -101,13 +101,31 @@ def main():
         parts = name.split("-")
         bs = int(parts[0][1:])
         textsave = "textsave" in parts[1:]
-        variant = next((p for p in parts[1:] if p != "textsave"), None)
+        lora_rank = next((int(p[4:]) for p in parts[1:]
+                          if p.startswith("lora")), 0)
+        variant = next((p for p in parts[1:]
+                        if p != "textsave" and not p.startswith("lora")), None)
         tx = make_tx(variant)
         trainer._encode_batch = encode_textsave if textsave else orig_encode
         try:
-            step = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,
-                                   use_flash=True, donate=False)
-            state, batch = build(bs, cfg, loss_cfg, tx)
+            if lora_rank:
+                # rank-r adapters: optimizer state ~0.4% of AdamW's; the
+                # question is whether the freed HBM unlocks B > 64
+                from keep_tpu.train import lora as lora_mod
+
+                state, batch = build(bs, cfg, loss_cfg, tx)
+                base = state.params
+                adapters = lora_mod.init_lora(
+                    jax.random.PRNGKey(1), base, lora_rank)
+                state = trainer.tree_state(adapters, tx)
+                raw = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,
+                                      use_flash=True, donate=False,
+                                      lora_scale=16.0 / lora_rank)
+                step = lambda s, b, f: raw(s, b, f, base)
+            else:
+                step = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,
+                                       use_flash=True, donate=False)
+                state, batch = build(bs, cfg, loss_cfg, tx)
             timed(name, step, state, batch)
             del state, batch
         finally:
