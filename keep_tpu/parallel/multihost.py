@@ -10,11 +10,53 @@ passthroughs, so the same code runs everywhere.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any
 
 import jax
 import numpy as np
+
+_INITIALIZED = False
+
+
+def init_from_env() -> bool:
+    """Initialize ``jax.distributed`` from the environment — the
+    reference's ``init_distributed_device`` discovery order
+    (distributed.py:24-60), TPU-native:
+
+    1. torchrun-style ``MASTER_ADDR``/``MASTER_PORT`` + ``RANK``/
+       ``WORLD_SIZE`` (the reference's ``env://`` init, params.py:370-374)
+    2. SLURM (``SLURM_NTASKS``/``SLURM_PROCID``) and OpenMPI
+       (``OMPI_COMM_WORLD_SIZE``) — delegated to JAX's built-in cluster
+       auto-detection
+    3. Cloud TPU pod metadata (``TPU_WORKER_HOSTNAMES`` /
+       ``MEGASCALE_COORDINATOR_ADDRESS``) — likewise
+
+    Returns True when a multi-process runtime was initialized; no-op
+    (False) for single-process runs so the same entrypoint works
+    everywhere. The training CLI calls this first thing, so
+    ``python -m keep_tpu.train.main`` under torchrun/srun/mpirun Just
+    Works like the reference's launcher did."""
+    global _INITIALIZED
+    if _INITIALIZED:
+        return True
+    env = os.environ
+    world = int(env.get("WORLD_SIZE") or 0)
+    if env.get("MASTER_ADDR") and world > 1:
+        rank = int(env.get("RANK") or env.get("SLURM_PROCID") or 0)
+        addr = f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '7709')}"
+        jax.distributed.initialize(addr, num_processes=world, process_id=rank)
+        _INITIALIZED = True
+        return True
+    if (int(env.get("SLURM_NTASKS") or 0) > 1
+            or int(env.get("OMPI_COMM_WORLD_SIZE") or 0) > 1
+            or env.get("TPU_WORKER_HOSTNAMES")
+            or env.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        jax.distributed.initialize()  # JAX cluster auto-detection
+        _INITIALIZED = True
+        return True
+    return False
 
 
 def process_index() -> int:

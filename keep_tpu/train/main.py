@@ -195,6 +195,14 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
           eval_data=None) -> dict:
     """Run training; returns the final eval record. ``dataset`` /
     ``image_loader`` / ``eval_data`` injectable for tests and custom sources."""
+    # multi-host: pick up torchrun/SLURM/OpenMPI/TPU-pod env like the
+    # reference's init_distributed_device (distributed.py:24-60); no-op
+    # single-process
+    from keep_tpu.parallel.multihost import init_from_env
+
+    if init_from_env():
+        logging.info("jax.distributed: process %d/%d",
+                     jax.process_index(), jax.process_count())
     name = experiment_name(cfg)
     out_dir = os.path.join(cfg.save.output_dir, name)
     ckpt_dir = os.path.join(out_dir, "checkpoints")

@@ -15,7 +15,16 @@ def main(coordinator: str, num: int, pid: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(coordinator, num_processes=num, process_id=pid)
+    if coordinator == "env":
+        # torchrun-style env discovery (MASTER_ADDR/MASTER_PORT/RANK/
+        # WORLD_SIZE set by the test) through multihost.init_from_env —
+        # the reference's env:// init path (params.py:370-374)
+        from keep_tpu.parallel.multihost import init_from_env
+
+        assert init_from_env(), "env discovery found no multi-process setup"
+    else:
+        jax.distributed.initialize(coordinator, num_processes=num,
+                                   process_id=pid)
 
     import numpy as np
     import jax.numpy as jnp
