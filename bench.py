@@ -241,17 +241,20 @@ def bench_single_tile(params, cfg, rng, use_flash):
     mask = jnp.ones((3, 256), jnp.int32)
 
     def run_config(p, gelu_approx, label):
+        # ONE jit for the whole path (preprocess fused with the towers) —
+        # what a deployment compiles; two dispatches per request would pay
+        # the relay overhead twice
         @jax.jit
-        def towers(p, px, i, m):
-            img = keep.encode_image(p, px, cfg, dtype=jnp.bfloat16,
-                                    use_flash=use_flash,
+        def towers(p, raw, i, m):
+            img = keep.encode_image(p, preprocess(raw), cfg,
+                                    dtype=jnp.bfloat16, use_flash=use_flash,
                                     gelu_approx=gelu_approx)
             txt = keep.encode_text(p, i, m, cfg=cfg, dtype=jnp.bfloat16,
                                    use_flash=use_flash,
                                    gelu_approx=gelu_approx)
             return img @ txt.T
 
-        dt = _timed(lambda: towers(p, preprocess(tile), ids, mask), iters=10)
+        dt = _timed(lambda: towers(p, tile, ids, mask), iters=10)
         _emit({
             "metric": f"e2e_single_tile_vs_3_prompts_{label}",
             "value": round(dt * 1e3, 2), "unit": "ms",

@@ -71,12 +71,16 @@ def crop_window(out_size: int, crop: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _resize_crop_matrices(h: int, w: int, size: int, crop: int):
+    # cache NUMPY (not jnp) arrays: a jnp.asarray built while tracing is a
+    # Tracer, and caching one would leak it into later eager calls
+    # (`preprocess` is legitimately called both ways — e.g. fused into a
+    # larger jit by bench.py/serving, eager in the data path)
     oh, ow = resized_output_size(h, w, size)
     if oh < crop or ow < crop:
         raise ValueError(f"resized {(oh, ow)} smaller than crop {crop}")
     wh = resize_weights(h, oh)[crop_window(oh, crop) : crop_window(oh, crop) + crop]
     ww = resize_weights(w, ow)[crop_window(ow, crop) : crop_window(ow, crop) + crop]
-    return jnp.asarray(wh), jnp.asarray(ww)
+    return wh, ww
 
 
 @functools.partial(jax.jit, static_argnames=("pil_quantize", "mean", "std"))

@@ -43,19 +43,30 @@ def init_from_env() -> bool:
         return True
     env = os.environ
     world = int(env.get("WORLD_SIZE") or 0)
-    if env.get("MASTER_ADDR") and world > 1:
-        rank = int(env.get("RANK") or env.get("SLURM_PROCID") or 0)
-        addr = f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '7709')}"
-        jax.distributed.initialize(addr, num_processes=world, process_id=rank)
-        _INITIALIZED = True
-        return True
-    if (int(env.get("SLURM_NTASKS") or 0) > 1
-            or int(env.get("OMPI_COMM_WORLD_SIZE") or 0) > 1
-            or env.get("TPU_WORKER_HOSTNAMES")
-            or env.get("MEGASCALE_COORDINATOR_ADDRESS")):
-        jax.distributed.initialize()  # JAX cluster auto-detection
-        _INITIALIZED = True
-        return True
+    # single-worker TPU VMs also export TPU_WORKER_HOSTNAMES (one entry) —
+    # only a real pod (multiple workers) warrants distributed init
+    tpu_workers = len((env.get("TPU_WORKER_HOSTNAMES") or "").split(","))
+    try:
+        if env.get("MASTER_ADDR") and world > 1:
+            rank = int(env.get("RANK") or env.get("SLURM_PROCID") or 0)
+            addr = f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '7709')}"
+            jax.distributed.initialize(addr, num_processes=world,
+                                       process_id=rank)
+            _INITIALIZED = True
+            return True
+        if (int(env.get("SLURM_NTASKS") or 0) > 1
+                or int(env.get("OMPI_COMM_WORLD_SIZE") or 0) > 1
+                or tpu_workers > 1
+                or env.get("MEGASCALE_COORDINATOR_ADDRESS")):
+            jax.distributed.initialize()  # JAX cluster auto-detection
+            _INITIALIZED = True
+            return True
+    except RuntimeError as e:
+        # backend already initialized (library use after jax calls) — run
+        # single-process rather than crash; launchers call us first
+        import logging
+
+        logging.warning("init_from_env skipped: %s", e)
     return False
 
 

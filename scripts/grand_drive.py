@@ -318,6 +318,42 @@ def drive_train(d):
     print(f"       {len(lines)} result lines; last: {lines[-1][:100]}")
 
 
+@step("training CLI: LoRA fine-tune (solver.lora_rank)")
+def drive_train_lora(d):
+    from keep_tpu.train.main import main as train_main
+
+    cfg_l = (open(f"{d}/cfg.yml").read()
+             .replace("train_out", "train_lora_out")
+             .replace("solver:", "solver:\n  lora_rank: 2\n  lora_alpha: 4.0"))
+    with open(f"{d}/cfg_lora.yml", "w") as f:
+        f.write(cfg_l)
+    train_main(["--config", f"{d}/cfg_lora.yml"])
+    ck = f"{d}/train_lora_out/drive/checkpoints"
+    assert os.path.exists(f"{ck}/results.jsonl")
+    # the checkpoint is the ADAPTER tree — prove it merges + encodes
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keep_tpu.models import keep
+    from keep_tpu.train import checkpoint as ckpt, lora
+    from keep_tpu.train.config import TrainRunConfig
+    from keep_tpu.train.main import build_params
+
+    run_cfg = TrainRunConfig.from_yaml(f"{d}/cfg_lora.yml")
+    restored = ckpt.restore(ck)
+    base = build_params(run_cfg, run_cfg.seed)
+    merged = lora.merge_lora(
+        base, jax.tree.map(jnp.asarray, restored["params"]),
+        scale=run_cfg.solver.lora_alpha / run_cfg.solver.lora_rank)
+    size = run_cfg.keep.vision.img_size
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, size, size, 3)), jnp.float32)
+    feats = keep.encode_image(merged, x, run_cfg.keep, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(feats)).all()
+    print(f"       adapter ckpt merged + encoded: feats {feats.shape}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default=None,
@@ -348,6 +384,7 @@ def main():
     drive_cohort(d)
     drive_serve(d, cfg)
     drive_train(d)
+    drive_train_lora(d)
 
     print(f"\n=== grand drive: {len(RESULTS)} steps, "
           f"{sum(1 for *_, s in RESULTS if s == 'ok')} ok, "

@@ -94,3 +94,27 @@ def test_matches_pil_at_preset_sizes(target, rng):
     ref = pil_reference(img, size=target, crop=target)
     assert got.shape == (target, target, 3)
     assert np.abs(got - ref).max() <= 1.5 / 255 / 0.225 + 1e-6
+
+
+def test_preprocess_composes_under_jit():
+    """preprocess fused into a larger jit (how bench/serving compile it)
+    must match the eager call, and a jit-first call must not poison the
+    weight cache for later eager calls (regression: the lru-cached resize
+    matrices were once jnp arrays — Tracers when built inside a trace)."""
+    import jax
+
+    # the package re-exports the function under the module's name; pull
+    # module internals directly
+    from keep_tpu.ops.preprocess import (
+        PreprocessConfig as PC,
+        _resize_crop_matrices,
+        preprocess as pre,
+    )
+
+    _resize_crop_matrices.cache_clear()
+    rng = np.random.default_rng(3)
+    tile = rng.integers(0, 255, (96, 80, 3)).astype(np.uint8)
+    cfg = PC(size=40)
+    jitted = jax.jit(lambda r: pre(r, cfg, crop=32))(tile)
+    eager = pre(tile, cfg, crop=32)  # same (h, w) → warm cache
+    np.testing.assert_array_equal(np.asarray(jitted), np.asarray(eager))
