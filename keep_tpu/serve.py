@@ -378,6 +378,12 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--int8", action="store_true",
                     help="serve the W8A8 megakernel path")
+    ap.add_argument("--lora", default="",
+                    help="LoRA adapter checkpoint dir (the training CLI's "
+                         "checkpoints/ with solver.lora_rank > 0) — merged "
+                         "into the base weights at startup")
+    ap.add_argument("--lora-scale", type=float, default=2.0,
+                    help="alpha/rank used in training (default 16/8)")
     ap.add_argument("--max-delay-ms", type=float, default=3.0)
     ap.add_argument("--mesh-dp", type=int, default=0,
                     help="shard request batches over this many devices "
@@ -390,6 +396,25 @@ def main(argv=None) -> int:
     from keep_tpu.models.keep import KEEPModel
 
     model = KEEPModel.from_pretrained(args.model_dir, dtype=jnp.bfloat16)
+    if args.lora:
+        # serve a fine-tuned cohort model straight from its adapter
+        # checkpoint — no export step needed
+        import dataclasses as _dc
+
+        import jax as _jax
+
+        from keep_tpu.train import checkpoint as _ckpt, lora as _lora
+
+        restored = _ckpt.restore(args.lora)
+        merged = _lora.merge_lora(
+            model.params,
+            _jax.tree.map(jnp.asarray, restored["params"]),
+            scale=args.lora_scale,
+        )
+        model = _dc.replace(model, params=merged)
+        print(f"merged LoRA adapters from {args.lora} "
+              f"(epoch {restored.get('epoch')}, scale {args.lora_scale})",
+              flush=True)
     if args.int8:
         model = model.quantize()
     tokenizer = get_tokenizer("bert", args.model_dir)

@@ -223,3 +223,62 @@ def test_http_npy_binary_endpoint(core):
         np.testing.assert_allclose(out, core.encode_image(imgs), atol=1e-5)
     finally:
         httpd.shutdown()
+
+
+def test_serve_main_lora_merge(tmp_path, monkeypatch, core):
+    """`serve.py --lora <ckpt>`: the adapter checkpoint is merged into the
+    base weights before the server is built — the served model must match
+    merge_lora(base, adapters) and differ from the base."""
+    from keep_tpu.compat.export import save_pretrained
+    from keep_tpu.train import checkpoint as ckpt, lora
+
+    cfg = core.model.cfg
+    base = core.model.params
+    model_dir = tmp_path / "model"
+    save_pretrained(str(model_dir), base, cfg)
+    (model_dir / "vocab.txt").write_text("\n".join(VOCAB))
+
+    adapters = lora.init_lora(jax.random.PRNGKey(3), base, rank=2)
+    # nonzero b so the merged model actually differs
+    adapters = jax.tree.map(lambda x: x + 0.05, adapters)
+    ck_dir = tmp_path / "ckpt"
+    w = ckpt.CheckpointWriter(str(ck_dir))
+    w.save(0, adapters, None, step=1)
+    w.close()
+
+    captured = {}
+
+    class StubServer:
+        def __init__(self, model, tokenizer, **kw):
+            captured["model"] = model
+
+        def warmup(self):
+            pass
+
+        def stop(self):
+            pass
+
+    class StubHTTPD:
+        server_address = ("127.0.0.1", 0)
+
+        def serve_forever(self):
+            raise KeyboardInterrupt
+
+        def shutdown(self):
+            pass
+
+    monkeypatch.setattr(serve, "InferenceServer", StubServer)
+    monkeypatch.setattr(serve, "make_http_server", lambda *a, **k: StubHTTPD())
+    serve.main(["--model-dir", str(model_dir), "--lora", str(ck_dir),
+                "--lora-scale", "2.0"])
+
+    served = captured["model"].params
+    want = lora.merge_lora(
+        keep.KEEPModel.from_pretrained(str(model_dir)).params,
+        jax.tree.map(jnp.asarray, ckpt.restore(str(ck_dir))["params"]),
+        scale=2.0)
+    got_k = np.asarray(served["visual"]["blocks"]["attn"]["qkv"]["kernel"])
+    want_k = np.asarray(want["visual"]["blocks"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-6)
+    base_k = np.asarray(base["visual"]["blocks"]["attn"]["qkv"]["kernel"])
+    assert not np.allclose(got_k, base_k)
