@@ -92,9 +92,10 @@ def moe_mlp_gather(
       reduces drops at the same cf;
     - slot assignment via a chunked token-order cumsum (`_chunked_cumsum`);
     - the inverse map (which token fills expert slot (e, p)) is a scalar
-      scatter of token ids into [E*C] (slots are unique by construction) —
-      measured faster than both argsort (+1.8 ms/layer) and a vmapped
-      searchsorted (+1.6 ms/layer) on v5e;
+      scatter of token ids into [E*C] (kept tokens' slots are unique;
+      dropped tokens all hit a discarded pad slot) — measured faster than
+      both argsort (+1.8 ms/layer) and a vmapped searchsorted
+      (+1.6 ms/layer) on v5e;
     - expert matmuls see [E, C, D] with C ≈ T·cf/E (fat MXU tiles vs the
       grouped path's C ≈ S·cf/E ≈ 31-wide slivers).
 
@@ -120,10 +121,12 @@ def moe_mlp_gather(
     kept = my_pos < c
     slot = jnp.where(kept, idx * c + my_pos, e * c)        # [T]; E*C = pad
 
-    # inverse map: scatter token ids into their (unique) slots; unfilled
-    # capacity keeps the sentinel t and masks to zero rows
+    # inverse map: scatter token ids into their slots. KEPT tokens' slots
+    # are unique; every DROPPED token shares the pad slot e*c, so no
+    # unique_indices promise — duplicate writes race only on inv[e*c],
+    # which the slice below discards
     inv = jnp.full((e * c + 1,), t, jnp.int32).at[slot].set(
-        jnp.arange(t, dtype=jnp.int32), unique_indices=True, mode="drop")
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
     tok = inv[: e * c].reshape(e, c)                       # [E, C]
     filled = tok < t
     tok = jnp.minimum(tok, t - 1)

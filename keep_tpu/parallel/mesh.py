@@ -77,20 +77,24 @@ def make_hybrid_mesh(
         raise ValueError(
             f"ici_shape {tuple(ici_shape)} / dcn_shape {tuple(dcn_shape)} "
             f"/ axes {tuple(axes)} must have equal rank")
-    try:
+    devices = jax.devices()
+    # real multi-slice hardware carries slice topology on each device —
+    # there the hybrid construction is mandatory and its errors must
+    # PROPAGATE (a silent reshape would route inner-axis collectives over
+    # DCN, the exact failure this function exists to prevent). Virtual/CPU
+    # devices have no slice info: group by process instead.
+    if getattr(devices[0], "slice_index", None) is not None:
         from jax.experimental import mesh_utils
 
         return Mesh(
             mesh_utils.create_hybrid_device_mesh(
-                tuple(ici_shape), tuple(dcn_shape), devices=jax.devices()),
+                tuple(ici_shape), tuple(dcn_shape), devices=devices),
             tuple(axes))
-    except Exception:
-        shape = tuple(d * i for d, i in zip(dcn_shape, ici_shape))
-        n = int(np.prod(shape))
-        devices = sorted(
-            jax.devices()[:n],
-            key=lambda d: (getattr(d, "process_index", 0), d.id))
-        return Mesh(np.array(devices).reshape(shape), tuple(axes))
+    shape = tuple(d * i for d, i in zip(dcn_shape, ici_shape))
+    n = int(np.prod(shape))
+    ordered = sorted(devices,
+                     key=lambda d: (getattr(d, "process_index", 0), d.id))
+    return Mesh(np.array(ordered[:n]).reshape(shape), tuple(axes))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

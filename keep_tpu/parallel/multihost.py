@@ -48,7 +48,15 @@ def init_from_env() -> bool:
     tpu_workers = len((env.get("TPU_WORKER_HOSTNAMES") or "").split(","))
     try:
         if env.get("MASTER_ADDR") and world > 1:
-            rank = int(env.get("RANK") or env.get("SLURM_PROCID") or 0)
+            rank_s = env.get("RANK") or env.get("SLURM_PROCID")
+            if rank_s is None:
+                # rank-0 default would make EVERY process announce as 0 and
+                # hang the coordinator until timeout — fail fast instead
+                raise ValueError(
+                    "MASTER_ADDR + WORLD_SIZE>1 set but no RANK (or "
+                    "SLURM_PROCID) in the environment — export RANK per "
+                    "process (torchrun does)")
+            rank = int(rank_s)
             addr = f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '7709')}"
             jax.distributed.initialize(addr, num_processes=world,
                                        process_id=rank)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import queue
 import threading
 import time
@@ -382,8 +383,10 @@ def main(argv=None) -> int:
                     help="LoRA adapter checkpoint dir (the training CLI's "
                          "checkpoints/ with solver.lora_rank > 0) — merged "
                          "into the base weights at startup")
-    ap.add_argument("--lora-scale", type=float, default=2.0,
-                    help="alpha/rank used in training (default 16/8)")
+    ap.add_argument("--lora-scale", type=float, default=None,
+                    help="alpha/rank used in training; default: read "
+                         "solver.lora_alpha/lora_rank from the run's "
+                         "params.txt next to the checkpoint dir")
     ap.add_argument("--max-delay-ms", type=float, default=3.0)
     ap.add_argument("--mesh-dp", type=int, default=0,
                     help="shard request batches over this many devices "
@@ -405,15 +408,36 @@ def main(argv=None) -> int:
 
         from keep_tpu.train import checkpoint as _ckpt, lora as _lora
 
+        scale = args.lora_scale
+        if scale is None:
+            # the training CLI dumps its full config next to checkpoints/
+            # (params.txt, reference main.py:256-262) — recover alpha/rank
+            # from there so a silently-wrong scale can't serve
+            for cand in (os.path.join(args.lora, "params.txt"),
+                         os.path.join(os.path.dirname(
+                             args.lora.rstrip("/")), "params.txt")):
+                if os.path.exists(cand):
+                    with open(cand) as f:
+                        solver = json.load(f).get("solver", {})
+                    rank = int(solver.get("lora_rank") or 0)
+                    if rank > 0:
+                        scale = float(solver.get("lora_alpha", 16.0)) / rank
+                        print(f"LoRA scale {scale} from {cand}", flush=True)
+                    break
+            if scale is None:
+                raise SystemExit(
+                    "--lora: no params.txt with solver.lora_rank found near "
+                    f"{args.lora}; pass --lora-scale (alpha/rank) explicitly")
+
         restored = _ckpt.restore(args.lora)
         merged = _lora.merge_lora(
             model.params,
             _jax.tree.map(jnp.asarray, restored["params"]),
-            scale=args.lora_scale,
+            scale=scale,
         )
         model = _dc.replace(model, params=merged)
         print(f"merged LoRA adapters from {args.lora} "
-              f"(epoch {restored.get('epoch')}, scale {args.lora_scale})",
+              f"(epoch {restored.get('epoch')}, scale {scale})",
               flush=True)
     if args.int8:
         model = model.quantize()

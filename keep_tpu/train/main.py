@@ -494,8 +494,13 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         mesh, batch_axis=1 if accum > 1 else 0
     )
     put_eval = make_eval_placement(mesh, put_repl)
+    merge_eval = None
     if lora_base is not None:
         lora_base = put_repl(lora_base)
+        # one compiled merge reused by every eval epoch
+        from keep_tpu.train.lora import apply_lora as _apply_lora
+
+        merge_eval = jax.jit(_apply_lora, static_argnames=("scale",))
     if mesh is not None and cfg.solver.fsdp and tp == 1:
         from keep_tpu.parallel.fsdp import place_state, sharded_fraction
 
@@ -648,13 +653,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
             and ((epoch + 1) % cfg.solver.zeroshot_frequency == 0
                  or epoch + 1 == cfg.solver.epochs)
         ):
-            if lora_scale is not None:
+            if merge_eval is not None:
                 # bake the adapters once per eval: the encoders see a
                 # plain merged param tree (same compiled encode fns)
-                from keep_tpu.train.lora import apply_lora
-
-                eval_p = jax.jit(apply_lora, static_argnames=("scale",))(
-                    lora_base, state.params, scale=lora_scale)
+                eval_p = merge_eval(lora_base, state.params,
+                                    scale=lora_scale)
             else:
                 eval_p = state.params
             enc_img = lambda px: eval_enc_img(eval_p, put_eval(px))

@@ -38,6 +38,19 @@ from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
 CAPTION_NUM = 8  # groups per batch; batch = CAPTION_NUM * n_instances
 
 
+def make_batch(batch_size, cfg):
+    rng = np.random.default_rng(0)
+    n_id = CAPTION_NUM
+    return {
+        "pixels": jnp.asarray(rng.standard_normal(
+            (batch_size, 224, 224, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(
+            1, cfg.text.vocab_size, (batch_size, 256))),
+        "attention_mask": jnp.ones((batch_size, 256), jnp.int32),
+        "node_connection": jnp.ones((n_id, n_id), jnp.float32),
+    }
+
+
 def build(batch_size, cfg, loss_cfg, tx):
     params = keep.init(jax.random.PRNGKey(0), cfg)
     state = tree_state(params, tx)
@@ -110,11 +123,15 @@ def main():
         try:
             if lora_rank:
                 # rank-r adapters: optimizer state ~0.4% of AdamW's; the
-                # question is whether the freed HBM unlocks B > 64
+                # question is whether the freed HBM unlocks B > 64.
+                # Build base WITHOUT tree_state: transiently allocating the
+                # full-model AdamW moments would fragment the arena (the
+                # run-one-config-per-process caveat above) and taint the
+                # memory probe this config exists for
                 from keep_tpu.train import lora as lora_mod
 
-                state, batch = build(bs, cfg, loss_cfg, tx)
-                base = state.params
+                base = keep.init(jax.random.PRNGKey(0), cfg)
+                batch = make_batch(bs, cfg)
                 adapters = lora_mod.init_lora(
                     jax.random.PRNGKey(1), base, lora_rank)
                 state = trainer.tree_state(adapters, tx)

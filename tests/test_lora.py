@@ -153,9 +153,15 @@ def test_train_cli_lora(tmp_path):
     dirs = ttm.run_dirs.__wrapped__(_F)
     cfg = ttm.make_cfg(dirs, tmp_path / "out", epochs=2, lora_rank=2,
                        lora_alpha=4.0, freeze_visual_epochs=0,
-                       freeze_text_epochs=0)
-    res = tmain.train(cfg)
+                       freeze_text_epochs=0, zeroshot_frequency=1)
+    # eval_data exercises the merged-adapter eval path (merge_eval)
+    rng0 = np.random.default_rng(1)
+    pixels = rng0.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    texts = (["an image of lung adenocarcinoma ."] * 4
+             + ["melanoma of skin ."] * 4)
+    res = tmain.train(cfg, eval_data={"zeroshot_ret": (pixels, texts)})
     assert np.isfinite(res["train_loss"])
+    assert "zeroshot-ret-p@10" in res  # eval ran on the MERGED model
     ckpt_dir = os.path.join(str(tmp_path / "out"), "exp", "checkpoints")
     restored = ckpt.restore(ckpt_dir)
     # the checkpoint holds the adapter tree, not full params

@@ -245,6 +245,10 @@ def test_serve_main_lora_merge(tmp_path, monkeypatch, core):
     w = ckpt.CheckpointWriter(str(ck_dir))
     w.save(0, adapters, None, step=1)
     w.close()
+    # the training CLI's config dump next to checkpoints/ — serve reads
+    # alpha/rank from it when --lora-scale is not passed
+    (tmp_path / "params.txt").write_text(
+        json.dumps({"solver": {"lora_rank": 2, "lora_alpha": 4.0}}))
 
     captured = {}
 
@@ -269,8 +273,8 @@ def test_serve_main_lora_merge(tmp_path, monkeypatch, core):
 
     monkeypatch.setattr(serve, "InferenceServer", StubServer)
     monkeypatch.setattr(serve, "make_http_server", lambda *a, **k: StubHTTPD())
-    serve.main(["--model-dir", str(model_dir), "--lora", str(ck_dir),
-                "--lora-scale", "2.0"])
+    # no --lora-scale: resolved as alpha/rank = 4/2 = 2.0 from params.txt
+    serve.main(["--model-dir", str(model_dir), "--lora", str(ck_dir)])
 
     served = captured["model"].params
     want = lora.merge_lora(
