@@ -101,14 +101,15 @@ def main():
 
     orig_encode = trainer._encode_batch
 
-    def encode_textsave(params, batch, cfg, dtype, use_flash, remat=True):
+    def encode_textsave(params, batch, cfg, dtype, use_flash, remat=True,
+                        **_kw):
         img = keep.encode_image(params, batch["pixels"], cfg, dtype=dtype,
                                 use_flash=use_flash, remat=True)
         txt = keep.encode_text(
             params, batch["input_ids"], batch.get("attention_mask"),
             batch.get("token_type_ids"), cfg, dtype=dtype,
             use_flash=use_flash, remat=False)  # save BERT activations
-        return img, txt
+        return img, txt, jnp.zeros((), jnp.float32)
 
     for name in which:
         parts = name.split("-")
