@@ -111,6 +111,8 @@ def _qattn_call(x, g, bln, wqkv, sqkv, bqkv, wproj, sproj, bproj,
             bytes_accessed=2 * b * s * d * 2 + d * 4 * d,
             transcendentals=b * num_heads * s * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=jax.default_backend() == "cpu",
     )(x, g, bln, wqkv, sqkv, bqkv, wproj, sproj, bproj)
 
@@ -210,6 +212,8 @@ def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
             bytes_accessed=2 * b * s * d * 2 + d * 4 * d,
             transcendentals=b * num_heads * s * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=jax.default_backend() == "cpu",
     )(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout)
 

@@ -120,7 +120,7 @@ def _ln_rows(xf, g_row, b_row, eps):
 
 
 def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
-                          post_ln: bool = False):
+                          post_ln: bool = False, rows: int = 1):
     def kernel(*refs):
         if with_ln:
             (x_ref, g_ref, bln_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
@@ -128,7 +128,15 @@ def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
         else:
             (x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
              o_ref) = refs
-        xf = x_ref[0].astype(jnp.float32)  # [S, D]
+        if rows > 1:
+            # k independent batch rows in one program: all math here is
+            # per-token, so collapsing [k, S, D] → [k·S, D] in VMEM is
+            # exact — and the fatter M amortizes the S→sublane padding on
+            # the MXU (S=197 pads 13.7% alone, 1.5% at k=4)
+            k, s, d = x_ref.shape
+            xf = x_ref[:].astype(jnp.float32).reshape(k * s, d)
+        else:
+            xf = x_ref[0].astype(jnp.float32)  # [S, D]
         y = _ln_rows(xf, g_ref[0][None, :], bln_ref[0][None, :], eps) \
             if with_ln and not post_ln else xf
         xq, a1 = _quant_rows(y)
@@ -144,13 +152,17 @@ def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
                            eps)
         elif residual:
             out = out + xf
-        o_ref[0] = out.astype(o_ref.dtype)
+        if rows > 1:
+            o_ref[:] = out.reshape(x_ref.shape).astype(o_ref.dtype)
+        else:
+            o_ref[0] = out.astype(o_ref.dtype)
 
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_dtype", "eps", "residual", "post_ln"))
+                   static_argnames=("out_dtype", "eps", "residual",
+                                    "post_ln", "rows"))
 def quantized_mlp_bsd(
     x: Array,
     w1_q: Array, w1_scale: Array, b1: Array,
@@ -161,10 +173,22 @@ def quantized_mlp_bsd(
     eps: float = 1e-6,
     residual: bool = False,
     post_ln: bool = False,
+    rows: int = 1,
 ) -> Array:
     """``quantized_mlp`` over [B, S, D] activations in their natural layout
     (no [B·S, D] flatten — a physical relayout when S isn't sublane-aligned;
     see kernels/qmatmul.quantized_matmul_bsd).
+
+    ``rows``: batch rows per kernel program (default 1). The MLP is
+    strictly per-token, so k rows per program is bit-identical (tested) and
+    a fatter M amortizes the S=197→224 sublane padding on the MXU — an
+    ISOLATED 24-layer MLP stack at [B/4, 4·S, D] runs 88.4→78.1 ms. But in
+    the full model the attention megakernel pins the stream to [B, 197, D],
+    and S=197 is not sublane-aligned, so getting to the fat shape costs a
+    physical relayout either way: reshaping the array between kernels
+    (295 ms vs 289 model) or widening the BlockSpec and collapsing
+    [k, S, D]→[k·S, D] in VMEM (323 ms) both LOSE (docs/PERF.md). Leave 1
+    unless the surrounding stack genuinely runs at the fat shape.
 
     Optional fusions (all exact — fp32 math identical to separate ops):
     ``ln_scale``/``ln_bias`` apply a pre-LayerNorm to the input in-kernel;
@@ -177,10 +201,13 @@ def quantized_mlp_bsd(
     with_ln = ln_scale is not None
     if post_ln and not with_ln:
         raise ValueError("post_ln=True needs ln_scale/ln_bias (the exit norm)")
+    if b % rows:
+        raise ValueError(f"rows={rows} does not divide batch {b}")
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, s, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     args = [x]
     if with_ln:
@@ -194,17 +221,20 @@ def quantized_mlp_bsd(
              w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
              b2.reshape(1, d).astype(jnp.float32)]
     return pl.pallas_call(
-        _make_qmlp_bsd_kernel(with_ln, residual, eps, post_ln),
+        _make_qmlp_bsd_kernel(with_ln, residual, eps, post_ln, rows=rows),
         out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
-        grid=(b,),
+        grid=(b // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rows, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=maybe_cost_estimate(
             flops=2 * b * s * d * f * 2,
             bytes_accessed=b * s * d * 4 + d * f * 2,
             transcendentals=b * s * f,
         ),
+        # own the VMEM budget so multi-row programs (rows>1) compile the
+        # same regardless of the caller's jit compiler options
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=jax.default_backend() == "cpu",
     )(*args)
 

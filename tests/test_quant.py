@@ -461,3 +461,39 @@ def test_keep_model_quantize_with_calibration(rng):
     ref = np.asarray(model.encode_image(x))
     got = np.asarray(qm.encode_image(x))
     assert _cos(got, ref) > 0.995
+
+
+def test_qmlp_bsd_rows_bit_identical():
+    """rows=k fuses k batch rows into one program — per-token math, so the
+    output must be BIT-identical to rows=1 for every LN/residual variant.
+    (Shipped default stays rows=1: in the full model the attention kernel
+    pins the [B, 197, D] layout and the reshape costs more than the MXU
+    padding saves — docs/PERF.md.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from keep_tpu.kernels.qmlp import quantized_mlp_bsd
+
+    rng = np.random.default_rng(11)
+    B, S, D, F = 8, 5, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    w1q = jnp.asarray(rng.integers(-127, 127, (D, F)), jnp.int8)
+    w2q = jnp.asarray(rng.integers(-127, 127, (F, D)), jnp.int8)
+    s1 = jnp.full((F,), 0.01)
+    s2 = jnp.full((D,), 0.01)
+    b1 = jnp.asarray(rng.standard_normal((F,)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((D,)), jnp.float32)
+    ln_s = jnp.ones((D,))
+    ln_b = jnp.zeros((D,))
+    variants = [
+        dict(),
+        dict(ln_scale=ln_s, ln_bias=ln_b, residual=True),
+        dict(ln_scale=ln_s, ln_bias=ln_b, post_ln=True),
+    ]
+    for kw in variants:
+        a = quantized_mlp_bsd(x, w1q, s1, b1, w2q, s2, b2, rows=1, **kw)
+        for k in (2, 4, 8):
+            b = quantized_mlp_bsd(x, w1q, s1, b1, w2q, s2, b2, rows=k, **kw)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="rows"):
+        quantized_mlp_bsd(x, w1q, s1, b1, w2q, s2, b2, rows=3)
