@@ -15,3 +15,10 @@ def maybe_cost_estimate(*, flops, bytes_accessed, transcendentals):
         return pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
                                transcendentals=transcendentals)
     return None
+
+
+# shared scoped-VMEM budget for the megakernels (and the jit-level
+# default in utils/compile.tpu_compiler_options — keep in sync by
+# importing this, not by copying the number). 64 MiB measured as the
+# plateau on v5e (96/112 MiB gain nothing; docs/PERF.md).
+VMEM_LIMIT_BYTES = 64 * 2**20

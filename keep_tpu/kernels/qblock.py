@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from keep_tpu.kernels._cost import maybe_cost_estimate
+from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
 
 Array = jax.Array
 
@@ -112,7 +112,7 @@ def _qattn_call(x, g, bln, wqkv, sqkv, bqkv, wproj, sproj, bproj,
             transcendentals=b * num_heads * s * s,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(x, g, bln, wqkv, sqkv, bqkv, wproj, sproj, bproj)
 
@@ -213,7 +213,7 @@ def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
             transcendentals=b * num_heads * s * s,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout)
 

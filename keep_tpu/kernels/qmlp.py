@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from keep_tpu.kernels._cost import maybe_cost_estimate
+from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
 
 Array = jax.Array
 
@@ -201,8 +201,9 @@ def quantized_mlp_bsd(
     with_ln = ln_scale is not None
     if post_ln and not with_ln:
         raise ValueError("post_ln=True needs ln_scale/ln_bias (the exit norm)")
-    if b % rows:
-        raise ValueError(f"rows={rows} does not divide batch {b}")
+    if rows < 1 or b % rows:
+        raise ValueError(f"rows={rows} must be a positive divisor of "
+                         f"batch {b}")
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_specs = [
@@ -234,7 +235,7 @@ def quantized_mlp_bsd(
         ),
         # own the VMEM budget so multi-row programs (rows>1) compile the
         # same regardless of the caller's jit compiler options
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(*args)
 
