@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from keep_tpu.kernels._cost import maybe_cost_estimate
+from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
 
 Array = jax.Array
 
@@ -118,6 +118,8 @@ def attention_qkv_heads(
             bytes_accessed=4 * b * s * hd * q.dtype.itemsize,
             transcendentals=b * h * s * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=_interpret(),
     )(*args)
 
@@ -190,6 +192,8 @@ def _slab_attn_fwd_kernel(
             bytes_accessed=qkv.size * qkv.dtype.itemsize,
             transcendentals=b * h * s * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=_interpret(),
     )(qkv, key_bias.astype(jnp.float32))
 
