@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from keep_tpu.kernels._cost import maybe_cost_estimate
+from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
 
 Array = jax.Array
 
@@ -79,6 +79,8 @@ def quantized_matmul(
             bytes_accessed=m * k * 2 + k * n + m * n * 2,
             transcendentals=m * n if activation else 0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(x, w_q, w_scale.reshape(1, n).astype(jnp.float32),
       bias.reshape(1, n).astype(jnp.float32))
@@ -136,6 +138,8 @@ def quantized_matmul_bsd(
             bytes_accessed=b * s * k * 2 + k * n + b * s * n * 2,
             transcendentals=b * s * n if activation else 0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(x, w_q, w_scale.reshape(1, n).astype(jnp.float32),
       bias.reshape(1, n).astype(jnp.float32))
