@@ -234,6 +234,10 @@ class WSIReader:
         w, h = int(size[0]), int(size[1])
         ds = self.level_downsamples[level]
         x, y = int(round(x0 / ds)), int(round(y0 / ds))
+        if self.backend == "native" and self._handle is None:
+            # a closed native reader must not fall through to the (never
+            # populated) PIL branch and die with a confusing TypeError
+            raise ValueError(f"WSIReader({self.path}) is closed")
         if self._handle is not None:
             lib = _load_lib()
             out = np.empty((h, w, 3), np.uint8)
@@ -307,11 +311,16 @@ class WSIReader:
         from PIL import Image
 
         tw, th = int(size[0]), int(size[1])
-        lvl = self.level_count - 1
+        # smallest (lowest-res) level still >= the requested size; if even
+        # level 0 is smaller, use level 0. The old `w <= 2*tw` pick chose a
+        # level BELOW the request on >2x-spaced pyramids (Aperio 4x), which
+        # degraded every downstream tissue mask (io/tiles.py).
+        lvl = 0
         for i in range(self.level_count):
             w, h = self.level_dimensions[i]
-            if w <= max(tw, 1) * 2 and h <= max(th, 1) * 2:
+            if w >= max(tw, 1) and h >= max(th, 1):
                 lvl = i
+            else:
                 break
         w, h = self.level_dimensions[lvl]
         arr = self.read_region((0, 0), lvl, (w, h))

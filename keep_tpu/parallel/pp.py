@@ -70,6 +70,15 @@ def pipeline_blocks(
     through the shard_map (no gather; each dp slice runs its own pipeline).
     ``remat``: checkpoint each layer inside the stage scan (training needs
     it for the same HBM reasons as the plain tower path).
+
+    Known memory trade-off: every stage holds the full [m, mb, ...] input
+    AND an equal-sized output accumulator (only stage 0 consumes the
+    former, only stage n-1 fills the latter; the final psum replicates
+    results) — ~2× the full-batch activation residency per stage. Exact
+    xs/outs sharding over 'pp' needs circular-schedule bookkeeping that
+    isn't warranted at the scales this trains (ViT-L/EVA02 activations are
+    MBs; the HBM pressure is weights+moments, which DO stage over 'pp').
+    Revisit if a tower's activations outgrow a stage.
     """
     n = mesh.shape[axis]
     L = jax.tree.leaves(blocks)[0].shape[0]

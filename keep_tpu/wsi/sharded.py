@@ -61,6 +61,9 @@ def prompt_select_sharded(
 
     Exact parity with the single-device path at any N (padding is masked out
     of the screening mean, NOT averaged in)."""
+    # same clamp as classifier.prompt_select: top-50 of a smaller pool is
+    # the whole pool, not a top_k error
+    topn = min(topn, int(classifiers.shape[0]))
     mesh = mesh or make_mesh()
     n_dev = mesh.shape["dp"]
     padded, n = pad_to_multiple(np.asarray(features), n_dev)

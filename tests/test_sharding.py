@@ -197,6 +197,14 @@ def test_prompt_select_sharded_parity(rng):
                                            topn=5))
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    # topn larger than the pool clamps like the single-device path
+    # (regression: top_k used to crash on small prompt files)
+    ref50 = np.asarray(prompt_select(jnp.asarray(cls), jnp.asarray(feats),
+                                     topn=50))
+    got50 = np.asarray(prompt_select_sharded(jnp.asarray(cls), feats,
+                                             mesh=mesh, topn=50))
+    np.testing.assert_allclose(got50, ref50, atol=1e-5)
+
 
 def test_refined_probs_sharded_parity(rng):
     """Sharded score→scatter→refine→gather == the single-device pipeline at a

@@ -343,3 +343,40 @@ def test_extract_wsi_to_h5_streams(tmp_path, rng):
     np.testing.assert_allclose(feats, ref, rtol=1e-6)
     np.testing.assert_array_equal(
         coords, np.concatenate([c for _, c in chunks]))
+
+
+def test_thumbnail_level_pick_respects_request_size(tmp_path, rng):
+    """On >2x-spaced pyramids (Aperio 4x layout) the thumbnail must come
+    from the smallest level still >= the requested size, not a level below
+    it (regression: the old pick degraded every downstream tissue mask)."""
+    from PIL import Image
+
+    base = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+    # hand-build a 4x-spaced stripped pyramid via PIL: 400x300, 100x75
+    p = tmp_path / "sparse.tif"
+    im0 = Image.fromarray(base)
+    im1 = im0.resize((100, 75))
+    im0.save(str(p), save_all=True, append_images=[im1])
+    with WSIReader(str(p)) as s:
+        assert s.level_count == 2
+        th = s.get_thumbnail((200, 150))
+        # must be downsampled from level 0 (400x300), not upscaled-from or
+        # raw level 1 (100x75)
+        assert th.shape[:2] == (150, 200), th.shape
+        want = np.asarray(Image.fromarray(base).resize(
+            (200, 150), Image.Resampling.BICUBIC))
+        # same content at same scale (loose tolerance: PIL thumbnail uses
+        # draft/antialias internally)
+        assert np.mean(np.abs(th.astype(int) - want.astype(int))) < 30
+        # larger-than-slide requests fall back to level 0 unscaled
+        big = s.get_thumbnail((10000, 10000))
+        assert big.shape[:2] == (300, 400)
+
+
+def test_closed_reader_raises_clearly(pyramid_path):
+    s = WSIReader(pyramid_path)
+    s.read_region((0, 0), 0, (4, 4))
+    s.close()
+    if s.backend == "native":
+        with pytest.raises(ValueError, match="closed"):
+            s.read_region((0, 0), 0, (4, 4))
