@@ -83,6 +83,7 @@ class BatchQueue:
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self.q: queue.Queue[_Request] = queue.Queue()
+        self._held: "_Request | None" = None
         self.name = name
         self.served = 0
         self.dispatches = 0
@@ -92,7 +93,14 @@ class BatchQueue:
         self.thread.start()
 
     def submit(self, items: np.ndarray) -> np.ndarray:
-        """Blocking: returns results for this caller's items."""
+        """Blocking: returns results for this caller's items. Requests
+        larger than the biggest bucket are split into bucket-sized chunks
+        (each rides the queue independently; results re-concatenate)."""
+        if len(items) > self.max_batch:
+            return np.concatenate([
+                self.submit(items[i: i + self.max_batch])
+                for i in range(0, len(items), self.max_batch)
+            ], axis=0)
         r = _Request(items)
         self.q.put(r)
         r.event.wait()
@@ -101,10 +109,15 @@ class BatchQueue:
         return r.result
 
     def _collect(self, block: bool):
-        try:
-            first = self.q.get(timeout=0.1 if block else 0)
-        except queue.Empty:
-            return None
+        # a request deferred because it would have overflowed the bucket
+        # leads the next batch
+        first = getattr(self, "_held", None)
+        self._held = None
+        if first is None:
+            try:
+                first = self.q.get(timeout=0.1 if block else 0)
+            except queue.Empty:
+                return None
         batch = [first]
         count = len(first.payload)
         deadline = time.time() + self.max_delay
@@ -115,6 +128,11 @@ class BatchQueue:
             try:
                 r = self.q.get(timeout=timeout)
             except queue.Empty:
+                break
+            if count + len(r.payload) > self.max_batch:
+                # would exceed the biggest compiled bucket (negative pad
+                # downstream) — hold it for the next dispatch
+                self._held = r
                 break
             batch.append(r)
             count += len(r.payload)
@@ -161,6 +179,18 @@ class BatchQueue:
             inflight = nxt
         if inflight is not None:
             self._resolve(*inflight)
+        # fail any stragglers (held-back or still queued) so callers never
+        # hang on a stopped queue
+        leftovers = [self._held] if self._held is not None else []
+        self._held = None
+        while True:
+            try:
+                leftovers.append(self.q.get_nowait())
+            except queue.Empty:
+                break
+        for r in leftovers:
+            r.error = RuntimeError(f"batch queue '{self.name}' stopped")
+            r.event.set()
 
     def stop(self):
         self._stop.set()
@@ -258,14 +288,16 @@ class InferenceServer:
         if arr.shape[1:3] != (s, s):
             from PIL import Image
 
-            from keep_tpu.ops.preprocess import resized_output_size
+            from keep_tpu.ops.preprocess import crop_window, resized_output_size
 
             tiles = []
             for im in arr:
                 h, w = im.shape[:2]
                 oh, ow = resized_output_size(h, w, s)
                 pil = Image.fromarray(im).resize((ow, oh), Image.BICUBIC)
-                top, left = (oh - s) // 2, (ow - s) // 2
+                # torchvision CenterCrop rounds (crop_window), floor-div
+                # would sit 1px off the published transform on odd margins
+                top, left = crop_window(oh, s), crop_window(ow, s)
                 tiles.append(np.asarray(pil)[top: top + s, left: left + s])
             arr = np.stack(tiles)
         return self.image_q.submit(np.ascontiguousarray(arr, np.uint8))
@@ -275,14 +307,17 @@ class InferenceServer:
         out: dict = {}
 
         def _img():
-            out["img"] = self.encode_image(images)
+            try:
+                out["img"] = self.encode_image(images)
+            except Exception as e:  # surface the real cause to the caller
+                out["err"] = e
 
         t = threading.Thread(target=_img)
         t.start()
         txt = self.encode_text(texts)
         t.join()
-        if "img" not in out:
-            raise RuntimeError("image encoding failed")
+        if "err" in out:
+            raise out["err"]
         return out["img"] @ txt.T
 
     def warmup(self) -> None:

@@ -90,6 +90,10 @@ def random_hierarchy(
     """Random ancestor name path from ``node_id`` up to a top-level root
     (data_proc_group.py:70-97): leaf first, excludes the root itself."""
     if node_id == "normal":
+        # the reference returns ALL THREE synonyms as the "path"
+        # (data_proc_group.py:71-72), so full hierarchy captions for normal
+        # tissue join them into one phrase — reproduced as-is for caption
+        # parity (leaf captions use names[0], also matching)
         return list(NORMAL_NAMES)
 
     def pick_name(nid):
@@ -204,8 +208,13 @@ class GroupDataset:
             want = labeled_cap == "label"
             groups = [g for g in groups if bool(self.data[g].get("labels")) == want]
         # explicit per-process sharding (the reference trains every DDP rank
-        # on the full json dataset — data_proc_group.py:438-449)
-        self.groups = groups[process_index::process_count]
+        # on the full json dataset — data_proc_group.py:438-449). Trim to
+        # an EQUAL count per process: a strided split of a non-divisible
+        # group list gives hosts different num_batches — divergent LR
+        # schedules and a hang in the first cross-process collective when
+        # one host runs an extra step
+        per_proc = len(groups) // process_count if process_count > 1 else None
+        self.groups = groups[process_index::process_count][:per_proc]
         self.resample_epoch()
 
     def __len__(self) -> int:
@@ -271,7 +280,9 @@ class CsvTextImageDataset:
             try:
                 df = pd.read_csv(path)
                 df[img_key]
-            except (KeyError, Exception):
+            except (KeyError, pd.errors.ParserError):
+                # comma parse produced the wrong columns → retry tab-
+                # separated; anything else (IO, encoding) propagates
                 df = pd.read_csv(path, sep="\t", engine="python")
         else:
             df = pd.read_csv(path, sep=sep, engine="python")
@@ -381,6 +392,14 @@ class BatchIterator:
 
     def __post_init__(self):
         assert self.batch_size % self.caption_num == 0
+        n_ins = self.batch_size // self.caption_num
+        ds_ins = getattr(self.dataset, "num_instance", None)
+        if ds_ins is not None and ds_ins != n_ins:
+            # node_connection samples labels at [::n_ins]; a mismatched
+            # group block size would silently mask the WRONG group pairs
+            raise ValueError(
+                f"dataset.num_instance={ds_ins} != batch_size/caption_num="
+                f"{n_ins} — group blocks would straddle batch slots")
         self.rng = np.random.default_rng(self.seed)
         self.num_batches = len(self.dataset) // self.batch_size
 
@@ -400,29 +419,37 @@ class BatchIterator:
             loader = base
         pcfg = PreprocessConfig()
         pool = ThreadPoolExecutor(max_workers=max(1, self.workers))             if self.workers > 1 else None
-        for start in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
-                           self.batch_size):
-            idxs = range(start, min(start + self.batch_size, n))
-            samples = [self.dataset[i] for i in idxs]
+        try:
+            for start in range(
+                    0, n - (self.batch_size - 1 if self.drop_last else 0),
+                    self.batch_size):
+                idxs = range(start, min(start + self.batch_size, n))
+                samples = [self.dataset[i] for i in idxs]
+                if pool is not None:
+                    raw = list(pool.map(lambda s: loader(s.image), samples))
+                else:
+                    raw = [loader(s.image) for s in samples]
+                pixels = np.stack(
+                    [random_crop(img, self.image_size, self.rng) for img in raw]
+                )
+                enc = self.tokenizer([s.text for s in samples],
+                                     max_length=self.max_length)
+                batch = {
+                    "pixels": np.asarray(normalize_only(pixels, pcfg)),
+                    "input_ids": enc["input_ids"],
+                    "attention_mask": enc["attention_mask"],
+                    "texts": [s.text for s in samples],
+                    "cap_labels": [s.cap_label for s in samples],
+                }
+                if self.do_graph is not None:
+                    unique = [s.cap_label for s in samples][::n_ins]
+                    batch["node_connection"] = self.do_graph.node_connection(unique)
+                yield batch
+        finally:
+            # one epoch = one iterator; without this, abandoned or merely
+            # GC-pending generators leak 8 worker threads per epoch
             if pool is not None:
-                raw = list(pool.map(lambda s: loader(s.image), samples))
-            else:
-                raw = [loader(s.image) for s in samples]
-            pixels = np.stack(
-                [random_crop(img, self.image_size, self.rng) for img in raw]
-            )
-            enc = self.tokenizer([s.text for s in samples], max_length=self.max_length)
-            batch = {
-                "pixels": np.asarray(normalize_only(pixels, pcfg)),
-                "input_ids": enc["input_ids"],
-                "attention_mask": enc["attention_mask"],
-                "texts": [s.text for s in samples],
-                "cap_labels": [s.cap_label for s in samples],
-            }
-            if self.do_graph is not None:
-                unique = [s.cap_label for s in samples][::n_ins]
-                batch["node_connection"] = self.do_graph.node_connection(unique)
-            yield batch
+                pool.shutdown(wait=False)
 
 
 # Background-thread batch prefetch — the TPU-native stand-in for the

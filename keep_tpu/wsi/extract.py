@@ -65,7 +65,16 @@ def extract_features(
             tiles[i : i + batch_size] for i in range(0, len(tiles), batch_size)
         )
     else:
-        chunks = iter(tiles)
+        # re-chunk user-supplied iterables: an oversize chunk would dispatch
+        # at its raw size (fresh compile per shape; a crash under mesh
+        # sharding when the size doesn't divide the 'dp' axis)
+        def rechunk(it):
+            for c in it:
+                c = np.asarray(c)
+                for i in range(0, len(c), batch_size):
+                    yield c[i : i + batch_size]
+
+        chunks = rechunk(tiles)
 
     # Double-buffered: keep one batch in flight so batch N's fetch (and batch
     # N+1's host-side pad/upload) overlap batch N's device compute — the same

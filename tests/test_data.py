@@ -336,3 +336,47 @@ def test_prefetcher_releases_producer_on_early_exit():
         t.name == "keep-tpu-prefetch" and t.is_alive()
         for t in threading.enumerate()
     )
+
+
+def test_per_process_sharding_equal_counts(tmp_path):
+    """Multi-host group sharding trims to EQUAL per-process counts —
+    unequal num_batches would diverge LR schedules and hang collectives."""
+    import json as _json
+
+    from keep_tpu.train.data import GroupDataset
+
+    groups = {
+        f"g{i}": {"captions": [f"caption {i} ."], "images": [f"im{i}.png"],
+                  "labels": {}}
+        for i in range(103)
+    }
+    p = tmp_path / "groups.json"
+    p.write_text(_json.dumps(groups))
+    sizes = []
+    for pi in range(2):
+        ds = GroupDataset(str(p), num_instance=2, process_index=pi,
+                          process_count=2)
+        sizes.append(len(ds.groups))
+    assert sizes[0] == sizes[1] == 51
+    # single process keeps everything
+    ds = GroupDataset(str(p), num_instance=2)
+    assert len(ds.groups) == 103
+
+
+def test_batch_iterator_rejects_mismatched_num_instance(tmp_path):
+    """node_connection samples labels at [::n_ins]; a dataset blocked at a
+    different num_instance must be rejected, not silently mis-masked."""
+    import json as _json
+
+    from keep_tpu.train.data import BatchIterator, GroupDataset
+
+    groups = {
+        f"g{i}": {"captions": ["a ."], "images": ["x.png"], "labels": {}}
+        for i in range(4)
+    }
+    p = tmp_path / "g.json"
+    p.write_text(_json.dumps(groups))
+    ds = GroupDataset(str(p), num_instance=8)
+    with pytest.raises(ValueError, match="num_instance"):
+        BatchIterator(dataset=ds, batch_size=64, caption_num=4,
+                      tokenizer=None, img_dir=".")

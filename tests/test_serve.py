@@ -286,3 +286,15 @@ def test_serve_main_lora_merge(tmp_path, monkeypatch, core):
     np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-6)
     base_k = np.asarray(base["visual"]["blocks"]["attn"]["qkv"]["kernel"])
     assert not np.allclose(got_k, base_k)
+
+
+def test_oversize_requests_chunk_not_crash(core):
+    """Requests (or concurrent bursts) larger than the biggest bucket must
+    be served via chunking/deferral, never a negative-pad crash."""
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 255, (11, 16, 16, 3), dtype=np.uint8)  # > max 4
+    out = core.encode_image(big)
+    assert out.shape == (11, core.model.cfg.projection_dim)
+    # matches the same tiles sent one at a time
+    one = np.concatenate([core.encode_image(big[i:i + 1]) for i in range(11)])
+    np.testing.assert_allclose(np.asarray(out), one, atol=1e-5)

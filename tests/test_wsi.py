@@ -263,3 +263,29 @@ def test_probability_heatmap(rng):
     assert occ.sum() == 120
     assert (heat[occ == 0] == 0).all()
     assert (heat[occ == 1] >= 0).all() and (heat[occ == 1] <= 1).all()
+
+
+def test_extract_features_rechunks_oversize_iterable(rng):
+    """User-supplied iterables with chunks larger than batch_size must be
+    re-chunked to the compiled shape (not dispatched raw — fresh compile
+    per odd shape, or a crash under mesh sharding)."""
+    import jax
+    from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+    from keep_tpu.models import keep
+    from keep_tpu.wsi.extract import extract_features
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                         num_heads=2),
+        text=BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=32),
+        projection_dim=32,
+    )
+    model = keep.KEEPModel(params=keep.init(jax.random.PRNGKey(1), cfg),
+                           cfg=cfg)
+    tiles = rng.integers(0, 255, (13, 32, 32, 3), dtype=np.uint8)
+    ref = extract_features(model, tiles, batch_size=4)
+    # one oversize chunk + one small chunk through the iterable path
+    got = extract_features(model, iter([tiles[:9], tiles[9:]]), batch_size=4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
