@@ -32,13 +32,20 @@ from keep_tpu.metrics import (
 def label_captions_from_prompts(
     prompts: dict, rounds: int = 50
 ) -> dict[str, list[str]]:
-    """{class: [caption per round]} from the prompt JSON (zero_shot.py:50-63)."""
+    """{class: [caption per round]} from the prompt JSON (zero_shot.py:50-63).
+    ``templates`` may be a str or a list (the WSI prompt files use both
+    shapes — classifier.expand_prompt accepts either); per reference
+    round semantics one caption per round, so a list contributes its
+    first entry."""
     types = list(prompts["0"]["classnames"].keys())
     out = {t: [] for t in types}
     for t in types:
         for i in range(rounds):
             p = prompts[str(i)]
-            out[t].append(p["templates"].replace("CLASSNAME", p["classnames"][t]))
+            tpl = p["templates"]
+            if isinstance(tpl, (list, tuple)):
+                tpl = tpl[0]
+            out[t].append(tpl.replace("CLASSNAME", p["classnames"][t]))
     return out
 
 
@@ -75,7 +82,8 @@ def zeroshot_classification(
         round_emb = np.stack([caption_features[t][i] for t in class_names])
         round_emb = round_emb / np.linalg.norm(round_emb, axis=1, keepdims=True)
         scores = img @ round_emb.T
-        preds = [class_names[int(np.argmax(s))] for s in scores]
+        idx = np.argmax(scores, axis=1)  # one vectorized argmax per round
+        preds = [class_names[i] for i in idx]
         wf1.append(classification_metrics(list(labels), preds)["WF1"])
     q1, med, q3 = np.percentile(np.asarray(wf1), (25, 50, 75), method="midpoint")
     return {
@@ -135,7 +143,8 @@ def zero_shot_eval(
 ) -> dict:
     """Full in-training eval over available eval sets (zero_shot.py:81-254).
 
-    ``data`` maps task → iterable of (pixels, label_or_text) host batches:
+    ``data`` maps task → ONE (pixels, label_or_text) pair of host arrays
+    (batching happens inside, `encode_in_batches`):
       'zeroshot_cls': (pixels [N,S,S,3], labels [N] str)
       'zeroshot_ret' / 'zeroshot_po': (pixels, texts)
     """

@@ -47,6 +47,10 @@ class CoordGrid:
         coords = np.asarray(coords)
         if coords.ndim != 2 or coords.shape[1] != 2:
             raise ValueError(f"coords must be [N, 2] (x, y); got {coords.shape}")
+        if len(coords) == 0:
+            # a blank slide (cut_tiles legitimately yields zero tissue
+            # tiles) must fail with a diagnosable message, not IndexError
+            raise ValueError("no patches: empty coords (blank slide?)")
         xy = coords.astype(np.int64)
         rem = xy % patch_size
         if not (rem == rem[0]).all():

@@ -10,8 +10,7 @@ loops, and scales to 100K+ patches (shardable over the mesh).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +42,6 @@ def score_tiles_sharded(
     """``score_tiles`` with the patch axis sharded over the mesh's 'dp' axis —
     the TPU-native handling of the WSI long axis (10K–100K+ patches/slide,
     SURVEY §5): pad to the mesh, score shard-parallel, slice."""
-    import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from keep_tpu.parallel import make_mesh, pad_to_multiple
@@ -54,10 +52,10 @@ def score_tiles_sharded(
     feats = jax.device_put(jnp.asarray(padded), NamedSharding(mesh, P("dp")))
     cls = jax.device_put(jnp.asarray(classifier), NamedSharding(mesh, P()))
     probs = jax.jit(
-        score_tiles,
+        lambda c, f: score_tiles(c, f, scale),  # forward scale (parity
+        # with the single-device path at any value)
         in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))),
         out_shardings=NamedSharding(mesh, P("dp")),
-        static_argnames=(),
     )(cls, feats)
     return probs[:n]
 
@@ -73,14 +71,25 @@ def zero_shot_detection(
     """WSI tumor probability = fraction of (deduped) patches whose class-1
     prob exceeds ``threshold`` (detection_utils.py:88-100)."""
     grid = CoordGrid.from_coords(tile_coords, patch_size)
+    probs_kept = _refined_probs(classifier, tile_features, grid, overlap)
+    preds = probs_kept[:, 1] > threshold
+    return float(jnp.mean(preds.astype(jnp.float32)))
+
+
+def _refined_probs(
+    classifier: Array,
+    tile_features: Array,
+    grid: CoordGrid,
+    overlap: bool,
+) -> Array:
+    """[M, C] (optionally neighbor-refined) probabilities in first-seen
+    patch order — the one copy of the scatter→refine→gather decision rule
+    every pipeline shares."""
     probs = score_tiles(classifier, tile_features)
     if overlap:
         g, occ = grid.scatter(probs)
-        probs_kept = grid.gather(refine_grid(g, occ))
-    else:
-        probs_kept = probs[jnp.asarray(grid.keep)]
-    preds = probs_kept[:, 1] > threshold
-    return float(jnp.mean(preds.astype(jnp.float32)))
+        return grid.gather(refine_grid(g, occ))
+    return probs[jnp.asarray(grid.keep)]
 
 
 def refined_tumor_probs(
@@ -90,11 +99,7 @@ def refined_tumor_probs(
     overlap: bool = True,
 ) -> Array:
     """[M] refined class-1 probabilities in first-seen patch order."""
-    probs = score_tiles(classifier, tile_features)
-    if overlap:
-        g, occ = grid.scatter(probs)
-        return grid.gather(refine_grid(g, occ))[:, 1]
-    return probs[jnp.asarray(grid.keep), 1]
+    return _refined_probs(classifier, tile_features, grid, overlap)[:, 1]
 
 
 def patch_labels_from_mask(
@@ -248,12 +253,7 @@ def zero_shot_subtyping(
     refined softmax(logits·10); slide label = argmax of class fractions
     excluding the appended Normal class (subtyping_utils.py:67-83)."""
     grid = CoordGrid.from_coords(tile_coords, patch_size)
-    probs = score_tiles(classifier, tile_features)
-    if overlap:
-        g, occ = grid.scatter(probs)
-        kept = grid.gather(refine_grid(g, occ))
-    else:
-        kept = probs[jnp.asarray(grid.keep)]
+    kept = _refined_probs(classifier, tile_features, grid, overlap)
     pred_labels = jnp.argmax(kept, axis=-1)
     n_classes = int(classifier.shape[1])
     fractions = np.asarray(

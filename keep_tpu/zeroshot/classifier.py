@@ -234,7 +234,9 @@ def random_ensemble(classifiers: Array, topn: int = 50) -> Array:
     total = int(classifiers.shape[0])
     picks = []
     for cter in range(topn):
-        _random.seed(cter)
-        picks.append(_random.randint(0, total - 1))
+        # byte-identical to the reference's `random.seed(cter); randint`
+        # (same Mersenne seeding) WITHOUT mutating the caller's global
+        # random stream
+        picks.append(_random.Random(cter).randint(0, total - 1))
     merged = classifiers[jnp.asarray(picks)].sum(axis=0)
     return merged / jnp.linalg.norm(merged, axis=0, keepdims=True)

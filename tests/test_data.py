@@ -380,3 +380,15 @@ def test_batch_iterator_rejects_mismatched_num_instance(tmp_path):
     with pytest.raises(ValueError, match="num_instance"):
         BatchIterator(dataset=ds, batch_size=64, caption_num=4,
                       tokenizer=None, img_dir=".")
+
+
+def test_label_captions_list_templates():
+    """templates may be a list (expand_prompt's other accepted shape) —
+    one caption per round uses its first entry (regression: crashed)."""
+    prompts = {
+        str(i): {"classnames": {"A": f"typeA{i}", "B": f"typeB{i}"},
+                 "templates": [f"an image of CLASSNAME ({i}).", "CLASSNAME"]}
+        for i in range(3)
+    }
+    caps = label_captions_from_prompts(prompts, rounds=3)
+    assert caps["A"][1] == "an image of typeA1 (1)."

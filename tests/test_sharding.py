@@ -97,6 +97,14 @@ def test_score_tiles_sharded_api(rng):
     assert out.shape == (1003, 2)
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
+    # scale is forwarded (regression: it used to be silently ignored)
+    out1 = np.asarray(score_tiles_sharded(jnp.asarray(cls), feats, mesh=mesh,
+                                          scale=1.0))
+    ref1 = np.asarray(score_tiles(jnp.asarray(cls), jnp.asarray(feats),
+                                  scale=1.0))
+    np.testing.assert_allclose(out1, ref1, atol=1e-6)
+    assert not np.allclose(out1, out)
+
 
 def test_extract_features_sharded_parity(rng):
     """The feature-extraction sweep (pixels → features — the north-star

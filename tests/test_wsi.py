@@ -289,3 +289,10 @@ def test_extract_features_rechunks_oversize_iterable(rng):
     # one oversize chunk + one small chunk through the iterable path
     got = extract_features(model, iter([tiles[:9], tiles[9:]]), batch_size=4)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_empty_coords_clear_error():
+    from keep_tpu.wsi.grid import CoordGrid
+
+    with pytest.raises(ValueError, match="empty coords"):
+        CoordGrid.from_coords(np.zeros((0, 2), np.int64), 256)
