@@ -48,6 +48,14 @@ def encode_image(
     if getattr(cfg.vision, "moe_experts", 0) > 0:
         from keep_tpu.models import moe
 
+        if act_sharding is not None:
+            # silently un-applied SP constraints would reshard behind the
+            # user's back (the CLI already rejects sp with MoE — this
+            # guards library callers); use_flash is a no-op by design: the
+            # MoE trunk's attention is the XLA path
+            raise NotImplementedError(
+                "act_sharding (sequence parallelism) is not supported for "
+                "the MoE trunk")
         feats, aux = moe.vit_forward(
             params["visual"], pixels, cfg.vision, dtype=dtype,
             gelu_approx=gelu_approx, remat=remat,
@@ -85,6 +93,10 @@ def encode_image_pp(
     """encode_image with the ViT trunk pipelined over the mesh's 'pp' axis
     (GPipe; parallel/pp.py). Exact vs :func:`encode_image`; the stem, head
     MLP and text tower stay replicated SPMD."""
+    if getattr(cfg.vision, "moe_experts", 0) > 0:
+        raise NotImplementedError(
+            "pipeline parallelism does not compose with the MoE trunk "
+            "(train it with dp/fsdp/ep) — same rule the CLI enforces")
     from keep_tpu.parallel.pp import vit_forward_pp
 
     feats = vit_forward_pp(
@@ -126,10 +138,20 @@ def encode_text(
 
 def forward(params: dict, pixels: Array, input_ids: Array,
             attention_mask: Array | None, cfg: KEEPConfig, **kw) -> dict:
-    return {
-        "vision_features": encode_image(params, pixels, cfg, **kw),
-        "text_features": encode_text(params, input_ids, attention_mask, cfg=cfg, **kw),
-    }
+    """Uniform factory forward contract: every family returns
+    'image_features'/'text_features' (clip/kep/pmc_clip/coca do).
+    Shared kwargs fan out to both encoders; encode_image-only kwargs
+    (return_aux — the MoE aux loss surfaces as out['aux']) do not."""
+    img_only = {"return_aux"}
+    txt_kw = {k: v for k, v in kw.items() if k not in img_only}
+    img = encode_image(params, pixels, cfg, **kw)
+    out = {}
+    if kw.get("return_aux"):
+        img, out["aux"] = img
+    out["image_features"] = img
+    out["text_features"] = encode_text(params, input_ids, attention_mask,
+                                       cfg=cfg, **txt_kw)
+    return out
 
 
 def init(key: jax.Array, cfg: KEEPConfig, dtype: jnp.dtype = jnp.float32) -> dict:

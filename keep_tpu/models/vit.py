@@ -72,7 +72,10 @@ def patch_dropout(
 ) -> Array:
     """Training-time patch dropout (reference transformer.py:47-84): keep a
     random ``keep_rate`` subset of patch tokens per sample, prefix tokens
-    always kept. Returns [B, num_prefix + ceil(keep_rate·N), D]."""
+    always kept. Returns [B, num_prefix + max(1, floor(keep_rate·N)), D]
+    (floor — the reference's ``int()``). Calling ``forward`` with
+    ``patch_dropout_rate > 0`` but no ``dropout_key`` is EVAL mode: all
+    tokens kept (the reference disables PatchDropout outside training)."""
     if keep_rate >= 1.0:
         return tokens
     b, s, d = tokens.shape
@@ -286,7 +289,6 @@ def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict
     def ln_params(shape):
         return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
 
-    ls_init = cfg.layerscale_init if cfg.layerscale_init is not None else 1.0
     out = {
         "patch_embed": lin(next(keys), pdim, d),
         "pos_embed": trunc(
@@ -297,16 +299,22 @@ def init(key: jax.Array, cfg: ViTConfig, dtype: jnp.dtype = jnp.float32) -> dict
                 "qkv": lin(next(keys), d, 3 * d, layers=l),
                 "proj": lin(next(keys), d, d, layers=l),
             },
-            "ls1": jnp.full((l, d), ls_init, dtype),
             "norm2": ln_params((l, d)),
             "mlp": {
                 "fc1": lin(next(keys), d, f, layers=l),
                 "fc2": lin(next(keys), f, d, layers=l),
             },
-            "ls2": jnp.full((l, d), ls_init, dtype),
         },
         "norm": ln_params((d,)),
     }
+    if cfg.layerscale_init is not None:
+        # LayerScale params exist only when the arch has them (block()
+        # applies them by presence; torch_loader emits them conditionally
+        # too — an unconditional ls1/ls2 would both change the
+        # layerscale_init=None architectures and make init() pytrees
+        # structurally incompatible with converted checkpoints)
+        out["blocks"]["ls1"] = jnp.full((l, d), cfg.layerscale_init, dtype)
+        out["blocks"]["ls2"] = jnp.full((l, d), cfg.layerscale_init, dtype)
     if cfg.num_prefix_tokens >= 1:
         out["cls_token"] = trunc(next(keys), (1, 1, d))
     return out
@@ -319,8 +327,6 @@ def fold_layerscale(params: dict) -> dict:
     b = params["blocks"]
     if "ls1" not in b:
         return params
-    import jax.numpy as jnp
-
     out = dict(params)
     blocks = {k: v for k, v in b.items() if k not in ("ls1", "ls2")}
     ls1 = b["ls1"][:, None, :]  # [L, 1, D]

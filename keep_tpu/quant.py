@@ -52,7 +52,10 @@ def quantize_linear_weights(
         if isinstance(node, dict):
             if "kernel" in node and "bias" in node and name in targets:
                 q = quantize_kernel(node["kernel"])
-                return {**q, "bias": node["bias"]}
+                # keep any sibling leaves (adapters, cached transforms) —
+                # only 'kernel' is replaced by (kernel_q, scale)
+                rest = {k: v for k, v in node.items() if k != "kernel"}
+                return {**rest, **q}
             return {k: visit(v, k) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(visit(v, name) for v in node)
@@ -147,8 +150,14 @@ def smooth_vit(params: dict, stats: dict, alpha: float = 0.5) -> dict:
 
 def smooth_quantize_vit(params: dict, calib_pixels: Array, cfg,
                         alpha: float = 0.5) -> dict:
-    """Calibrate on ``calib_pixels`` → smooth → int8-quantize the ViT."""
+    """Calibrate on ``calib_pixels`` → fold LayerScale → smooth →
+    int8-quantize the ViT. The fold comes first (exact; same LN outputs,
+    so calibration stats are unaffected) because the int8 megakernel path
+    requires LayerScale pre-folded (vit.block's dispatch gate) — without
+    it this helper's output would silently fall back to the slower
+    per-matmul int8 dispatch."""
     from keep_tpu.models import vit
 
     _, stats = vit.forward(params, calib_pixels, cfg, ln_stats=True)
-    return quantize_linear_weights(smooth_vit(params, stats, alpha))
+    return quantize_linear_weights(
+        smooth_vit(vit.fold_layerscale(params), stats, alpha))

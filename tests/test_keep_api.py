@@ -127,3 +127,53 @@ def test_converter_released_key_quirks(rng):
         np.testing.assert_array_equal(np.asarray(v),
                                       np.asarray(flat_b[jax.tree_util.keystr(p)]),
                                       err_msg=jax.tree_util.keystr(p))
+
+
+def test_forward_contract_and_aux():
+    """keep.forward matches every other family's contract
+    ('image_features'/'text_features'); return_aux surfaces the MoE aux
+    without leaking the kwarg into encode_text."""
+    import jax
+
+    from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                         num_heads=2),
+        text=BertConfig(vocab_size=32, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=16),
+        projection_dim=32, max_text_length=16,
+    )
+    params = keep.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 32, (2, 16)))
+    out = keep.forward(params, px, ids, None, cfg)
+    assert set(out) == {"image_features", "text_features"}
+    out2 = keep.forward(params, px, ids, None, cfg, return_aux=True)
+    assert set(out2) == {"image_features", "text_features", "aux"}
+    assert float(out2["aux"]) == 0.0  # dense trunk
+    np.testing.assert_allclose(np.asarray(out["image_features"]),
+                               np.asarray(out2["image_features"]), atol=0)
+
+
+def test_vit_init_matches_converted_structure():
+    """init() and the torch converter must produce the SAME pytree
+    structure for the same config — LayerScale params exist iff
+    layerscale_init is set (regression: init emitted ls1/ls2 at 1.0 for
+    layerscale_init=None archs, silently changing CLIP/CoCa trunks and
+    breaking tree.map against converted checkpoints)."""
+    import jax
+
+    from keep_tpu.configs import ViTConfig
+    from keep_tpu.models import vit
+
+    with_ls = vit.init(jax.random.PRNGKey(0),
+                       ViTConfig(img_size=16, patch_size=8, embed_dim=32,
+                                 depth=2, num_heads=2, layerscale_init=1e-5))
+    without = vit.init(jax.random.PRNGKey(0),
+                       ViTConfig(img_size=16, patch_size=8, embed_dim=32,
+                                 depth=2, num_heads=2, layerscale_init=None))
+    assert "ls1" in with_ls["blocks"] and "ls2" in with_ls["blocks"]
+    assert "ls1" not in without["blocks"] and "ls2" not in without["blocks"]
