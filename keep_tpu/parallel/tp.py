@@ -16,6 +16,15 @@ trailing dimensions.
 Compose with data parallelism over a 2-D mesh ``Mesh(devices, ('dp','mp'))``:
 batches shard on 'dp' (``mesh_batch_sharding``), params on 'mp' via
 :func:`tp_shardings`, optionally ALSO on 'dp' via ``parallel.fsdp``.
+
+Known layout caveat (correctness unaffected — trajectory == replicated DP,
+tested): the towers use a FUSED qkv kernel [D, 3D], so an 'mp' split of
+the 3D output axis crosses the q|k|v boundary for mp ∤ 3 — the subsequent
+``reshape(b, s, 3, h, dh)`` cannot stay sharded and GSPMD re-gathers the
+qkv slab each layer instead of computing attention shard-locally. A fully
+local Megatron attention needs the kernel laid out [D, 3, H, dh] and
+sharded on H (or unfused q/k/v) — a converter + model change deferred
+until a tower actually needs TP for capacity (ViT-L does not).
 """
 
 from __future__ import annotations

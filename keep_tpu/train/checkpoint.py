@@ -30,28 +30,26 @@ def _mgr(ckpt_dir: str) -> ocp.CheckpointManager:
 def save(ckpt_dir: str, epoch: int, params: Any, opt_state: Any = None,
          step: int = 0, keep_previous: bool = True) -> None:
     """Write checkpoint ``epoch_{epoch}`` (atomically, like the reference's
-    tmp+os.replace latest save)."""
-    mgr = _mgr(ckpt_dir)
-    payload = {"params": params, "step": np.asarray(step)}
-    if opt_state is not None:
-        payload["opt_state"] = opt_state
-    mgr.save(epoch, args=ocp.args.StandardSave(payload))
-    mgr.wait_until_finished()
-    mgr.close()
-    if not keep_previous:
-        for e in list_epochs(ckpt_dir):
-            if e < epoch:
-                import shutil
-
-                shutil.rmtree(os.path.join(os.path.abspath(ckpt_dir), str(e)),
-                              ignore_errors=True)
+    tmp+os.replace latest save). One-shot wrapper over CheckpointWriter."""
+    w = CheckpointWriter(ckpt_dir, async_save=False,
+                         keep_previous=keep_previous)
+    try:
+        w.save(epoch, params, opt_state=opt_state, step=step)
+    finally:
+        w.close()
 
 
 class CheckpointWriter:
     """Persistent manager for per-epoch saves; ``async_save=True`` keeps the
     epoch loop running while the previous checkpoint serializes in the
     background (Orbax async path). Call :meth:`close` (train() does) to wait
-    for the last pending save before the process exits."""
+    for the last pending save before the process exits.
+
+    ``keep_previous=False`` delegates deletion to Orbax's ``max_to_keep=1``
+    — old steps are garbage-collected by the manager itself (asynchronously
+    under ``async_save``; a hand-rolled rmtree would both serialize every
+    save behind wait_until_finished and leave the manager's step metadata
+    stale)."""
 
     def __init__(self, ckpt_dir: str, async_save: bool = False,
                  keep_previous: bool = True):
@@ -60,7 +58,8 @@ class CheckpointWriter:
         self._mgr = ocp.CheckpointManager(
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(
-                create=True, enable_async_checkpointing=async_save),
+                create=True, enable_async_checkpointing=async_save,
+                max_to_keep=None if keep_previous else 1),
         )
 
     def save(self, epoch: int, params: Any, opt_state: Any = None,
@@ -69,14 +68,6 @@ class CheckpointWriter:
         if opt_state is not None:
             payload["opt_state"] = opt_state
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
-        if not self.keep_previous:
-            self._mgr.wait_until_finished()
-            for e in list_epochs(self.ckpt_dir):
-                if e < epoch:
-                    import shutil
-
-                    shutil.rmtree(os.path.join(self.ckpt_dir, str(e)),
-                                  ignore_errors=True)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -74,6 +74,13 @@ def clip_loss(
         gt = jnp.arange(n_local)
 
     if labels is not None:
+        if axis_name is not None:
+            # local labels cannot mask gathered logits (shape mismatch, and
+            # other shards' same-label pairs would count as negatives); the
+            # reference's mask_contrastive is a local-batch variant too
+            raise NotImplementedError(
+                "labels= (mask_contrastive) does not compose with "
+                "axis_name= (cross-shard negatives)")
         loss = 0.5 * (
             mask_contrastive_loss(logits_i, labels)
             + mask_contrastive_loss(logits_t, labels)
@@ -98,8 +105,12 @@ def mask_contrastive_loss(logits: Array, labels: Array) -> Array:
     diff = lab[None, :] - lab[:, None]
     mask = (diff != 0).astype(logits.dtype) + jnp.eye(n, dtype=logits.dtype)
     mask = jnp.where(mask != 0, 1.0, 0.0)
-    denom = jnp.sum(jnp.exp(logits) * mask, axis=1)
-    num = jnp.exp(jnp.diag(logits))
+    # row-shifted exp: num/denom is invariant under per-row max subtraction,
+    # and the raw exp overflows fp32 once logit_scale·sim exceeds ~88 (the
+    # trainer permits scale up to 100)
+    shifted = logits - jax.lax.stop_gradient(jnp.max(logits, 1, keepdims=True))
+    denom = jnp.sum(jnp.exp(shifted) * mask, axis=1)
+    num = jnp.exp(jnp.diag(shifted))
     return -jnp.mean(jnp.log(num / denom))
 
 
@@ -245,7 +256,9 @@ def _metric_loss(
         return l1_log_diag(gg)
 
     if loss_type == "lhp-lhn":
-        inv_all = 1.0 / group_sums
+        # same exp-underflow guard as the other three variants: a zeroed
+        # group column would otherwise produce inf → NaN
+        inv_all = 1.0 / jnp.where(group_sums == 0, 1.0, group_sums)
         gg = left @ inv_all
         gg = (1.0 / gg) * (1 - pos_id) + gg * pos_id
         return l1_log_diag(gg)

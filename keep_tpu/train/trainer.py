@@ -68,6 +68,11 @@ def _encode_batch(params, batch, cfg: KEEPConfig, dtype, use_flash, remat=True,
     # sizes exceeds one v5e's 16GB HBM without it
     aux = jnp.zeros((), jnp.float32)
     if pp_mesh is not None:
+        if getattr(cfg.vision, "moe_experts", 0) > 0:
+            # encode_image_pp raises too; fail here so library callers of
+            # compute_loss can't silently train the router with zero aux
+            raise NotImplementedError(
+                "pipeline parallelism does not compose with the MoE trunk")
         # ViT trunk staged over the mesh's 'pp' axis (GPipe, parallel/pp.py);
         # batch stays sharded over 'dp' through the pipeline
         img = keep.encode_image_pp(params, batch["pixels"], cfg, pp_mesh,
@@ -255,8 +260,11 @@ def make_accum_train_step(
             else:
                 loss = clip_loss(img_all, txt_all, scale)
             if getattr(cfg.vision, "moe_experts", 0) > 0:
-                # each chunk's backward carries its own live aux loss
-                loss = loss + cfg.vision.moe_aux_weight * aux_j
+                # each chunk carries its own live aux; the chunk grads SUM,
+                # so weight each by 1/accum — the summed aux gradient then
+                # equals aux_weight·grad(mean-over-chunks aux), matching the
+                # non-accum step's weighting instead of accum× it
+                loss = loss + (cfg.vision.moe_aux_weight / accum_freq) * aux_j
             return loss
 
         def accum_one(grads, j):
@@ -265,18 +273,27 @@ def make_accum_train_step(
 
         zero = jax.tree.map(jnp.zeros_like, state.params)
         grads, losses = jax.lax.scan(accum_one, zero, jnp.arange(accum_freq))
-        # summed chunk grads == the exact full-batch gradient (each chunk's
-        # backward sees the full-batch loss through its live features); the
-        # reference likewise accumulates without dividing (:127-165)
+        # summed chunk grads == the exact full-batch gradient for every
+        # FEATURE parameter (each chunk's backward sees the full-batch loss
+        # through its live features, and only chunk j's features are live in
+        # chunk j's backward). logit_scale is the exception: every chunk's
+        # loss applies the live scale to the full similarity matrix, so its
+        # summed gradient is ~accum× the full-batch one — exactly the
+        # reference's behavior (train_hierarchy.py:127-165 accumulates
+        # whole-matrix backwards without dividing), reproduced as-is.
         grads = _apply_freeze(grads, frozen)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = _apply_freeze(updates, frozen)
         params = optax.apply_updates(state.params, updates)
         params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
+        gnorm = optax.global_norm(grads)
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1
         )
-        return new_state, {"loss": jnp.mean(losses),
+        return new_state, {"loss": jnp.mean(losses), "grad_norm": gnorm,
                            "logit_scale": jnp.exp(params["logit_scale"])}
 
-    return jax.jit(step, donate_argnums=(0,))
+    from keep_tpu.utils.compile import tpu_compiler_options
+
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())

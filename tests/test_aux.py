@@ -101,3 +101,30 @@ def test_metric_writer(tmp_path):
              (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert lines[0]["step"] == 1 and lines[0]["loss"] == 2.5
     assert lines[1]["loss"] == 2.0
+
+
+def test_checkpoint_delete_previous_via_max_to_keep(tmp_path):
+    """keep_previous=False delegates GC to Orbax max_to_keep=1: only the
+    newest epoch survives, resume still works, async saves don't
+    serialize behind a hand-rolled rmtree."""
+    import numpy as np
+
+    from keep_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "ck")
+    w = ckpt.CheckpointWriter(d, keep_previous=False)
+    for e in range(3):
+        w.save(e, {"w": np.full((4,), float(e))}, step=e * 10)
+    w.close()
+    assert ckpt.list_epochs(d) == [2]
+    out = ckpt.restore(d)
+    assert out["epoch"] == 2 and int(out["step"]) == 20
+    np.testing.assert_array_equal(out["params"]["w"], np.full((4,), 2.0))
+
+    # keep_previous=True (default) keeps everything
+    d2 = str(tmp_path / "ck2")
+    w2 = ckpt.CheckpointWriter(d2)
+    for e in range(2):
+        w2.save(e, {"w": np.zeros((2,))}, step=e)
+    w2.close()
+    assert ckpt.list_epochs(d2) == [0, 1]
