@@ -53,12 +53,6 @@ def convert_timm_vit(sd: Mapping, cfg: ViTConfig) -> dict:
     conv_w = g("patch_embed.proj.weight")  # [D, 3, P, P]
     patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)  # (ph, pw, c) → D
 
-    def lin(fmt: str, i: int) -> dict:
-        return {
-            "kernel": g(fmt.format(i) + ".weight").T,
-            "bias": g(fmt.format(i) + ".bias"),
-        }
-
     def stack_lin(fmt: str) -> dict:
         return {
             "kernel": _stack(lambda i: g(fmt.format(i) + ".weight").T, cfg.depth),

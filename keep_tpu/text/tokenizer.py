@@ -188,8 +188,8 @@ class WordPieceTokenizer:
         encoded = [self.encode(t, max_length) for t in texts]
         if padding == "max_length":
             width = max_length
-        else:  # 'longest'
-            width = max(len(e) for e in encoded)
+        else:  # 'longest'; empty input → empty [0, max_length] arrays
+            width = max((len(e) for e in encoded), default=max_length)
         ids = np.full((len(encoded), width), self.pad_id, np.int32)
         mask = np.zeros((len(encoded), width), np.int32)
         for i, e in enumerate(encoded):

@@ -46,11 +46,14 @@ from keep_tpu.utils.logging import AverageMeter, append_results, setup_logging
 
 
 def experiment_name(cfg: TrainRunConfig) -> str:
-    """Timestamped experiment naming (reference main.py:96-109)."""
+    """Timestamped experiment naming (reference main.py:96-109). Multi-host:
+    process 0's name wins (the reference broadcasts too, main.py:166) —
+    sub-second startup skew would otherwise split the run across
+    directories and hang the collective checkpoint saves."""
     if cfg.save.experiment_name:
         return cfg.save.experiment_name
     date_str = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
-    return "-".join(
+    name = "-".join(
         [
             date_str,
             f"model_{cfg.model.type}",
@@ -59,6 +62,11 @@ def experiment_name(cfg: TrainRunConfig) -> str:
             f"e_{cfg.solver.epochs}",
         ]
     )
+    if jax.process_count() > 1:
+        from keep_tpu.parallel.multihost import broadcast_object
+
+        name = broadcast_object(name)
+    return name
 
 
 def build_schedule(cfg: TrainRunConfig, steps_per_epoch: int):
@@ -136,9 +144,16 @@ def build_params(cfg: TrainRunConfig, rng_seed: int):
     if cfg.model.pretrained_image:
         import torch
 
-        from keep_tpu.compat.torch_loader import convert_timm_vit
+        from keep_tpu.compat.torch_loader import (
+            convert_timm_vit, normalize_state_dict)
 
-        sd = torch.load(cfg.model.pretrained_image, map_location="cpu", weights_only=True)
+        if getattr(cfg.keep.vision, "moe_experts", 0) > 0:
+            raise ValueError(
+                "model.pretrained_image loads a DENSE timm trunk — it "
+                "cannot initialize an MoE trunk (vision.moe_experts > 0); "
+                "drop one of the two")
+        sd = normalize_state_dict(torch.load(
+            cfg.model.pretrained_image, map_location="cpu", weights_only=True))
         params["visual"] = jax.tree.map(
             jnp.asarray, convert_timm_vit(sd, cfg.keep.vision)
         )
@@ -146,9 +161,11 @@ def build_params(cfg: TrainRunConfig, rng_seed: int):
     if cfg.model.pretrained_text:
         import torch
 
-        from keep_tpu.compat.torch_loader import convert_hf_bert, strip_prefix
+        from keep_tpu.compat.torch_loader import (
+            convert_hf_bert, normalize_state_dict, strip_prefix)
 
-        sd = torch.load(cfg.model.pretrained_text, map_location="cpu", weights_only=True)
+        sd = normalize_state_dict(torch.load(
+            cfg.model.pretrained_text, map_location="cpu", weights_only=True))
         if any(k.startswith("bert_model.") for k in sd):
             sd = strip_prefix(sd, "bert_model.")
         params["text"] = jax.tree.map(jnp.asarray, convert_hf_bert(sd, cfg.keep.text))
@@ -290,7 +307,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         workers=cfg.dataloader.workers,
     )
     steps_per_epoch = make_iter().num_batches
-    schedule = build_schedule(cfg, steps_per_epoch)
+    # the schedule advances per OPTIMIZER step: with accumulation the
+    # optimizer fires once per accum_freq host batches — scheduling on host
+    # batches would end the run only 1/accum into the decay curve
+    opt_steps_per_epoch = steps_per_epoch // max(1, cfg.solver.accum_freq)
+    schedule = build_schedule(cfg, max(1, opt_steps_per_epoch))
 
     params = build_params(cfg, cfg.seed)
     loss_cfg = LossConfig(
@@ -638,7 +659,9 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
                 logging.info(
                     "epoch %d step %d/%d loss %.4f (%.2f samples/s)",
                     epoch, i, steps_per_epoch, loss_meter.avg,
-                    cfg.dataloader.batch_size / max(step_time.avg, 1e-9),
+                    # each timed optimizer step consumed accum host batches
+                    cfg.dataloader.batch_size * accum
+                    / max(step_time.avg, 1e-9),
                 )
         for v in pending_losses:
             loss_meter.update(float(v))
