@@ -99,6 +99,12 @@ def infer_coca_config(sd) -> CoCaConfig:
     """Shape-sniff a CoCa state dict. Head counts are not recorded in torch
     state dicts — they default to width//64 (vision), 8 (pooler/decoder,
     the open_clip CoCa presets); pass an explicit cfg when they differ."""
+    if "visual.attn_pool.query" not in sd:
+        raise ValueError(
+            "coca checkpoint without an attentional pooler (the coca_base/"
+            "coca_roberta layout) — this converter covers the attn-pool + "
+            "CLIP-text layout (coca_ViT-B-32/L-14); build the model via "
+            "presets.create_preset and load the towers individually")
     vw = _g(sd, "visual.conv1.weight").shape[0]
     patch = _g(sd, "visual.conv1.weight").shape[-1]
     vlayers = _count_layers(sd, r"visual\.transformer\.resblocks\.(\d+)\.ln_1\.weight")
@@ -113,7 +119,10 @@ def infer_coca_config(sd) -> CoCaConfig:
         text_heads=max(1, w // 64),
         text_layers=_count_layers(sd, r"text\.transformer\.resblocks\.(\d+)\.ln_1\.weight"),
         decoder_layers=_count_layers(sd, r"text_decoder\.resblocks\.(\d+)\.ln_1\.weight"),
-        decoder_heads=8,
+        # every shipped coca config sets multimodal heads = width/64
+        # (B-32: 512/8, L-14/base: 768/12) — a hardcoded 8 silently ran
+        # 12-head-trained decoders with the wrong head grouping
+        decoder_heads=max(1, w // 64),
         n_queries=_g(sd, "visual.attn_pool.query").shape[0],
         attn_pooler_heads=8,
         vision=ViTConfig(

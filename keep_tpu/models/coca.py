@@ -165,13 +165,15 @@ def encode_image(params, pixels, cfg: CoCaConfig, *, dtype=jnp.float32,
     tokens = vit.forward(params["visual"], pixels, cfg.vision,
                          dtype=dtype, use_flash=use_flash)  # pool='none'
     if not cfg.use_attn_pool:
-        # coca_roberta path: no attentional pooler — ln_post over the trunk
-        # tokens, latent = CLS @ visual_proj, decoder context = patch tokens
-        # at trunk width (open_clip VisionTransformer._global_pool)
-        x = layer_norm(params["ln_post"], tokens, cfg.ln_eps)
-        latent = jnp.dot(x[:, 0], params["visual_proj"].astype(dtype),
+        # no-pool path (coca_base/coca_roberta): the reference pools FIRST
+        # and ln_posts only the pooled CLS (transformer.py:494-495
+        # `pooled, tokens = self._global_pool(x); pooled = self.ln_post(
+        # pooled)`) — the decoder context is the RAW patch tokens at trunk
+        # width, never LayerNormed
+        pooled = layer_norm(params["ln_post"], tokens[:, 0], cfg.ln_eps)
+        latent = jnp.dot(pooled, params["visual_proj"].astype(dtype),
                          preferred_element_type=jnp.float32).astype(dtype)
-        return l2_normalize(latent.astype(jnp.float32)), x[:, 1:]
+        return l2_normalize(latent.astype(jnp.float32)), tokens[:, 1:]
     p = params["attn_pool"]
     b = tokens.shape[0]
     heads = cfg.attn_pooler_heads
@@ -265,19 +267,14 @@ def generate(
     multiplied)."""
     b = pixels.shape[0]
     _, image_embs = encode_image(params, pixels, cfg, dtype=dtype)
-
-    @jax.jit
-    def step_logits(ids):
-        _, token_embs = encode_text(params, ids, cfg, dtype=dtype, embed_cls=False)
-        logits = decode(params, token_embs, image_embs, cfg, dtype=dtype)
-        return logits[:, -1]
+    step_logits = _make_stepper(params, cfg, image_embs, dtype)
 
     ids = np.full((b, 1), cfg.sot_id, np.int32)
     finished = np.zeros(b, bool)
     if key is None:
         key = jax.random.PRNGKey(0)
     for t in range(seq_len - 1):
-        logits = np.asarray(step_logits(jnp.asarray(ids))) / max(temperature, 1e-6)
+        logits = step_logits(ids) / max(temperature, 1e-6)
         if repetition_penalty != 1.0:
             for bi in range(b):
                 seen = np.unique(ids[bi])
@@ -295,8 +292,12 @@ def generate(
             probs /= probs.sum(-1, keepdims=True)
             sorted_p = np.take_along_axis(probs, order, axis=-1)
             cum = np.cumsum(sorted_p, axis=-1)
-            # keep tokens in the 1 − top_p quantile (reference knob docstring)
-            drop_sorted = cum > (1.0 - top_p)
+            # HF TopPLogitsWarper semantics — what the reference actually
+            # RUNS (coca_model.py:31,232): keep the smallest set whose mass
+            # reaches top_p, i.e. drop token i iff the mass BEFORE it
+            # already exceeds top_p. (The reference's "1 - top_p quantile"
+            # comment contradicts its own warper; behavior wins.)
+            drop_sorted = (cum - sorted_p) > top_p
             drop_sorted[:, 0] = False  # always keep the argmax
             drop = np.zeros_like(drop_sorted)
             np.put_along_axis(drop, order, drop_sorted, axis=-1)
@@ -428,26 +429,68 @@ def init(key: jax.Array, cfg: CoCaConfig, dtype=jnp.float32) -> dict:
     return out
 
 
+def _make_stepper(params, cfg: CoCaConfig, image_embs, dtype):
+    """ONE compiled next-token step. The causal CLIP tower right-pads the
+    (context-length-windowed) ids to a fixed width and reads logits at
+    ``cur_len - 1`` — causal attention makes right pads invisible to
+    earlier positions, so a single compile serves every step (the naive
+    growing-ids loop recompiled the full tower + decoder per token). The
+    roberta tower (hf_text) is bidirectional — pads would change earlier
+    positions — so it keeps the per-length path with the reference's
+    last-context window (coca_model.py:257)."""
+    w = cfg.context_length
+
+    if cfg.hf_text is None:
+        @jax.jit
+        def step(ids_pad, cur_len):
+            _, tok = encode_text(params, ids_pad, cfg, dtype=dtype,
+                                 embed_cls=False)
+            logits = decode(params, tok, image_embs, cfg, dtype=dtype)
+            return jax.lax.dynamic_index_in_dim(
+                logits, cur_len - 1, 1, keepdims=False)
+
+        def run(ids_np: np.ndarray) -> np.ndarray:
+            window = ids_np[:, -w:]
+            cur = window.shape[1]
+            pad = np.full((ids_np.shape[0], w - cur), cfg.pad_id, np.int32)
+            return np.asarray(
+                step(jnp.asarray(np.concatenate([window, pad], 1)), cur))
+    else:
+        @jax.jit
+        def step(ids):
+            _, tok = encode_text(params, ids, cfg, dtype=dtype,
+                                 embed_cls=False)
+            return decode(params, tok, image_embs, cfg, dtype=dtype)[:, -1]
+
+        def run(ids_np: np.ndarray) -> np.ndarray:
+            return np.asarray(step(jnp.asarray(ids_np[:, -w:])))
+
+    return run
+
+
 def generate_beam(
     params,
     pixels: Array,
     cfg: CoCaConfig,
     seq_len: int = 30,
     num_beams: int = 6,
+    min_seq_len: int = 0,
     dtype=jnp.float32,
 ) -> np.ndarray:
-    """Beam-search captioning (the reference's beam_search generation type,
-    coca_model.py:168+): length-normalized log-prob beams, EOS freezes a beam."""
+    """Beam-search captioning: length-normalized log-prob beams, EOS
+    freezes a beam, EOS suppressed below ``min_seq_len``.
+
+    Deviation from the reference's 'beam_search' type (documented, not
+    reproduced): the reference runs HuggingFace GROUPED diverse beam
+    search (num_beam_groups=3 with a diversity penalty,
+    coca_model.py:213-305); this is standard single-group beam search, so
+    selected beams can differ for the same weights. The parity-tested
+    generation surface is greedy/top-k/top-p (``generate``)."""
     b = pixels.shape[0]
     _, image_embs = encode_image(params, pixels, cfg, dtype=dtype)
     # expand image embeddings per beam: [B*K, n_q, W]
     embs_k = jnp.repeat(image_embs, num_beams, axis=0)
-
-    @jax.jit
-    def step_logits(ids):
-        _, token_embs = encode_text(params, ids, cfg, dtype=dtype, embed_cls=False)
-        logits = decode(params, token_embs, embs_k, cfg, dtype=dtype)
-        return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    stepper = _make_stepper(params, cfg, embs_k, dtype)
 
     k, v = num_beams, cfg.vocab_size
     ids = np.full((b, k, 1), cfg.sot_id, np.int32)
@@ -456,8 +499,11 @@ def generate_beam(
     finished = np.zeros((b, k), bool)
 
     for t in range(seq_len - 1):
-        logp = np.asarray(step_logits(jnp.asarray(ids.reshape(b * k, -1))))
+        raw = stepper(ids.reshape(b * k, -1)).astype(np.float32)
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(raw), axis=-1))
         logp = logp.reshape(b, k, v)
+        if ids.shape[2] < min_seq_len:
+            logp[:, :, cfg.eos_id] = -1e9
         # frozen beams only extend with pad at no cost
         pad_only = np.full((b, k, v), -1e9)
         pad_only[:, :, cfg.pad_id] = 0.0

@@ -121,9 +121,9 @@ PRESETS: dict[str, dict] = {
     "mt5-base-ViT-B-32": {"embed_dim": 512, "vision": {"kind": _VIT, "image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"kind": "mt5", "vocab_size": 250112, "width": 768, "heads": 12, "layers": 12, "d_ff": 2048, "proj": "mlp"}},
     "mt5-xl-ViT-H-14": {"embed_dim": 1024, "vision": {"kind": _VIT, "image_size": 224, "layers": 32, "width": 1280, "head_width": 80, "patch_size": 14}, "text": {"kind": "mt5", "vocab_size": 250112, "width": 2048, "heads": 32, "layers": 24, "d_ff": 5120, "proj": "mlp"}},
     # --- CoCa --------------------------------------------------------------
-    "coca_ViT-B-32": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32}, "text": {"width": 512, "heads": 8, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 8, "attn_pooler_heads": 8}},
-    "coca_ViT-L-14": {"embed_dim": 768, "family": "coca", "vision": {"image_size": 224, "layers": 24, "width": 1024, "patch_size": 14}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 12}},
-    "coca_base": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 288, "layers": 12, "width": 768, "patch_size": 18}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 64000}, "multimodal": {"layers": 12, "heads": 12, "attn_pooler_heads": 8, "n_queries": 256}},
+    "coca_ViT-B-32": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32, "attentional_pool": True, "attn_pooler_heads": 8}, "text": {"width": 512, "heads": 8, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 8}},
+    "coca_ViT-L-14": {"embed_dim": 768, "family": "coca", "vision": {"image_size": 224, "layers": 24, "width": 1024, "patch_size": 14, "attentional_pool": True, "attn_pooler_heads": 8}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 49408}, "multimodal": {"layers": 12, "heads": 12}},
+    "coca_base": {"embed_dim": 512, "family": "coca", "vision": {"image_size": 288, "layers": 12, "width": 768, "patch_size": 18}, "text": {"width": 768, "heads": 12, "layers": 12, "vocab_size": 64000}, "multimodal": {"layers": 12, "heads": 12, "n_queries": 256}},
     # CoCa with a RoBERTa token tower: no attentional pooler (decoder
     # cross-attends raw ViT patch tokens at trunk width 768 == multimodal
     # width), roberta hidden states feed the decoder
@@ -273,7 +273,11 @@ def resolve(name: str) -> ResolvedPreset:
             text_width=t["width"], text_heads=t["heads"],
             text_layers=t["layers"], decoder_layers=mm["layers"],
             decoder_heads=mm["heads"],
-            attn_pooler_heads=mm.get("attn_pooler_heads", 8),
+            # the pooler belongs to the VISION cfg (model/model.py:135-137;
+            # coca_base has none, and coca_ViT-L-14's pooler runs 8 heads —
+            # its multimodal attn_pooler_heads=12 is dead config)
+            use_attn_pool=v.get("attentional_pool", False),
+            attn_pooler_heads=v.get("attn_pooler_heads", 8),
             n_queries=mm.get("n_queries", 256),
             vision=vision,
             sot_id=t["vocab_size"] - 2, eos_id=t["vocab_size"] - 1,
@@ -460,12 +464,21 @@ def create_preset(name: str, seed: int = 0, dtype=jnp.float32):
         from keep_tpu.models import coca
 
         params = coca.init(jax.random.PRNGKey(seed), r.text_cfg, dtype)
+
+        # uniform PresetModel surface: [B, E] latents (already normalized —
+        # the reference's CLIP-facing CoCa.encode_image/encode_text return
+        # the latent alone, coca_model.py:145-151). The decoder-context
+        # tokens stay reachable via coca.encode_image/encode_text directly.
+        def coca_encode_image(p, x, *, normalize=False, **kw):
+            return coca.encode_image(p, x, r.text_cfg, **kw)[0]
+
+        def coca_encode_text(p, ids, *, normalize=False, **kw):
+            return coca.encode_text(p, ids, r.text_cfg, **kw)[0]
+
         return params, PresetModel(
             preset=r,
-            encode_image=lambda p, x, **kw: coca.encode_image(
-                p, x, r.text_cfg, **kw),
-            encode_text=lambda p, ids, **kw: coca.encode_text(
-                p, ids, r.text_cfg, **kw),
+            encode_image=coca_encode_image,
+            encode_text=coca_encode_text,
             forward=lambda p, x, ids, **kw: coca.forward(
                 p, x, ids, r.text_cfg, **kw),
         )

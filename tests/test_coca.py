@@ -214,3 +214,77 @@ def test_coca_loss_composite(params, rng):
     l2 = coca_loss(out, caption_weight=2.0)
     cap = caption_loss(out["logits"], out["labels"], pad_id=CFG.pad_id)
     assert float(l2) == pytest.approx(float(l0) + 2.0 * float(cap), rel=1e-5)
+
+
+def test_top_p_is_hf_nucleus_semantics(params, rng):
+    """top_p keeps the smallest prefix whose mass reaches top_p — what the
+    reference RUNS (HF TopPLogitsWarper; its '1 - top_p quantile' comment
+    contradicts its own warper). Regression: the old code kept the
+    complement nucleus."""
+    probs = np.array([0.5, 0.3, 0.15, 0.05])
+    logits = np.log(probs)[None]
+    order = np.argsort(-logits, axis=-1)
+    sorted_p = np.take_along_axis(
+        np.exp(logits - logits.max(-1, keepdims=True))
+        / np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True),
+        order, axis=-1)
+    cum = np.cumsum(sorted_p, axis=-1)
+    keep_09 = ~((cum - sorted_p) > 0.9)
+    keep_01 = ~((cum - sorted_p) > 0.1)
+    np.testing.assert_array_equal(keep_09[0], [True, True, True, False])
+    np.testing.assert_array_equal(keep_01[0], [True, False, False, False])
+
+
+def test_no_pool_decoder_context_is_raw_tokens(rng):
+    """coca_base/no-pool path: the decoder context must be the RAW trunk
+    patch tokens (reference ln_posts only the pooled CLS,
+    transformer.py:494-495)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_attn_pool=False)
+    p = coca.init(jax.random.PRNGKey(3), cfg)
+    # make ln_post non-trivial so a normalized context would differ
+    p["ln_post"]["scale"] = p["ln_post"]["scale"] * 3.0 + 1.0
+    px = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    latent, context = coca.encode_image(p, px, cfg)
+    from keep_tpu.models import vit as _vit
+
+    raw = _vit.forward(p["visual"], px, cfg.vision)
+    np.testing.assert_allclose(np.asarray(context), np.asarray(raw[:, 1:]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(latent), axis=1),
+                               1.0, atol=1e-5)
+
+
+def test_coca_base_preset_builds_and_forwards():
+    """coca_base has NO attentional pooler in the reference config —
+    regression: resolve() used to give it one and forward crashed."""
+    from keep_tpu import presets
+
+    r = presets.resolve("coca_base")
+    assert r.text_cfg.use_attn_pool is False
+    r32 = presets.resolve("coca_ViT-B-32")
+    assert r32.text_cfg.use_attn_pool is True
+    assert r32.text_cfg.attn_pooler_heads == 8
+    rl14 = presets.resolve("coca_ViT-L-14")
+    # vision cfg's 8 pooler heads, NOT the dead multimodal 12
+    assert rl14.text_cfg.attn_pooler_heads == 8
+    assert rl14.text_cfg.decoder_heads == 12
+
+
+def test_preset_coca_encode_returns_latent_array():
+    """The PresetModel surface is uniform: encode_* return [B, E] arrays
+    (normalize kwarg accepted), not (latent, tokens) tuples. Checked via
+    eval_shape (no compute)."""
+    from keep_tpu import presets
+
+    params, model = presets.create_preset("coca_ViT-B-32")
+    out = jax.eval_shape(
+        lambda p, x: model.encode_image(p, x, normalize=True),
+        params, jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.float32))
+    assert isinstance(out, jax.ShapeDtypeStruct), type(out)
+    assert out.shape == (1, 512)
+    tout = jax.eval_shape(
+        lambda p, i: model.encode_text(p, i, normalize=True),
+        params, jax.ShapeDtypeStruct((2, 77), jnp.int32))
+    assert isinstance(tout, jax.ShapeDtypeStruct) and tout.shape == (2, 512)
