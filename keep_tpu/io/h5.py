@@ -39,10 +39,10 @@ class WSIDataset:
         return len(self.df)
 
     def slide_id(self, idx: int) -> str:
-        return str(self.df.loc[idx, self.index_col])
+        return str(self.df.iloc[idx][self.index_col])
 
     def label(self, idx: int):
-        lbl = self.df.loc[idx, self.target_col]
+        lbl = self.df.iloc[idx][self.target_col]
         if self.label_map is not None:
             lbl = self.label_map[lbl]
         return lbl

@@ -51,9 +51,12 @@ def roc_curve(y_true: np.ndarray, y_score: np.ndarray):
     return fps / fps[-1], tps / tps[-1], thresholds
 
 
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 fallback
+
+
 def auroc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     fpr, tpr, _ = roc_curve(y_true, y_score)
-    return float(np.trapezoid(tpr, fpr))
+    return float(_trapezoid(tpr, fpr))
 
 
 def roc_best_threshold(y_true: np.ndarray, y_score: np.ndarray) -> tuple[float, float]:
@@ -61,7 +64,7 @@ def roc_best_threshold(y_true: np.ndarray, y_score: np.ndarray) -> tuple[float, 
     operating point (segment_utils.py:113-119)."""
     fpr, tpr, thresholds = roc_curve(y_true, y_score)
     best = int(np.argmax(tpr - fpr))
-    return float(np.trapezoid(tpr, fpr)), float(thresholds[best])
+    return float(_trapezoid(tpr, fpr)), float(thresholds[best])
 
 
 def auroc_device(y_true, y_score) -> "jnp.ndarray":
@@ -108,9 +111,12 @@ def confusion_binary(y_true, y_pred) -> tuple[int, int, int, int]:
 
 
 def sensitivity_specificity(y_true, y_pred) -> tuple[float, float]:
-    """(detection_utils.py:76-86)."""
+    """(detection_utils.py:76-86). A cohort missing one class yields nan
+    for that side (matching the comment above), not ZeroDivisionError."""
     tp, fp, tn, fn = confusion_binary(y_true, y_pred)
-    return tp / float(tp + fn), tn / float(tn + fp)
+    sens = tp / float(tp + fn) if (tp + fn) else float("nan")
+    spec = tn / float(tn + fp) if (tn + fp) else float("nan")
+    return sens, spec
 
 
 def balanced_accuracy(y_true, y_pred) -> float:
@@ -177,7 +183,9 @@ def classification_metrics(y_true, y_pred, y_pred_proba=None) -> dict:
     def safe(n, d):
         return float(n / d) if d else float("nan")
 
-    if y_pred_proba is None or len(np.unique(y_true)) > 2:
+    if y_pred_proba is None or len(np.unique(y_true)) != 2:
+        # multiclass AND degenerate single-class cohorts both yield nan
+        # (roc_curve needs exactly two classes)
         auc_v = float("nan")
     else:
         auc_v = auroc(y_true, y_pred_proba)

@@ -42,9 +42,18 @@ def load_kidrare_labels(path: str, tumor_name: Optional[str] = None) -> tuple[di
     values = sorted(set(slides.values()))
     if "Normal" in values:
         others = [v for v in values if v != "Normal"]
-        tumor = tumor_name if tumor_name in others else others[0]
-        if len(others) != 1 and tumor_name is None:
-            raise ValueError(f"ambiguous tumor label among {others} in {path}")
+        if tumor_name is not None:
+            if tumor_name not in others:
+                # a typo'd tumor name must not silently score against a
+                # different positive class
+                raise ValueError(
+                    f"tumor_name {tumor_name!r} not among {others} in {path}")
+            tumor = tumor_name
+        else:
+            if len(others) != 1:
+                raise ValueError(
+                    f"ambiguous tumor label among {others} in {path}")
+            tumor = others[0]
         label_map = {"Normal": 0, tumor: 1}
     else:
         label_map = {v: i for i, v in enumerate(values)}
@@ -57,9 +66,15 @@ def detection_cohort(
     patch_size: int = 256,
     overlap: bool = False,
     threshold: float = 0.5,
+    slide_threshold: float = 0.5,
 ) -> dict:
-    """Per-slide tumor probability → cohort AUROC + sens/spec at 0.5
-    (detection driver + calculate_metric, detection_utils.py:76-100)."""
+    """Per-slide tumor probability → cohort AUROC + sens/spec.
+
+    ``threshold`` is the PER-PATCH tumor cutoff (the reference's fixed 0.5
+    on the softmax, detection_utils.py:88-100); ``slide_threshold`` is the
+    slide-level sens/spec operating point (the reference's 0.5,
+    detection_utils.py:76-86). They are independent knobs — the old single
+    threshold silently moved both."""
     probs, labels, per_slide = [], [], {}
     for item in Prefetcher(dataset):
         p = zero_shot_detection(
@@ -75,7 +90,8 @@ def detection_cohort(
     out = {"per_slide": per_slide, "n": len(probs)}
     if len(np.unique(labels_a)) == 2:
         out["auroc"] = auroc(labels_a, probs_a)
-        sens, spec = sensitivity_specificity(labels_a, (probs_a > threshold).astype(int))
+        sens, spec = sensitivity_specificity(
+            labels_a, (probs_a > slide_threshold).astype(int))
         out["sensitivity"], out["specificity"] = sens, spec
     return out
 

@@ -250,6 +250,11 @@ def main(argv=None):
                 stem = os.path.splitext(os.path.basename(path))[0]
                 out = os.path.join(h5_dir, stem + ".h5")
                 n = _extract_one(model, args, path, out, mesh)
+                # the flat-image tile cache exists only so the FIRST
+                # slide's calib pass + extract share one decode — holding
+                # slide k's tiles while slide k+1 decodes would double
+                # peak host memory across the sweep
+                _flat_cache.clear()
                 logging.info("%s: %d tiles -> %s", stem, n, out)
                 total += n
             print(f"wrote {total} features across {len(slides)} slides "
@@ -311,12 +316,18 @@ def main(argv=None):
     first = ds[0]
     classifier = build_ensemble(model, tokenizer, prompts, label_map,
                                 first["features"], args)
+
+    def slides():  # reuse the screening slide's features (no double read)
+        yield first
+        for i in range(1, len(ds)):
+            yield ds[i]
+
     if args.task == "detection":
-        out = cohort_mod.detection_cohort(classifier, ds,
+        out = cohort_mod.detection_cohort(classifier, slides(),
                                           patch_size=args.patch_size,
                                           threshold=args.threshold)
     elif args.task == "subtyping":
-        out = cohort_mod.subtyping_cohort(classifier, ds,
+        out = cohort_mod.subtyping_cohort(classifier, slides(),
                                           patch_size=args.patch_size)
     else:
         if not args.mask_dir:
@@ -325,7 +336,7 @@ def main(argv=None):
         import os
 
         provider = lambda sid: np.load(os.path.join(args.mask_dir, sid + ".npy"))
-        out = cohort_mod.segmentation_cohort(classifier, ds, provider,
+        out = cohort_mod.segmentation_cohort(classifier, slides(), provider,
                                              patch_size=args.patch_size)
     out.pop("per_slide", None)
     print(json.dumps(out, indent=2, default=float))

@@ -87,3 +87,20 @@ def test_clip_retrieval_metrics(rng):
     m = clip_retrieval_metrics(f, f)  # identical pairs → perfect retrieval
     assert m["image_to_text_R@1"] == 1.0
     assert m["text_to_image_mean_rank"] == 1.0
+
+
+def test_degenerate_cohorts_yield_nan_not_crash():
+    """Single-class cohorts: AUC nan (not roc_curve ValueError), sens/spec
+    nan on the missing side (not ZeroDivisionError) — regressions."""
+    from keep_tpu.metrics.classification import (
+        classification_metrics,
+        sensitivity_specificity,
+    )
+
+    m = classification_metrics([1, 1, 1], [1, 0, 1],
+                               y_pred_proba=[0.9, 0.2, 0.8])
+    assert np.isnan(m["AUC"])
+    sens, spec = sensitivity_specificity([1, 1, 1, 1], [1, 0, 1, 1])
+    assert sens == 0.75 and np.isnan(spec)
+    sens2, spec2 = sensitivity_specificity(["a", "b"], ["a", "b"])
+    assert np.isnan(sens2) and np.isnan(spec2)

@@ -296,3 +296,42 @@ def test_empty_coords_clear_error():
 
     with pytest.raises(ValueError, match="empty coords"):
         CoordGrid.from_coords(np.zeros((0, 2), np.int64), 256)
+
+
+def test_wsidataset_respects_dataframe_order(tmp_path, rng):
+    """Filtered/shuffled cohort dataframes must iterate POSITIONALLY
+    (regression: .loc indexing crashed on filtered frames and silently
+    used CSV order on shuffled ones)."""
+    import h5py
+    import pandas as pd
+
+    from keep_tpu.io.h5 import WSIDataset
+
+    d = tmp_path / "src"
+    (d / "h5_files").mkdir(parents=True)  # CLAM layout
+    for sid in ("s0", "s1", "s2"):
+        with h5py.File(str(d / "h5_files" / f"{sid}.h5"), "w") as f:
+            f.create_dataset(
+                "features", data=rng.standard_normal((4, 8)).astype(np.float32))
+            f.create_dataset("coords", data=np.zeros((4, 2), np.int64))
+    df = pd.DataFrame({"slide_id": ["s0", "s1", "s2"],
+                       "Diagnosis": ["Normal", "Tumor", "Tumor"]})
+    filtered = df[df.Diagnosis == "Tumor"]  # index [1, 2]
+    ds = WSIDataset(filtered, str(d), label_map={"Normal": 0, "Tumor": 1})
+    assert len(ds) == 2
+    assert ds[0]["slide_id"] == "s1"  # positional, not label-based
+    assert ds[1]["slide_id"] == "s2"
+
+
+def test_kidrare_typod_tumor_name_raises(tmp_path):
+    import json as _json
+
+    from keep_tpu.wsi.cohort import load_kidrare_labels
+
+    p = tmp_path / "labels.json"
+    p.write_text(_json.dumps({"a": "Normal", "b": "Hepatoblastoma",
+                              "c": "Nephroblastoma"}))
+    with pytest.raises(ValueError, match="not among"):
+        load_kidrare_labels(str(p), "Nephroblastma")  # typo
+    slides, lm = load_kidrare_labels(str(p), "Nephroblastoma")
+    assert lm == {"Normal": 0, "Nephroblastoma": 1}
