@@ -77,10 +77,15 @@ class BPETokenizer:
         opener = gzip.open if merges_path.endswith(".gz") else open
         with opener(merges_path, "rt", encoding="utf-8") as f:
             merges = f.read().split("\n")
-        # open_clip slices [1:49152-256-2+1]; accept plain merges files too
+        # open_clip slices [1:49152-256-2+1] (tokenizer.py:76): the stock
+        # bpe_simple_vocab_16e6 file carries ~262K merge lines but only the
+        # first 48,894 participate — ingesting them all would grow the
+        # vocab past every preset's 49,408 embedding table. Accept plain
+        # (shorter, headerless) merges files too.
         if merges and merges[0].startswith("#"):
             merges = merges[1:]
         merges = [tuple(m.split()) for m in merges if m and len(m.split()) == 2]
+        merges = merges[: 49152 - 256 - 2]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
 
         vocab = list(bytes_to_unicode().values())

@@ -61,6 +61,19 @@ def _load_lib():
 class FastWordPieceTokenizer:
     """Drop-in for ``WordPieceTokenizer.__call__`` with the native fast path."""
 
+    # route to Python when the C scanner would diverge: non-ASCII, NUL
+    # (C-string truncation), control chars incl. DEL (Python's _clean drops
+    # category Cc), and '[' — whitespace-delimited never_split specials
+    # like '[MASK]' must stay whole, which the C punctuation splitter
+    # doesn't know about
+    _PY_ONLY = set("[\x00\x7f") | {
+        chr(c) for c in range(0x20) if chr(c) not in "\t\n\r\x0b\x0c"
+    }
+
+    @classmethod
+    def _fast_ok(cls, text: str) -> bool:
+        return text.isascii() and not (cls._PY_ONLY & set(text))
+
     def __init__(self, vocab_path: str, lower_case: bool = True):
         self.python = WordPieceTokenizer(vocab_path, lower_case=lower_case)
         self.lib = _load_lib()
@@ -79,8 +92,12 @@ class FastWordPieceTokenizer:
     ) -> dict[str, np.ndarray]:
         if isinstance(texts, str):
             texts = [texts]
-        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
-        other_idx = [i for i in range(len(texts)) if i not in set(ascii_idx)]
+        if max_length < 2:
+            raise ValueError(f"max_length must be >= 2 ([CLS]+[SEP]); "
+                             f"got {max_length}")
+        ok = self._fast_ok
+        ascii_idx = [i for i, t in enumerate(texts) if ok(t)]
+        other_idx = [i for i in range(len(texts)) if not ok(texts[i])]
 
         ids = np.zeros((len(texts), max_length), np.int32)
         mask = np.zeros((len(texts), max_length), np.int32)
@@ -191,9 +208,11 @@ class FastBPETokenizer:
 
     # chars the C scanner treats differently from Python: non-ASCII (regex
     # \p classes + multi-byte BPE), '&' (html.unescape), '<' (literal
-    # special tokens), NUL (C string truncation), and control chars outside
-    # \t\n\r\v\f (Python's \s matches \x1c-\x1f; the C is_space doesn't)
-    _PY_ONLY = set("&<\x00") | {
+    # special tokens), NUL (C string truncation), control chars outside
+    # \t\n\r\v\f (Python's \s matches \x1c-\x1f; the C is_space doesn't),
+    # and DEL (byte_encoder maps 0x7f to a multi-byte symbol the C's raw
+    # bytes miss — it produced id -1 on the fast path)
+    _PY_ONLY = set("&<\x00\x7f") | {
         chr(c) for c in range(0x20) if chr(c) not in "\t\n\r\x0b\x0c"
     }
 

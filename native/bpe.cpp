@@ -241,6 +241,7 @@ void* bpe_create(const char* merges_path) {
 
   std::string line;
   bool first = true;
+  int32_t merge_no = 0;  // line index — Python ranks are dict(zip(m, range))
   while (std::getline(f, line)) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
     if (first && !line.empty() && line[0] == '#') {
@@ -251,9 +252,13 @@ void* bpe_create(const char* merges_path) {
     std::istringstream ss(line);
     std::string a, b, extra;
     if (!(ss >> a >> b) || (ss >> extra)) continue;
-    t->ranks.emplace(std::make_pair(a, b),
-                     static_cast<int32_t>(t->ranks.size()));
-    t->encoder.emplace(a + b, idx++);
+    // open_clip slices merges[1:49152-256-2+1] (tokenizer.py:76): only the
+    // first 48,894 merges of the stock 262K-line file participate
+    if (merge_no >= 49152 - 256 - 2) break;
+    // last-wins on duplicates with non-compacted indices, matching
+    // Python's dict(zip(merges, range(len(merges)))) exactly
+    t->ranks[std::make_pair(a, b)] = merge_no++;
+    t->encoder[a + b] = idx++;
   }
   t->sot = idx;
   t->encoder.emplace("<|startoftext|>", idx++);
@@ -272,6 +277,7 @@ int bpe_vocab_size(void* handle) {
 // zero-padded to context_length. Returns the unpadded length.
 int bpe_encode(void* handle, const char* text, int context_length,
                int32_t* out_ids) {
+  if (context_length < 2) return -1;  // SOT + EOT minimum; negative resize = UB
   auto& t = *static_cast<BPE*>(handle);
   std::string cleaned = clean_lower(text);
   std::vector<std::string> words;

@@ -113,7 +113,8 @@ void* wp_create(const char* vocab_path, int lower_case) {
   int32_t idx = 0;
   while (std::getline(f, line)) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
-    if (!line.empty()) t->vocab.emplace(line, idx);
+    // last-wins on duplicate lines, matching Python's dict overwrite
+    if (!line.empty()) t->vocab[line] = idx;
     ++idx;
   }
   auto get = [&](const char* tok) {
@@ -141,6 +142,8 @@ int wp_vocab_size(void* handle) {
 // ids and max_length mask entries; returns the unpadded length.
 int wp_encode(void* handle, const char* text, int max_length, int32_t* out_ids,
               int32_t* out_mask) {
+  if (max_length < 2) return -1;  // [CLS]+[SEP] minimum; a negative
+  // resize converts to SIZE_MAX and aborts across the C ABI
   const auto& t = *static_cast<Tokenizer*>(handle);
   std::vector<int32_t> ids;
   ids.reserve(64);

@@ -188,3 +188,47 @@ def test_bpe_control_chars_route_to_python(bpe_tokenizers):
     for t in texts:
         assert not fast._fast_ok(t), repr(t)
     np.testing.assert_array_equal(fast(texts), ref(texts))
+
+
+def test_wordpiece_special_and_control_inputs_route_to_python(tokenizers):
+    """Inputs the C scanner mishandles must take the Python path and match
+    it exactly: '[MASK]'-style never_split specials (C splits at '['),
+    embedded NUL (C-string truncation), DEL (Python drops category Cc)."""
+    fast, py = tokenizers
+    texts = ["an [MASK] image", "an\x00image", "a\x7fb", "plain ascii ."]
+    got = fast(texts, max_length=16)
+    want = py(texts, max_length=16)
+    np.testing.assert_array_equal(got["input_ids"], want["input_ids"])
+    np.testing.assert_array_equal(got["attention_mask"],
+                                  want["attention_mask"])
+
+
+def test_wordpiece_max_length_guard(tokenizers):
+    fast, _ = tokenizers
+    with pytest.raises(ValueError, match="max_length"):
+        fast(["an image"], max_length=1)
+
+
+def test_bpe_del_byte_routes_to_python(bpe_tokenizers):
+    """DEL is ASCII but byte_encoder maps it to a multi-byte symbol the C
+    fast path missed (it returned id -1) — must route to Python."""
+    fast, py = bpe_tokenizers
+    texts = ["hello\x7fworld"]
+    np.testing.assert_array_equal(fast(texts), py(texts))
+    assert (fast(texts) >= 0).all()
+
+
+def test_bpe_merges_capped_at_openclip_slice(tmp_path):
+    """Loaders apply open_clip's merges[1:49152-256-2+1] slice: a file with
+    MORE merge lines must not grow the vocab past 49,408."""
+    from keep_tpu.text.bpe import BPETokenizer
+
+    cap = 49152 - 256 - 2
+    lines = ["#version: 0.2"]
+    # synthetic but well-formed merge lines beyond the cap
+    for i in range(cap + 50):
+        lines.append(f"a{i} b{i}")
+    p = tmp_path / "merges.txt"
+    p.write_text("\n".join(lines))
+    tok = BPETokenizer(str(p))
+    assert len(tok.bpe_ranks) == cap
