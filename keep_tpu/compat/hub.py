@@ -67,18 +67,23 @@ def save_for_hub(
     if not skip_weights:
         arrays = {k: np.asarray(v) for k, v in state_dict.items()}
         np.savez(os.path.join(save_directory, "weights.npz"), **arrays)
+        # preserve each entry's dtype (int buffers, bool masks, bf16) —
+        # a blanket float32 cast corrupted non-float entries and made the
+        # .bin/.safetensors artifacts disagree with weights.npz
+        def keep_dtype(v):
+            a = np.ascontiguousarray(v)
+            return a.astype(np.float32) if a.dtype == np.float64 else a
+
         if safe_serialization in (True, "both"):
             from safetensors.numpy import save_file
 
-            save_file(
-                {k: np.ascontiguousarray(v, np.float32) for k, v in
-                 arrays.items()},
-                os.path.join(save_directory, HF_SAFE_WEIGHTS_NAME))
+            save_file({k: keep_dtype(v) for k, v in arrays.items()},
+                      os.path.join(save_directory, HF_SAFE_WEIGHTS_NAME))
         if safe_serialization in (False, "both"):
             try:
                 import torch
 
-                sd = {k: torch.from_numpy(np.asarray(v, np.float32).copy())
+                sd = {k: torch.from_numpy(keep_dtype(v).copy())
                       for k, v in arrays.items()}
                 torch.save(sd, os.path.join(save_directory, HF_WEIGHTS_NAME))
             except ImportError:
@@ -140,10 +145,13 @@ def push_to_hub(
     model_card: Optional[dict] = None,
     hub_root: Optional[str] = None,
     register: bool = True,
+    safe_serialization="both",
 ) -> str:
     """``push_to_hf_hub`` (push_to_hf_hub.py:84-193) against a LOCAL hub
     tree (zero-egress). Returns the repo directory. A README is generated
-    only when absent, mirroring the reference's has_readme check."""
+    only when absent, mirroring the reference's has_readme check.
+    ``safe_serialization`` defaults to 'both' like the reference (.bin +
+    .safetensors), so hub consumers without torch can load the repo."""
     if "/" not in repo_id:
         raise ValueError(f"repo_id must be 'owner/name', got {repo_id!r}")
     root = hub_root or default_hub_root()
@@ -152,7 +160,8 @@ def push_to_hub(
 
     save_for_hub(repo_dir, state_dict, model_config=model_config,
                  preprocess_cfg=preprocess_cfg,
-                 tokenizer_files=tokenizer_files)
+                 tokenizer_files=tokenizer_files,
+                 safe_serialization=safe_serialization)
 
     readme_path = os.path.join(repo_dir, "README.md")
     if not os.path.exists(readme_path):

@@ -157,9 +157,11 @@ def download_pretrained_from_url(
 
 def resolve(name: str, verify: bool = True) -> str:
     """Registry name → verified local path. Entries carrying a ``url`` are
-    fetched into the cache when absent (download_pretrained semantics,
-    pretrained.py:400-427); URL-less entries raise FileNotFoundError with
-    download directions (the zero-egress default)."""
+    fetched into the cache when absent — FILE entries only
+    (download_pretrained semantics, pretrained.py:400-427; directory
+    entries have no archive convention and are never auto-fetched);
+    URL-less entries raise FileNotFoundError with download directions
+    (the zero-egress default)."""
     reg = entries()
     if name not in reg:
         known = ", ".join(sorted(reg))
@@ -177,10 +179,14 @@ def resolve(name: str, verify: bool = True) -> str:
             os.replace(fetched, p)
         ok = os.path.isfile(p)
     if not ok:
+        hint = ""
+        if e.url and e.kind == "dir":
+            hint = (" (its url is not auto-fetched: directory entries have "
+                    "no archive convention — fetch/extract it yourself)")
         raise FileNotFoundError(
             f"pretrained '{name}' not found at {p}. This environment cannot "
             f"download; obtain it from: {e.source} and place it at that path "
-            f"(or set KEEP_TPU_HOME / edit registry.json)."
+            f"(or set KEEP_TPU_HOME / edit registry.json).{hint}"
         )
     if verify and e.sha256 and e.kind == "file":
         got = sha256_file(p)

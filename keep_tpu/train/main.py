@@ -237,7 +237,13 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     if cfg.save.remote_sync and jax.process_index() == 0:
         from keep_tpu.train.sync import remote_sync, start_sync_process
 
-        remote_sync(ckpt_dir, cfg.save.remote_sync)  # fail fast on bad target
+        # fail fast on a bad target (the reference exits -1 here,
+        # main.py:186-192) — a silently broken sync would lose every
+        # checkpoint to a local-disk failure days later
+        if not remote_sync(ckpt_dir, cfg.save.remote_sync):
+            raise RuntimeError(
+                f"initial remote sync to {cfg.save.remote_sync} failed — "
+                "fix save.remote_sync before training")
         sync_proc = start_sync_process(
             cfg.save.remote_sync_frequency, ckpt_dir, cfg.save.remote_sync
         )
@@ -323,6 +329,11 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
         freeze_visual_epochs=cfg.solver.freeze_visual_epochs,
         freeze_text_epochs=cfg.solver.freeze_text_epochs,
         freeze_knowledge_epochs=cfg.solver.freeze_knowledge_epochs,
+        # reference condition (freeze_scheduler.py:27-36): with a
+        # knowledge-BERT checkpoint configured the WHOLE text tower
+        # freezes incl. mlp_embed; only the from-scratch text tower keeps
+        # its head trainable through a freeze phase
+        keep_text_head_open=not bool(cfg.model.pretrained_text),
     )
     dtype = jnp.bfloat16 if "bf16" in cfg.model.precision else jnp.float32
     use_flash = cfg.model.use_flash and jax.default_backend() == "tpu"

@@ -24,9 +24,19 @@ def _should_skip(name: str) -> bool:
     return "latest" in name or name.endswith(".tmp") or "-tmp" in name
 
 
+def _walk(local_dir: str):
+    """os.walk that PRUNES skip-worthy directories: Orbax async saves write
+    under `<step>.orbax-checkpoint-tmp-<ts>/` — the files inside carry no
+    'tmp' in their basenames, so a name-only filter synced half-written
+    shards and left stale tmp dirs on the remote forever."""
+    for root, dirs, files in os.walk(local_dir):
+        dirs[:] = [d for d in dirs if not _should_skip(d)]
+        yield root, dirs, files
+
+
 def sync_local(local_dir: str, remote_dir: str) -> bool:
     os.makedirs(remote_dir, exist_ok=True)
-    for root, _, files in os.walk(local_dir):
+    for root, _, files in _walk(local_dir):
         rel = os.path.relpath(root, local_dir)
         for fname in files:
             if _should_skip(fname):
@@ -47,7 +57,7 @@ def sync_fsspec(local_dir: str, remote_dir: str) -> bool:
         logging.error("fsspec unavailable for remote sync to %s", remote_dir)
         return False
     fs, _ = fsspec.core.url_to_fs(remote_dir)
-    for root, _, files in os.walk(local_dir):
+    for root, _, files in _walk(local_dir):
         rel = os.path.relpath(root, local_dir)
         for fname in files:
             if _should_skip(fname):
@@ -56,6 +66,14 @@ def sync_fsspec(local_dir: str, remote_dir: str) -> bool:
             dst = "/".join(
                 x for x in [remote_dir.rstrip("/"), rel if rel != "." else "", fname] if x
             )
+            # size-match skip: checkpoints are immutable once written
+            # (sync_local's mtime guard analog — without it every pass
+            # re-uploaded the full multi-GB tree)
+            try:
+                if fs.exists(dst) and fs.info(dst).get("size") == os.path.getsize(src):
+                    continue
+            except Exception:
+                pass  # unknown remote state → upload
             fs.put(src, dst)
     return True
 

@@ -49,6 +49,11 @@ class Prefetcher:
         self._thread.start()
 
     def __iter__(self):
+        if self._closed.is_set():
+            # the producer already exited; a second pass would block on an
+            # empty queue forever — fail fast (one Prefetcher per epoch)
+            raise RuntimeError("Prefetcher is single-use; construct a new "
+                               "one per iteration")
         try:
             while True:
                 item = self._q.get()
