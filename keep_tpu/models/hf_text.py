@@ -86,7 +86,12 @@ def forward(params: dict, input_ids: Array, cfg: HFTextConfig, *,
         m = mask[:, :, None].astype(h.dtype)
         pooled = (h * m).sum(axis=1) / m.sum(axis=1)
     elif cfg.pooler == "cls":
-        pooled = h[:, 0]
+        # reference ClsPooler(use_pooler_output=True): the tanh-dense
+        # pooler_output when the trunk has one (BERT does), raw CLS
+        # otherwise (hf_model.py:64-80)
+        pooled = out.get("pooler_output")
+        if pooled is None:
+            pooled = h[:, 0]
     else:
         raise ValueError(f"unknown pooler {cfg.pooler!r}")
     if cfg.proj == "mlp":
@@ -99,7 +104,9 @@ def forward(params: dict, input_ids: Array, cfg: HFTextConfig, *,
 
         pooled = l2_normalize(pooled.astype(jnp.float32))
     if output_tokens:
-        return pooled, h
+        # ClsPooler drops the CLS position from the token stream
+        # (hf_model.py:160-165); other poolers keep all positions
+        return pooled, (h[:, 1:] if cfg.pooler == "cls" else h)
     return pooled
 
 

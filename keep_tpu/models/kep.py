@@ -129,13 +129,33 @@ def init(key: jax.Array, cfg: KEPConfig, dtype=jnp.float32) -> dict:
             "mlp_embed": head(km, cfg.text.hidden_size, std=d**-0.5),
         }
 
+    if cfg.image_encoder == "vit":
+        visual = vit.init(next(keys), cfg.vision, dtype)
+        vis_dim = cfg.vision.embed_dim
+    elif cfg.image_encoder == "rn_clip":
+        from keep_tpu.models import resnet
+
+        rn_cfg = cfg.vision_rn or resnet.ModifiedResNetConfig(
+            output_dim=cfg.vision.embed_dim)
+        visual = resnet.init(next(keys), rn_cfg, dtype)
+        vis_dim = rn_cfg.output_dim
+    elif cfg.image_encoder == "res_ssl":
+        # the lunit SSL RN50 trunk has no from-scratch init (it loads
+        # pretrained weights — model.py:283-285); an explicit empty
+        # placeholder forces the caller to install the trunk (the factory
+        # pattern), instead of the old silent ViT pytree that crashed
+        # inside resnet.forward at first use
+        visual = {}
+        vis_dim = 2048  # RN50 trunk pooled width
+    else:
+        raise ValueError(f"unknown image_encoder {cfg.image_encoder!r}")
     params = {
-        "visual": vit.init(next(keys), cfg.vision, dtype),
+        "visual": visual,
         "text": path_bert(next(keys)),
         "logit_scale": jnp.asarray(np.log(1 / cfg.logit_scale_init), jnp.float32),
     }
     if cfg.visual_embedding_head:
-        params["visual_head"] = head(next(keys), cfg.vision.embed_dim)
+        params["visual_head"] = head(next(keys), vis_dim)
     if cfg.text_embedding_head:
         params["text_head"] = head(next(keys), d)
     if cfg.with_knowledge:

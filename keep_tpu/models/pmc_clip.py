@@ -73,8 +73,14 @@ def encode_text(
     *,
     dtype=jnp.float32,
 ) -> dict:
-    """→ {text_features, bert_prediction (log-probs) or None}."""
-    out = bert.forward(params["text"], input_ids, attention_mask,
+    """→ {text_features, bert_prediction (log-probs) or None}.
+
+    The reference encodes text UNMASKED — `self.text_encoder(input_ids=...)`
+    with no attention_mask (pmc_clip.py:217-221), so pad positions attend;
+    reproduced as-is for checkpoint parity (``attention_mask`` is accepted
+    for signature uniformity but deliberately not applied)."""
+    del attention_mask  # reference parity: pads attend
+    out = bert.forward(params["text"], input_ids, None,
                        cfg=cfg.text, dtype=dtype)
     hidden = out["last_hidden_state"]  # [B, S, W]
     b, s, w = hidden.shape
@@ -131,6 +137,14 @@ def mlm_loss(bert_prediction: Array, labels: Array, ignore_id: int = 0) -> Array
 def init(key: jax.Array, cfg: PMCCLIPConfig, dtype=jnp.float32) -> dict:
     from keep_tpu.models import resnet
 
+    if cfg.embed_dim != cfg.text.hidden_size:
+        # the fusion stream concatenates [text hidden, img_special_token,
+        # image feature] at ONE width (reference pmc_clip.py:227-231:
+        # embed_dim == text width == 768); a mismatch would break the
+        # broadcast/concat deep inside encode_text
+        raise ValueError(
+            f"PMC-CLIP requires embed_dim ({cfg.embed_dim}) == "
+            f"text.hidden_size ({cfg.text.hidden_size})")
     keys = iter(jax.random.split(key, 12))
     w = cfg.text.hidden_size
     normal = lambda k, shape, std: (jax.random.normal(k, shape) * std).astype(dtype)

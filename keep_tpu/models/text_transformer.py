@@ -117,12 +117,19 @@ def init(key: jax.Array, cfg: TextTransformerConfig, dtype=jnp.float32) -> dict:
     def normal(key, shape, std):
         return (jax.random.normal(key, shape) * std).astype(dtype)
 
-    def lin(key, fi, fo):
-        return {"kernel": normal(key, (l, fi, fo), fi**-0.5),
+    def lin(key, fi, fo, std):
+        return {"kernel": normal(key, (l, fi, fo), std),
                 "bias": jnp.zeros((l, fo), dtype)}
 
+    # the reference's TextTransformer.init_parameters stds
+    # (transformer.py:557-567): depth-scaled residual-out projections
+    proj_std = w**-0.5 * (2 * l) ** -0.5
+    attn_std = w**-0.5
+    fc_std = (2 * w) ** -0.5
+
     ln = lambda: {"scale": jnp.ones((l, w), dtype), "bias": jnp.zeros((l, w), dtype)}
-    attn = {"qkv": lin(next(keys), w, 3 * w), "proj": lin(next(keys), w, w)}
+    attn = {"qkv": lin(next(keys), w, 3 * w, attn_std),
+            "proj": lin(next(keys), w, w, proj_std)}
     if cfg.scaled_cosine:
         # per-head log temperature, init log(10) (transformer.py:116)
         attn["logit_scale"] = jnp.full((l, cfg.heads), jnp.log(10.0), dtype)
@@ -132,7 +139,8 @@ def init(key: jax.Array, cfg: TextTransformerConfig, dtype=jnp.float32) -> dict:
         "norm1": ln(),
         "attn": attn,
         "norm2": ln(),
-        "mlp": {"fc1": lin(next(keys), w, f), "fc2": lin(next(keys), f, w)},
+        "mlp": {"fc1": lin(next(keys), w, f, fc_std),
+                "fc2": lin(next(keys), f, w, proj_std)},
     }
     if cfg.scale_attn:
         blocks["ln_attn"] = ln()

@@ -41,6 +41,10 @@ def expand_prompt(
     classnames = prompt["classnames"]
     templates = prompt["templates"]
     idx_to_class = {v: k for k, v in label_map.items()}
+    if len(idx_to_class) != len(label_map):
+        # duplicate indices: dict inversion would silently drop classes and
+        # misalign every downstream argmax label
+        raise ValueError(f"label_map indices must be unique; got {label_map}")
     if sorted(idx_to_class) != list(range(len(idx_to_class))):
         raise ValueError(
             f"label_map indices must be contiguous from 0; got {label_map}"
@@ -182,11 +186,23 @@ def build_classifiers_batched(
         batch_size=batch_size, length_buckets=length_buckets,
     )
 
-    classifiers = []
-    for prompt_spans in spans:
-        cols = [jnp.asarray(feats[s:e]) for (s, e) in prompt_spans]
-        classifiers.append(build_classifier(cols, first_template_only))
-    return jnp.stack(classifiers, axis=0)  # [P, D, C]
+    # one vectorized segment-mean over the [N, D] features (the docstring's
+    # promise) — the per-(prompt, class) loop dispatched thousands of tiny
+    # device ops at reference scale (P=1386)
+    starts = np.array([s for ps in spans for (s, _) in ps])
+    ends = np.array([e for ps in spans for (_, e) in ps])
+    f = np.asarray(feats, np.float32)
+    fn = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+    if first_template_only:
+        cols = fn[starts]  # the reference's [0] quirk (utils.py:74)
+    else:
+        seg = np.repeat(np.arange(len(starts)), ends - starts)
+        sums = np.zeros((len(starts), f.shape[1]), np.float32)
+        np.add.at(sums, seg, fn)
+        cols = sums / np.maximum((ends - starts)[:, None], 1)
+    cols = cols / np.maximum(np.linalg.norm(cols, axis=1, keepdims=True), 1e-12)
+    p, c = len(spans), len(spans[0])
+    return jnp.asarray(cols.reshape(p, c, -1).transpose(0, 2, 1))  # [P, D, C]
 
 
 def rank_cls_scores(logits: Array) -> Array:
