@@ -96,8 +96,12 @@ def create_model(name: str, seed: int = 0, dtype=None, pretrained=None,
         if os.path.isdir(path):
             cfg_json = os.path.join(path, "config.json")
             if os.path.exists(cfg_json):
-                spec = dataclasses.replace(
-                    spec, config=KEEPConfig.from_hf_json(cfg_json))
+                # checkpoint config first, USER OVERRIDES on top — replacing
+                # wholesale silently discarded e.g. img_size=384
+                hf_cfg = KEEPConfig.from_hf_json(cfg_json)
+                if overrides:
+                    hf_cfg = dataclasses.replace(hf_cfg, **overrides)
+                spec = dataclasses.replace(spec, config=hf_cfg)
             for fname in ("pytorch_model.bin", "model.safetensors"):
                 weights = os.path.join(path, fname)
                 if os.path.exists(weights):
@@ -216,7 +220,10 @@ def get_tokenizer(kind: str, path: str, **kw):
 
             vocab = path if path.endswith(".txt") else os.path.join(path, "vocab.txt")
             return FastWordPieceTokenizer(vocab, **kw)
-        except Exception:
+        except (ImportError, OSError, RuntimeError):
+            # only build-environment failures (no compiler, lib load, bad
+            # native handle) fall back to the slow path — a bad vocab or a
+            # typo'd kwarg must surface, not silently change tokenizers
             from keep_tpu.text.tokenizer import WordPieceTokenizer
 
             if path.endswith(".txt"):

@@ -129,7 +129,10 @@ def _attention(p: dict, x: Array, cfg: EvaConfig, angles: Array | None) -> Array
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         q = linear(p["q"], x)
-        k = jnp.dot(x, p["k"]["kernel"].astype(x.dtype))  # no k bias
+        # no k bias — but keep the module-wide fp32 accumulation (a raw
+        # bf16 jnp.dot accumulated at MXU bf16 precision, unlike q/v)
+        k = jnp.dot(x, p["k"]["kernel"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
         v = linear(p["v"], x)
     q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)  # [B, H, S, Dh]
     k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)

@@ -181,7 +181,11 @@ def convert_openai_resnet(sd, cfg: ModifiedResNetConfig) -> dict:
 def init(key: jax.Array, cfg: ModifiedResNetConfig, dtype=jnp.float32) -> dict:
     """Random init (shapes per OpenAI RN; useful for tests/training-from-scratch)."""
     w = cfg.width
-    kiter = iter(jax.random.split(key, 64))
+    # 3 stem convs + 3 convs/block (+1 downsample per stage) + attnpool —
+    # a fixed 64 exhausted mid-layer on anything deeper than RN50 (RN101
+    # draws ~111, RN50x64 ~200)
+    n_keys = 16 + 3 * sum(cfg.layers) + 4 * len(cfg.layers)
+    kiter = iter(jax.random.split(key, n_keys))
 
     def cv(ci, co, k=1):
         fan = ci * k * k

@@ -6,9 +6,11 @@ implementation of the documented architecture).
 Swin-T: 4 stages, depths (2,2,6,2), heads (3,6,12,24), dims 96→768,
 7×7 window attention with relative position bias, shifted windows on
 alternate blocks, 2×2 patch merging between stages, final LN + global
-average pool. ConvStem (ctranspath-style) replaces the 4×4 linear patch
-embed with two stride-2 3×3 convs (BN+ReLU) reaching the same 1/4
-resolution.
+average pool. ConvStem (ctranspath ctran.py:23-31) replaces the 4×4
+linear patch embed with conv3×3(3→d/8, s2)+BN+ReLU →
+conv3×3(d/8→d/4, s2)+BN+ReLU → conv1×1(d/4→d, bias), reaching the same
+1/4 resolution. Shifted windows follow timm's rule: disabled once the
+window covers the whole feature map (stage 4 at 224²).
 """
 
 from __future__ import annotations
@@ -137,9 +139,13 @@ def forward(params: dict, pixels: Array, cfg: SwinConfig,
     if cfg.conv_stem:
         from keep_tpu.models.resnet import batch_norm, conv
 
+        # ctranspath ConvStem (ctran.py:23-31): conv3x3(3→d/8, s2)+BN+ReLU,
+        # conv3x3(d/8→d/4, s2)+BN+ReLU, conv1x1(d/4→d, bias)
         s = params["stem"]
         x = jax.nn.relu(batch_norm(s["bn1"], conv(s["conv1"], x, stride=2, padding=1), 1e-5))
-        x = batch_norm(s["bn2"], conv(s["conv2"], x, stride=2, padding=1), 1e-5)
+        x = jax.nn.relu(batch_norm(s["bn2"], conv(s["conv2"], x, stride=2, padding=1), 1e-5))
+        x = conv(s["conv3"], x, stride=1, padding=0) \
+            + s["conv3"]["bias"].astype(x.dtype)
     else:
         b, h, w, c = x.shape
         x = x.reshape(b, h // 4, 4, w // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
@@ -151,6 +157,14 @@ def forward(params: dict, pixels: Array, cfg: SwinConfig,
         stage = params[f"stage{si}"]
         for bi in range(depth):
             shift = 0 if bi % 2 == 0 else cfg.window // 2
+            if min(x.shape[1], x.shape[2]) <= cfg.window:
+                # timm rule: once the window covers the whole feature map
+                # (every 224 preset's 7x7 stage 4), shifting is a no-op
+                # semantically and MUST be disabled — rolling the single
+                # global window and applying the seam mask would block
+                # attention between wrap regions and scramble the relative
+                # position bias, diverging from converted checkpoints
+                shift = 0
             x = swin_block(stage["blocks"][bi], x, cfg, cfg.heads[si], shift)
         if si < len(cfg.depths) - 1:
             x = patch_merge(stage["merge"], x, cfg.ln_eps)
@@ -162,10 +176,11 @@ def forward(params: dict, pixels: Array, cfg: SwinConfig,
 def init(key: jax.Array, cfg: SwinConfig, dtype=jnp.float32) -> dict:
     kiter = iter(jax.random.split(key, 128))
 
-    def lin(fi, fo, bias=True):
-        out = {"kernel": (jax.random.normal(next(kiter), (fi, fo)) * fi**-0.5).astype(dtype)}
-        out["bias"] = jnp.zeros((fo,), dtype) if bias else jnp.zeros((fo,), dtype)
-        return out
+    def lin(fi, fo):
+        # timm's bias-free layers (the merge reduction) still carry a zero
+        # bias here — linear() consumes it and the converter writes zeros
+        return {"kernel": (jax.random.normal(next(kiter), (fi, fo)) * fi**-0.5).astype(dtype),
+                "bias": jnp.zeros((fo,), dtype)}
 
     ln = lambda c: {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
 
@@ -186,13 +201,17 @@ def init(key: jax.Array, cfg: SwinConfig, dtype=jnp.float32) -> dict:
     d = cfg.embed_dim
     params = {"embed_norm": ln(d)}
     if cfg.conv_stem:
+        # ctranspath layout (ctran.py:23-31): d/8 → d/4 → 1×1 to d
+        c1, c2 = d // 8, d // 4
+        bn = lambda n: {"scale": jnp.ones(n, dtype), "bias": jnp.zeros(n, dtype),
+                        "mean": jnp.zeros(n, dtype), "var": jnp.ones(n, dtype)}
         params["stem"] = {
-            "conv1": {"kernel": (jax.random.normal(next(kiter), (3, 3, 3, d // 2)) * 0.1).astype(dtype)},
-            "bn1": {"scale": jnp.ones(d // 2, dtype), "bias": jnp.zeros(d // 2, dtype),
-                    "mean": jnp.zeros(d // 2, dtype), "var": jnp.ones(d // 2, dtype)},
-            "conv2": {"kernel": (jax.random.normal(next(kiter), (3, 3, d // 2, d)) * 0.1).astype(dtype)},
-            "bn2": {"scale": jnp.ones(d, dtype), "bias": jnp.zeros(d, dtype),
-                    "mean": jnp.zeros(d, dtype), "var": jnp.ones(d, dtype)},
+            "conv1": {"kernel": (jax.random.normal(next(kiter), (3, 3, 3, c1)) * 0.1).astype(dtype)},
+            "bn1": bn(c1),
+            "conv2": {"kernel": (jax.random.normal(next(kiter), (3, 3, c1, c2)) * 0.1).astype(dtype)},
+            "bn2": bn(c2),
+            "conv3": {"kernel": (jax.random.normal(next(kiter), (1, 1, c2, d)) * 0.1).astype(dtype),
+                      "bias": jnp.zeros((d,), dtype)},
         }
     else:
         params["patch_embed"] = lin(48, d)
@@ -201,7 +220,7 @@ def init(key: jax.Array, cfg: SwinConfig, dtype=jnp.float32) -> dict:
     for si, depth in enumerate(cfg.depths):
         stage = {"blocks": [block(c, cfg.heads[si]) for _ in range(depth)]}
         if si < len(cfg.depths) - 1:
-            stage["merge"] = {"norm": ln(4 * c), "reduction": lin(4 * c, 2 * c, bias=False)}
+            stage["merge"] = {"norm": ln(4 * c), "reduction": lin(4 * c, 2 * c)}
             c *= 2
         params[f"stage{si}"] = stage
     params["norm"] = ln(c)

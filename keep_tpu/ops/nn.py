@@ -47,6 +47,13 @@ def _qlinear(p: dict, x: Array) -> Array:
         from keep_tpu.kernels.qmatmul import qlinear_fused
 
         return qlinear_fused(p, x)
+    if p["kernel_q"].ndim != 2:
+        # stacked [L, K, N] kernels are consumed one layer at a time inside
+        # lax.scan; the fallback below would contract x against the LAYER
+        # axis (a shape error, or silent garbage when L == K)
+        raise ValueError(
+            f"_qlinear takes a single [K, N] kernel; got "
+            f"{p['kernel_q'].shape} — slice the stacked layer axis first")
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)

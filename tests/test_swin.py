@@ -73,7 +73,10 @@ def test_shifted_window_changes_output(rng):
     x[0, :16] = rng.standard_normal((16, 32, 3))
     a = np.asarray(swin.forward(params, jnp.asarray(x), TINY))
     x2 = x.copy()
+    # both signs: the ctranspath stem's first conv has only d/8 channels
+    # at this tiny width and its ReLU could swallow a one-signed bump
     x2[0, 20, 20] = 5.0
+    x2[0, 21, 21] = -5.0
     b = np.asarray(swin.forward(params, jnp.asarray(x2), TINY))
     assert np.abs(a - b).max() > 1e-6
 
