@@ -125,9 +125,25 @@ def load_openai_clip(path_or_sd, cfg: CLIPConfig | None = None):
     if isinstance(path_or_sd, str):
         import torch
 
-        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
+        from keep_tpu.compat.torch_loader import normalize_state_dict
+
+        try:
+            sd = torch.load(path_or_sd, map_location="cpu",
+                            weights_only=True)
+        except Exception:
+            # every ORIGINAL OpenAI CLIP release is a TorchScript archive
+            # (reference openai.py:50-61's primary path) — weights_only
+            # torch.load rejects those outright
+            sd = torch.jit.load(path_or_sd, map_location="cpu").state_dict()
+        sd = normalize_state_dict(sd)  # {'state_dict':...} / module. / buffers
+    if "visual.class_embedding" not in sd and cfg is None:
+        # ModifiedResNet tower (RN50/x4/...): the reference sniffs
+        # ViT-vs-RN by key presence (model.py build_model); route to the
+        # RN converter instead of KeyErroring in the ViT one
+        raise ValueError(
+            "RN-tower OpenAI checkpoint: pass an explicit CLIPConfig and "
+            "convert the visual tower via models.resnet.convert_openai_resnet "
+            "(this loader's auto-infer covers the ViT towers)")
     cfg = cfg or infer_clip_config(sd)
     params = {
         "visual": convert_openai_clip_visual(sd, cfg.vision),

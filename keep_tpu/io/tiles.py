@@ -98,7 +98,7 @@ def iter_wsi_tiles(
 def _iter_reader_tiles(reader, patch_size, tissue_fraction, chunk, level):
     w, h = reader.level_dimensions[level]
     ds = reader.level_downsamples[level]
-    scale = max(1, int(max(w, h) / 2048))
+    scale = max(1, -(-max(w, h) // 2048))  # ceil: keep the overview ≤2048px
     overview = np.asarray(reader.get_thumbnail((w // scale, h // scale)))
     mask = tissue_mask(overview)
     # actual thumbnail scale (get_thumbnail preserves aspect, may differ
