@@ -16,7 +16,9 @@ cheaper. For long sequences a blocked variant would be needed — out of scope
 for the KEEP encoder family.
 
 Entry points:
-- ``attention_qkv_heads(q, k, v, key_bias)`` — fast path, [B, S, H*Dh] layout.
+- ``attention_qkv_slab(qkv, key_bias)``     — fastest path (the models' one):
+  consumes the UNSPLIT [B, S, 3·H·Dh] qkv-projection output, differentiable.
+- ``attention_qkv_heads(q, k, v, key_bias)`` — split q/k/v, [B, S, H*Dh].
 - ``flash_attention(q, k, v, bias)``        — generic [B, H, S, Dh] API.
 """
 
@@ -32,8 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
 
 Array = jax.Array
-
-NEG_INF = -1e9
 
 
 def _interpret() -> bool:
@@ -60,7 +60,10 @@ def _make_kernel(scale: float, group: int, dh: int, with_bias: bool):
     def kernel(*refs):
         if with_bias:
             q_ref, k_ref, v_ref, bias_ref, o_ref = refs
-            bias_row = bias_ref[0][None, :]  # [1, S]
+            # bias is passed whole ([B, S] is tiny) and indexed by program —
+            # a (1, S) block would violate the (8, 128) tile rule for
+            # non-aligned S (same pattern as the slab/postln kernels)
+            bias_row = bias_ref[pl.program_id(0)][None, :]  # [1, S]
         else:
             q_ref, k_ref, v_ref, o_ref = refs
             bias_row = None
@@ -91,6 +94,8 @@ def attention_qkv_heads(
     """
     b, s, hd = q.shape
     h = num_heads
+    if hd % h:
+        raise ValueError(f"lane dim {hd} is not divisible by num_heads={h}")
     dh = hd // h
     while h % group:
         group //= 2
@@ -103,7 +108,7 @@ def attention_qkv_heads(
     in_specs = [spec, spec, spec]
     if key_bias is not None:
         in_specs.append(
-            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((b, s), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(key_bias.astype(jnp.float32))
 
@@ -172,6 +177,9 @@ def _slab_attn_fwd_kernel(
 ) -> Array:
     b, s, three_hd = qkv.shape
     h = num_heads
+    if three_hd % (3 * h):
+        raise ValueError(
+            f"slab lane dim {three_hd} is not divisible by 3·num_heads={3 * h}")
     dh = three_hd // (3 * h)
     scale = dh**-0.5
 
@@ -253,8 +261,8 @@ def flash_attention(
     query positions — the BERT padding mask) or None. Full score-level biases
     ([B, H|1, S, S]) are NOT supported by the fused kernel — callers with a
     per-query bias must use the XLA path (``mha_attention(use_flash=False)``).
-    Layout shuffles here are for API compatibility; the models call
-    ``attention_qkv_heads`` directly and skip them.
+    Layout shuffles here are for API compatibility; the models keep the fused
+    qkv slab unsplit and call ``attention_qkv_slab`` directly, skipping them.
     """
     b, h, s, dh = q.shape
     if bias is not None and (bias.ndim != 4 or bias.shape[1] != 1

@@ -18,6 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from keep_tpu.kernels._cost import maybe_cost_estimate
+from keep_tpu.kernels._kops import ln_rows as _ln_rows
 
 Array = jax.Array
 
@@ -26,10 +27,7 @@ TILE_M = 256
 
 def _ln_mm_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, o_ref, *, eps):
     xf = x_ref[:].astype(jnp.float32)
-    mean = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * g_ref[0][None, :] + b_ref[0][None, :]
+    y = _ln_rows(xf, g_ref[0][None, :], b_ref[0][None, :], eps)
     acc = jnp.dot(y.astype(w_ref.dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
     o_ref[:] = (acc + wb_ref[0][None, :]).astype(o_ref.dtype)

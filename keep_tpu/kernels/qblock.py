@@ -26,28 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
+from keep_tpu.kernels._kops import int8_dot as _int8_dot
+from keep_tpu.kernels._kops import ln_rows as _ln
+from keep_tpu.kernels._kops import quant_rows as _quant_rows
 
 Array = jax.Array
-
-
-def _ln(xf, g_row, b_row, eps):
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
-    return (xf - mu) * jax.lax.rsqrt(var + eps) * g_row + b_row
-
-
-def _quant_rows(xf):
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(xf * (1.0 / scale)), -127, 127).astype(jnp.int8)
-    return q, scale
-
-
-def _int8_dot(xq, wq):
-    return jax.lax.dot_general(
-        xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
 
 
 def _sdpa(q, k, v, scale):
@@ -130,7 +113,6 @@ def quantized_attention_block(
 
     ``qkv_p``/``proj_p``: {kernel_q, scale, bias} (LayerScale pre-folded into
     proj); ``norm1``: {scale, bias}."""
-    b, s, d = x.shape
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     return _qattn_call(
         x, row(norm1["scale"]), row(norm1["bias"]),

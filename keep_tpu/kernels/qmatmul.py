@@ -20,27 +20,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
+from keep_tpu.kernels._kops import gelu_tanh as _gelu_tanh
+from keep_tpu.kernels._kops import int8_dot as _int8_dot
+from keep_tpu.kernels._kops import quant_rows as _quant_rows
 
 Array = jax.Array
 
 TILE_M = 256
 
 
-def _gelu_tanh(x):
-    c = 0.7978845608028654  # sqrt(2/pi)
-    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
-
-
 def _qmm_kernel(x_ref, wq_ref, scale_ref, bias_ref, o_ref, *, activation):
-    xf = x_ref[:].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    ascale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, wq_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    xq, ascale = _quant_rows(x_ref[:].astype(jnp.float32))
+    acc = _int8_dot(xq, wq_ref[:])
     out = acc.astype(jnp.float32) * ascale * scale_ref[0][None, :]
     out = out + bias_ref[0][None, :]
     if activation == "gelu_tanh":
@@ -87,15 +78,8 @@ def quantized_matmul(
 
 
 def _qmm_bsd_kernel(x_ref, wq_ref, scale_ref, bias_ref, o_ref, *, activation):
-    xf = x_ref[0].astype(jnp.float32)  # [S, K]
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    ascale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    xq = jnp.clip(jnp.round(xf * (1.0 / ascale)), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, wq_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    xq, ascale = _quant_rows(x_ref[0].astype(jnp.float32))  # [S, K]
+    acc = _int8_dot(xq, wq_ref[:])
     out = acc.astype(jnp.float32) * ascale * scale_ref[0][None, :]
     out = out + bias_ref[0][None, :]
     if activation == "gelu_tanh":

@@ -28,31 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from keep_tpu.kernels._cost import VMEM_LIMIT_BYTES, maybe_cost_estimate
+from keep_tpu.kernels._kops import gelu_tanh as _gelu_tanh
+from keep_tpu.kernels._kops import int8_dot
+from keep_tpu.kernels._kops import ln_rows as _ln_rows
+from keep_tpu.kernels._kops import quant_rows as _quant_rows
 
 Array = jax.Array
 
 TILE_M = 256
 
 
-def _gelu_tanh(x):
-    c = 0.7978845608028654  # sqrt(2/pi)
-    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
-
-
-def _quant_rows(xf):
-    """Per-token (row) abs-max int8 quantization of an fp32 block."""
-    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(xf * (1.0 / scale)), -127, 127).astype(jnp.int8)
-    return q, scale
-
-
 def _int8_dot(xq, wq_ref):
-    return jax.lax.dot_general(
-        xq, wq_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    return int8_dot(xq, wq_ref[:])
 
 
 def _qmlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
@@ -103,6 +90,10 @@ def quantized_mlp(
             bytes_accessed=m * d * 4 + d * f * 2,
             transcendentals=m * f,
         ),
+        # own the VMEM budget (like the bsd variant below): the resident
+        # int8 weights + double-buffered tiles + [TILE_M, F] fp32 hidden
+        # exceed the ~16 MiB default when the caller's jit sets no limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(
         x,
@@ -111,12 +102,6 @@ def quantized_mlp(
         w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
         b2.reshape(1, d).astype(jnp.float32),
     )
-
-
-def _ln_rows(xf, g_row, b_row, eps):
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
-    return (xf - mu) * jax.lax.rsqrt(var + eps) * g_row + b_row
 
 
 def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,

@@ -121,6 +121,18 @@ def test_slab_kernel_gradients(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=1e-4)
 
 
+def test_bad_head_count_raises(rng):
+    """Non-divisible lane dims raise instead of silently truncating heads."""
+    from keep_tpu.kernels.flash_attention import (attention_qkv_heads,
+                                                  attention_qkv_slab)
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 96), dtype=np.float32))
+    with pytest.raises(ValueError, match="not divisible"):
+        attention_qkv_heads(x, x, x, num_heads=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        attention_qkv_slab(x, num_heads=5)
+
+
 def test_ln_matmul_matches_unfused(rng):
     from keep_tpu.kernels.ln_matmul import ln_matmul
     from keep_tpu.ops.nn import layer_norm, linear
