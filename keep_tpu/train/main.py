@@ -229,7 +229,7 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
     with open(os.path.join(out_dir, "params.txt"), "w") as f:
         f.write(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
 
-    if cfg.save.copy_codebase:
+    if cfg.save.copy_codebase and jax.process_index() == 0:
         from keep_tpu.utils.logging import copy_codebase
 
         logging.info("code snapshot at %s", copy_codebase(out_dir))
@@ -252,7 +252,8 @@ def train(cfg: TrainRunConfig, tokenizer=None, dataset=None, image_loader=None,
 
     from keep_tpu.utils.writers import MetricWriter
 
-    writer = MetricWriter(out_dir, wandb_project=cfg.save.wandb_project or None)
+    writer = MetricWriter(out_dir, wandb_project=cfg.save.wandb_project or None,
+                          primary=jax.process_index() == 0)
 
     if tokenizer is None:
         from keep_tpu.factory import get_tokenizer

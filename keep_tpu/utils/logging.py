@@ -27,6 +27,7 @@ def setup_logging(
     root.setLevel(level)
     for h in list(root.handlers):
         root.removeHandler(h)
+        h.close()  # flush + release the fd of any previous FileHandler
     stream = logging.StreamHandler(sys.stderr)
     stream.setFormatter(formatter)
     root.addHandler(stream)
@@ -72,7 +73,11 @@ def copy_codebase(out_dir: str, repo_root: str | None = None) -> str:
         os.path.abspath(__file__))))
     dst = os.path.join(out_dir, "code")
     if os.path.exists(dst):
-        raise RuntimeError(f"code snapshot already exists at {dst}")
+        # resumed run (save.resume='latest' reuses out_dir): the snapshot
+        # from the original launch is the one worth keeping — don't crash
+        logging.getLogger(__name__).info(
+            "code snapshot already exists at %s; keeping it", dst)
+        return dst
     shutil.copytree(
         os.path.join(repo_root, "keep_tpu"), os.path.join(dst, "keep_tpu"),
         ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),

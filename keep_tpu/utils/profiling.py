@@ -27,10 +27,17 @@ def trace(log_dir: str, *, host_tracer_level: int = 2) -> Iterator[None]:
 
 
 def enable_hlo_dump(dump_dir: str) -> None:
-    """Ask XLA to dump HLO for subsequent compiles (set before first jit)."""
+    """Ask XLA to dump HLO for subsequent compiles.
+
+    Must run before the XLA backend initializes — i.e. before ANY call that
+    touches devices (``jax.devices()``, ``jax.jit`` dispatch, model build) —
+    XLA parses ``XLA_FLAGS`` once at backend init and later edits are
+    ignored. Calling it again replaces any previous ``--xla_dump_to``."""
     os.makedirs(dump_dir, exist_ok=True)
-    flags = os.environ.get("XLA_FLAGS", "")
-    os.environ["XLA_FLAGS"] = f"{flags} --xla_dump_to={dump_dir}".strip()
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_dump_to=")]
+    flags.append(f"--xla_dump_to={dump_dir}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
 
 
 class ThroughputMeter:
@@ -41,7 +48,8 @@ class ThroughputMeter:
         self._events: list[tuple[float, int]] = []
 
     def update(self, n_samples: int) -> None:
-        self._events.append((time.time(), n_samples))
+        # monotonic: immune to NTP steps/slew over multi-day runs
+        self._events.append((time.monotonic(), n_samples))
         if len(self._events) > self.window:
             self._events.pop(0)
 

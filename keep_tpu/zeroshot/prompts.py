@@ -38,18 +38,25 @@ def tumor_phrasings(nodes: dict, node_id: str, max_depth: int = 2) -> list[str]:
 
     for n in names(node_id):
         add(n)
-    frontier = [node_id]
+    # frontier entries carry the contiguous coarse→fine suffix below the
+    # node, so depth-2 phrases read "grandparent parent leaf" — the exact
+    # shape hierarchy_caption trains the text tower on (full reversed path,
+    # train/data.py:127-129), not a "grandparent leaf" skip
+    frontier = [(node_id, nodes[node_id]["name"])]
+    visited = {node_id}
     for _ in range(max_depth):
         nxt = []
-        for nid in frontier:
+        for nid, suffix in frontier:
             for parent in nodes[nid].get("parent", []):
                 if parent in SUB_DISEASE_ROOTS or parent not in nodes:
                     continue
                 for pn in names(parent):
                     add(pn)
                     # coarse → fine path phrase (hierarchy-caption order)
-                    add(f"{pn} {nodes[node_id]['name']}")
-                nxt.append(parent)
+                    add(f"{pn} {suffix}")
+                if parent not in visited:  # DO is a DAG — expand each once
+                    visited.add(parent)
+                    nxt.append((parent, f"{nodes[parent]['name']} {suffix}"))
         frontier = nxt
     return out
 
@@ -65,7 +72,7 @@ def generate_prompts(
     """→ {index: {classnames: {Normal: ..., Tumor: ...}, templates: str}}
     in the reference prompt-JSON format (one template per entry, the shipped
     files' shape)."""
-    templates = list(templates or HIERARCHY_TEMPLATES)
+    templates = list(HIERARCHY_TEMPLATES if templates is None else templates)
     tumors = tumor_phrasings(nodes, tumor_node_id)
     prompts = {}
     idx = 0

@@ -103,6 +103,34 @@ def test_metric_writer(tmp_path):
     assert lines[1]["loss"] == 2.0
 
 
+def test_metric_writer_non_primary_noop(tmp_path):
+    """primary=False (non-zero process in multi-host runs) writes nothing —
+    metrics are identical across processes and the reference logs
+    master-only."""
+    from keep_tpu.utils.writers import MetricWriter
+
+    w = MetricWriter(str(tmp_path), primary=False)
+    w.write(1, {"loss": 1.0})
+    w.close()
+    assert not (tmp_path / "metrics.jsonl").exists()
+
+
+def test_metric_writer_scalar_coercion():
+    """numpy / 0-d jax scalars are recognized for the TB path (np.float32 is
+    not a Python float subclass)."""
+    import numpy as np
+
+    from keep_tpu.utils.writers import _scalar
+
+    import jax.numpy as jnp
+
+    assert _scalar(np.float32(1.5)) == 1.5
+    assert _scalar(np.int64(3)) == 3.0
+    assert _scalar(jnp.asarray(2.5)) == 2.5
+    assert _scalar("tag") is None
+    assert _scalar(np.zeros(3)) is None
+
+
 def test_checkpoint_delete_previous_via_max_to_keep(tmp_path):
     """keep_previous=False delegates GC to Orbax max_to_keep=1: only the
     newest epoch survives, resume still works, async saves don't

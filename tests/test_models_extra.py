@@ -277,8 +277,8 @@ def test_copy_codebase(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(dst, "keep_tpu", "models", "vit.py"))
-    with pytest.raises(RuntimeError):
-        copy_codebase(str(tmp_path))
+    # idempotent: a resumed run reusing out_dir keeps the original snapshot
+    assert copy_codebase(str(tmp_path)) == dst
 
 
 def test_kep_res_ssl_tower(rng):

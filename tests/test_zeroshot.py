@@ -154,6 +154,21 @@ def test_generate_prompts():
     assert "melanoma cutaneous melanoma" in phr  # coarse→fine path phrase
     assert "disease of cellular proliferation" not in phr  # root excluded
 
+    # depth-2 path phrases are CONTIGUOUS ("gp mid leaf" — the shape
+    # hierarchy_caption trains on), never the "gp leaf" skip
+    nodes2 = {
+        "DOID:leaf": {"name": "leafoma", "parent": ["DOID:mid"]},
+        "DOID:mid": {"name": "midoma", "parent": ["DOID:gp"]},
+        "DOID:gp": {"name": "gpoma", "parent": []},
+    }
+    phr2 = tumor_phrasings(nodes2, "DOID:leaf")
+    assert "midoma leafoma" in phr2
+    assert "gpoma midoma leafoma" in phr2
+    assert "gpoma leafoma" not in phr2
+
+    # an explicitly empty template list means no prompts, not the defaults
+    assert generate_prompts(nodes, "DOID:leaf", templates=[]) == {}
+
     prompts = generate_prompts(nodes, "DOID:leaf",
                                normal_phrases=["normal tissue"],
                                templates=["CLASSNAME."])
