@@ -175,8 +175,15 @@ def convert_timm_vit_relpos(sd: Mapping, cfg) -> dict:
     patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
 
     def stack_lin(fmt: str) -> dict:
-        return {"kernel": _stack(lambda i: g(fmt.format(i) + ".weight").T, l),
-                "bias": _stack(lambda i: g(fmt.format(i) + ".bias"), l)}
+        kernel = _stack(lambda i: g(fmt.format(i) + ".weight").T, l)
+        if fmt.format(0) + ".bias" in sd:
+            bias = _stack(lambda i: g(fmt.format(i) + ".bias"), l)
+        else:
+            # vit_relpos presets are registered with qkv_bias=False — the
+            # pytree always carries a bias, so synthesize zeros (identical
+            # math; same pattern as convert_timm_eva's missing k_bias)
+            bias = np.zeros(kernel.shape[::2], kernel.dtype)
+        return {"kernel": kernel, "bias": bias}
 
     def stack_ln(fmt: str) -> dict:
         return {"scale": _stack(lambda i: g(fmt.format(i) + ".weight"), l),

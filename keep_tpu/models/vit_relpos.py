@@ -9,9 +9,9 @@ family, 'cls' variant:
 - NO absolute position embedding; instead every block's attention adds a
   per-head bias b[h, i, j] that depends only on the RELATIVE grid offset
   between patch tokens i and j,
-- the bias is produced by a small per-block MLP (2 → hidden → heads) over
-  log-scaled relative coordinates (timm RelPosMlp, mode='cr':
-  ``sign(Δ)·log1p(|Δ|)``),
+- the bias is produced by a small per-block MLP (2 → hidden → heads, ReLU —
+  timm RelPosMlp uses ``act_layer=nn.ReLU``) over log-scaled relative
+  coordinates (mode='cr': ``sign(Δ)·log1p(|Δ|)``),
 - a learned class token participates in attention with ZERO relative bias
   (timm pads the bias with zeros for prefix tokens),
 - otherwise a plain pre-LN ViT (exact-GELU MLP, CLS pooling, final LN).
@@ -25,6 +25,7 @@ timm-layout state dict (tests/test_eva.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,9 @@ class ViTRelPosConfig:
     depth: int = 12
     num_heads: int = 8
     mlp_ratio: float = 4.0
-    rel_pos_hidden: int = 512
+    # timm vit_relpos_medium_patch16_cls_224 sets rel_pos_dim=256 (the
+    # RelPosMlp hidden width); real-checkpoint shapes depend on this
+    rel_pos_hidden: int = 256
     ln_eps: float = 1e-6
 
     @property
@@ -83,7 +86,8 @@ def rel_index(grid_h: int, grid_w: int) -> Array:
 def rel_pos_bias(p: dict, grid_h: int, grid_w: int, num_heads: int) -> Array:
     """Per-head attention bias [H, 1+N, 1+N]: MLP over the unique relative
     offsets, gathered per pair; CLS row/column zero."""
-    table = gelu(linear(p["fc1"], rel_log_coords(grid_h, grid_w)))
+    # ReLU, not GELU: timm RelPosMlp builds Mlp(..., act_layer=nn.ReLU)
+    table = jax.nn.relu(linear(p["fc1"], rel_log_coords(grid_h, grid_w)))
     table = linear(p["fc2"], table)  # [(2H-1)(2W-1), heads]
     idx = rel_index(grid_h, grid_w)
     bias = table[idx]  # [N, N, heads]
@@ -93,7 +97,8 @@ def rel_pos_bias(p: dict, grid_h: int, grid_w: int, num_heads: int) -> Array:
     return out.at[:, 1:, 1:].set(bias)
 
 
-def block(p: dict, x: Array, cfg: ViTRelPosConfig) -> Array:
+def block(p: dict, x: Array, cfg: ViTRelPosConfig, *,
+          gelu_approx: bool = False) -> Array:
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
     y = layer_norm(p["norm1"], x, cfg.ln_eps)
@@ -109,15 +114,23 @@ def block(p: dict, x: Array, cfg: ViTRelPosConfig) -> Array:
     out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + linear(p["attn"]["proj"], out)
     y = layer_norm(p["norm2"], x, cfg.ln_eps)
-    y = linear(p["mlp"]["fc2"], gelu(linear(p["mlp"]["fc1"], y)))
+    y = linear(p["mlp"]["fc2"],
+               gelu(linear(p["mlp"]["fc1"], y), approximate=gelu_approx))
     return x + y
 
 
 def forward(params: dict, x: Array, cfg: ViTRelPosConfig, *,
-            dtype: jnp.dtype = jnp.float32, **_ignored) -> Array:
+            dtype: jnp.dtype = jnp.float32, remat: bool = False,
+            gelu_approx: bool = False, use_flash: bool = False) -> Array:
     """[B, H, W, 3] → [B, embed_dim] CLS features. The image size is fixed to
     the config grid (the relative-offset table is grid-shaped; timm relpos
-    models are likewise fixed-size)."""
+    models are likewise fixed-size).
+
+    ``use_flash`` is accepted for factory-signature parity but has no fused
+    path here: the relative-position bias is a full per-head [H, S, S] score
+    bias, which the flash kernel does not support (it takes key masks only —
+    kernels/flash_attention.flash_attention docstring); attention runs the
+    XLA path regardless."""
     b, ih, iw, _ = x.shape
     if (ih, iw) != (cfg.img_size, cfg.img_size):
         raise ValueError(
@@ -131,10 +144,14 @@ def forward(params: dict, x: Array, cfg: ViTRelPosConfig, *,
                            (b, 1, cfg.embed_dim))
     tokens = jnp.concatenate([cls, tokens], axis=1)
 
+    block_fn = functools.partial(block, cfg=cfg, gelu_approx=gelu_approx)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
     def scan_body(carry, layer_params):
         # bias recomputed per layer from that layer's MLP (cheap: R=(2g-1)²
         # rows through a 2→hidden→heads MLP, traced once under scan)
-        return block(layer_params, carry, cfg), None
+        return block_fn(layer_params, carry), None
 
     tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
     tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)

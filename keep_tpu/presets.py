@@ -343,9 +343,11 @@ def resolve(name: str) -> ResolvedPreset:
     elif kind == "vit_relpos":
         from keep_tpu.models.vit_relpos import ViTRelPosConfig
 
-        # timm vit_relpos_medium_patch16_cls_224: width 512, depth 12, heads 8
+        # timm vit_relpos_medium_patch16_cls_224: width 512, depth 12,
+        # heads 8, rel_pos_dim=256, qkv_bias=False
         vcfg = ViTRelPosConfig(img_size=v["image_size"], patch_size=16,
-                               embed_dim=512, depth=12, num_heads=8)
+                               embed_dim=512, depth=12, num_heads=8,
+                               rel_pos_hidden=256)
         vproj = v["proj"]
     else:  # pragma: no cover
         raise ValueError(f"bad vision kind {kind!r}")

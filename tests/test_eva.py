@@ -247,6 +247,30 @@ def test_relpos_forward_and_converter(rng):
     out = vrp.forward(conv, x, TINY_RP)
     assert np.isfinite(np.asarray(out)).all()
 
+    # remat/gelu_approx are honored (remat: same numbers, recompute only)
+    out_r = vrp.forward(conv, x, TINY_RP, remat=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=1e-6)
+
+    # timm registers vit_relpos presets with qkv_bias=False — released
+    # checkpoints carry no qkv bias; the converter synthesizes zeros
+    sd_nobias = {k: v for k, v in sd.items()
+                 if not k.endswith("attn.qkv.bias")}
+    conv_nb = convert_timm_vit_relpos(sd_nobias, TINY_RP)
+    assert (conv_nb["blocks"]["attn"]["qkv"]["bias"] == 0).all()
+    assert conv_nb["blocks"]["attn"]["qkv"]["bias"].shape == (2, 3 * d)
+
+
+def test_relpos_mlp_is_relu():
+    """timm RelPosMlp uses act_layer=nn.ReLU — a constant −0.5 fc1
+    pre-activation must die to exactly zero (GELU would leak −0.154)."""
+    h = 8
+    p = {
+        "fc1": {"kernel": jnp.zeros((2, h)), "bias": jnp.full((h,), -0.5)},
+        "fc2": {"kernel": jnp.ones((h, 3)), "bias": jnp.zeros(3)},
+    }
+    bias = np.asarray(vrp.rel_pos_bias(p, 4, 4, 3))
+    assert (bias == 0).all()
+
 
 # ---------------------------------------------------------------------------
 # presets wiring
@@ -264,6 +288,7 @@ def test_eva02_presets_resolve():
     assert r.text_cfg.width == 1280 and r.text_cfg.layers == 32
     r = presets.resolve("vit_relpos_medium_patch16_cls_224")
     assert r.vision_kind == "vit_relpos" and r.vision_cfg.embed_dim == 512
+    assert r.vision_cfg.rel_pos_hidden == 256  # timm rel_pos_dim=256
     r = presets.resolve("coca_roberta-ViT-B-32")
     assert r.family == "coca"
     assert r.text_cfg.hf_text is not None and not r.text_cfg.use_attn_pool
