@@ -47,6 +47,20 @@ def _emit(rec):
     print(json.dumps(rec), flush=True)
 
 
+def _int8_gate(encode, p_bf16, qp, args, dt_bf16, iters):
+    """Time quantized params and compute the feature cosine vs bf16.
+
+    Returns ``(dt_q, cos, promote)`` — ``promote`` is True only at
+    cos >= 0.999 AND faster. The ONE gate the ViT headline and the text
+    tower share, so a quantization regression can't ship silently."""
+    dt_q = _timed(encode, qp, *args, iters=iters)
+    a = np.asarray(encode(p_bf16, *args), np.float32)
+    b = np.asarray(encode(qp, *args), np.float32)
+    cos = float(np.mean(np.sum(a * b, 1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))))
+    return dt_q, cos, (cos >= 0.999 and dt_q < dt_bf16)
+
+
 def bench_wsi_configs(rng):
     """Configs 2-5: the WSI zero-shot engine at reference scales."""
     import jax
@@ -84,7 +98,9 @@ def bench_wsi_configs(rng):
         "note": "prompt screening (P=1782 einsum + top-50 merge) + softmax scoring",
     })
 
-    # -- config 3: 10K-patch detection sweep (score + 2x2 refine + prob)
+    # -- config 3: 10K-patch detection sweep (score + first-seen coord dedup
+    # + tumor fraction — the detection rule is overlap=False, NO stencil
+    # refine; wsi/pipelines._refined_probs)
     n = 10000
     feats = jnp.asarray(rng.standard_normal((n, D), dtype=np.float32))
     cls = jnp.asarray(rng.standard_normal((D, 2), dtype=np.float32))
@@ -166,18 +182,13 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
     dt = _timed(encode, params, ids, mask, iters=iters)
     p, precision, cos = params, "bf16", None
     if on_tpu:
-        # int8 promotes only at cos >= 0.999 vs bf16 — same gate as the ViT
-        # headline, so a quantization regression can't ship silently
         from keep_tpu.quant import quantize_linear_weights
 
         qp = dict(params)
         qp["text"] = quantize_linear_weights(params["text"])
-        dt_q = _timed(encode, qp, ids, mask, iters=iters)
-        a = np.asarray(encode(params, ids, mask), np.float32)
-        b = np.asarray(encode(qp, ids, mask), np.float32)
-        cos = float(np.mean(np.sum(a * b, 1) / (
-            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))))
-        if cos >= 0.999 and dt_q < dt:
+        dt_q, cos, promote = _int8_gate(encode, params, qp, (ids, mask),
+                                        dt, iters)
+        if promote:
             dt, precision = dt_q, "int8_w8a8"
     rec = {
         "metric": "bert_text_tower_256tok",
@@ -225,7 +236,7 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
     })
 
 
-def bench_single_tile(params, cfg, rng, use_flash):
+def bench_single_tile(params, cfg, rng, use_flash, on_tpu):
     """Config 1: the quick_start path — preprocess one tile, encode both
     towers, similarity row (keep_inference.py:88-104). Reports the bf16
     parity path AND the int8 production config (what serve.py --int8 ships;
@@ -254,7 +265,8 @@ def bench_single_tile(params, cfg, rng, use_flash):
                                    gelu_approx=gelu_approx)
             return img @ txt.T
 
-        dt = _timed(lambda: towers(p, tile, ids, mask), iters=10)
+        dt = _timed(lambda: towers(p, tile, ids, mask),
+                    iters=10 if on_tpu else 2)
         _emit({
             "metric": f"e2e_single_tile_vs_3_prompts_{label}",
             "value": round(dt * 1e3, 2), "unit": "ms",
@@ -313,22 +325,18 @@ def main():
         from keep_tpu.quant import quantize_linear_weights
 
         qparams = quantize_linear_weights(vit.fold_layerscale(params))
-        dt_q = _timed(fwd, qparams, x, iters=iters)
-        a = np.asarray(fwd(params, x), np.float32)
-        b = np.asarray(fwd(qparams, x), np.float32)
-        cos = float(np.mean(np.sum(a * b, 1) / (
-            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))))
+        dt_q, cos, promote = _int8_gate(fwd, params, qparams, (x,), dt, iters)
         _emit({"metric": "vit_l16_encode_int8", "value": round(bs / dt_q, 1),
                "unit": "patches/s", "vs_baseline": round(bs / dt_q / BASELINE, 4),
                "cos_vs_bf16": round(cos, 6), "bf16_patches_per_s": round(pps, 1)})
-        if cos >= 0.999 and dt_q < dt:
+        if promote:
             dt, pps, precision = dt_q, bs / dt_q, "int8_w8a8"
 
     if not tiny:
         kcfg = KEEPConfig()
         kparams = keep.init(jax.random.PRNGKey(0), kcfg)
         for fn, args in (
-            (bench_single_tile, (kparams, kcfg, rng, on_tpu)),
+            (bench_single_tile, (kparams, kcfg, rng, on_tpu, on_tpu)),
             (bench_text_tower, (kparams, kcfg, rng, on_tpu, on_tpu)),
             (bench_wsi_configs, (rng,)),
         ):
@@ -349,6 +357,12 @@ def main():
         "precision": precision,
         "backend": jax.default_backend(),
     }
+    if tiny:
+        # a toy 32px depth-2 model — mark it unmistakably so a leaked
+        # KEEP_BENCH_TINY can never be read as a real headline
+        rec["tiny"] = True
+        rec["vs_baseline"] = None
+        rec["sol_fraction"] = None
     if precision == "int8_w8a8":
         # the honest denominator once int8 IS the shipped precision:
         # v5e int8 peak (2x bf16) => ~3,214 patches/s single-chip ceiling
