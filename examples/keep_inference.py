@@ -10,6 +10,7 @@ import sys
 import numpy as np
 from PIL import Image
 
+import jax
 import jax.numpy as jnp
 
 from keep_tpu.models.keep import KEEPModel
@@ -18,8 +19,10 @@ from keep_tpu.text.tokenizer import WordPieceTokenizer
 
 
 def main(model_path: str, image_path: str):
+    # flash kernels only on TPU — on CPU they'd run in the (slow) Pallas
+    # interpreter; the XLA path is the right CPU fallback
     model = KEEPModel.from_pretrained(model_path, dtype=jnp.bfloat16,
-                                      use_flash=True)
+                                      use_flash=jax.default_backend() == "tpu")
     tokenizer = WordPieceTokenizer.from_pretrained(model_path)
 
     example_text = [

@@ -52,7 +52,9 @@ def step(name):
                 RESULTS.append((name, time.time() - t0, "FAIL"))
                 print(f"[FAIL] {name}", flush=True)
                 traceback.print_exc()
-                raise
+                # swallow: later independent steps still run, the summary
+                # table always prints, and main exits 1 via RESULTS
+                return None
         return run
     return deco
 
@@ -100,7 +102,8 @@ def build_workspace(d: str, full: bool):
             ["cutaneous melanoma", "skin cancer", "malignant melanoma",
              "tumor tissue"])
     }
-    json.dump(prompts, open(os.path.join(d, "prompts.json"), "w"))
+    with open(os.path.join(d, "prompts.json"), "w") as f:
+        json.dump(prompts, f)
 
     # synthetic pyramidal slide: tissue blobs on a white background, big
     # enough for several tiles at the model's native size
@@ -131,10 +134,12 @@ def build_workspace(d: str, full: bool):
         "g_norm": {"captions": ["normal tissue .", "normal skin tissue ."],
                    "images": names[4:], "labels": {}},
     }
-    json.dump(groups, open(os.path.join(d, "groups.json"), "w"))
+    with open(os.path.join(d, "groups.json"), "w") as f:
+        json.dump(groups, f)
     kg = {"DOID:mel": {"name": "melanoma", "parent": []},
           "DOID:norm": {"name": "normal", "parent": []}}
-    json.dump(kg, open(os.path.join(d, "kg.json"), "w"))
+    with open(os.path.join(d, "kg.json"), "w") as f:
+        json.dump(kg, f)
     cfg_yml = f"""
 dataset:
   train_data: {d}/groups.json
@@ -299,6 +304,8 @@ def drive_serve(d, cfg):
         print(f"       similarity row: {out['logits'][0]}")
     finally:
         httpd.shutdown()
+        core.stop()  # release the serve model before the training steps
+        del core, model
 
 
 @step("training CLI: 1 epoch + resume-latest")
@@ -376,15 +383,16 @@ def main():
     print(f"workspace: {d}")
     t0 = time.time()
     cfg = build_workspace(d, args.full)
-    _PATCH[0] = cfg.vision.img_size
-    drive_extract(d, args.int8, cfg.vision.img_size)
-    drive_detection(d, args.int8)
-    drive_segmentation(d)
-    drive_subtyping(d)
-    drive_cohort(d)
-    drive_serve(d, cfg)
-    drive_train(d)
-    drive_train_lora(d)
+    if cfg is not None:  # everything downstream needs the workspace
+        _PATCH[0] = cfg.vision.img_size
+        drive_extract(d, args.int8, cfg.vision.img_size)
+        drive_detection(d, args.int8)
+        drive_segmentation(d)
+        drive_subtyping(d)
+        drive_cohort(d)
+        drive_serve(d, cfg)
+        drive_train(d)
+        drive_train_lora(d)
 
     print(f"\n=== grand drive: {len(RESULTS)} steps, "
           f"{sum(1 for *_, s in RESULTS if s == 'ok')} ok, "

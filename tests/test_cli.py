@@ -345,7 +345,17 @@ def test_verify_release_runs(model_dir, capsys):
     assert rc == 0, out
     assert "text tower vs real transformers" in out
     assert "visual tower vs torch" in out  # round-3 visual-side release check
+    assert "tol 0.0001" in out  # --fp32 tightens the tower tolerance
     assert "PASS" in out
+
+    # the optional WSI leg is a GATING smoke (finite well-formed probs)
+    rc = vr_main(["--model-dir", str(model_dir / "model"), "--fp32",
+                  "--image", "/nonexistent.tif",
+                  "--h5", str(model_dir / "slide.h5"),
+                  "--prompts", str(model_dir / "prompts.json")])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[ok] WSI detection smoke" in out
 
 
 def test_wsi_cli_segmentation_requires_mask(model_dir):
