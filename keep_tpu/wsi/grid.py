@@ -103,6 +103,18 @@ class CoordGrid:
         return np.asarray(coords)[self.keep]
 
 
+def heatmap_image(grid_vals: np.ndarray, occ: np.ndarray, patch_size: int,
+                  downsample: int = 16) -> np.ndarray:
+    """Paint a [rows, cols] per-cell probability grid into a uint8 image at
+    ``patch_size/downsample`` pixels per cell — the ~16×-downsampled level
+    the reference paints its prediction masks at (segment_utils.py:122-152).
+    Unoccupied cells render as 0."""
+    cell = max(1, int(round(patch_size / downsample)))
+    vals = np.clip(np.asarray(grid_vals, np.float32), 0.0, 1.0)
+    img = np.round(vals * 255.0).astype(np.uint8) * (np.asarray(occ) > 0)
+    return np.kron(img, np.ones((cell, cell), np.uint8))
+
+
 @jax.jit
 def refine_grid(grid: Array, occ: Array) -> Array:
     """2×2 causal stencil: per occupied cell, mean of values over the occupied

@@ -102,6 +102,33 @@ def refined_tumor_probs(
     return _refined_probs(classifier, tile_features, grid, overlap)[:, 1]
 
 
+def tumor_heatmap(
+    classifier: Array,
+    tile_features: Array,
+    tile_coords: np.ndarray,
+    patch_size: int = 224,
+    *,
+    overlap: bool = True,
+    downsample: int = 16,
+) -> np.ndarray:
+    """uint8 tumor-probability heatmap over the slide's patch bounding box.
+
+    The visualization counterpart of the Dice painting
+    (segment_utils.py:122-152): per-patch class-1 probabilities (optionally
+    2×2-stencil refined, ``overlap``) scattered onto the dense coordinate
+    grid and painted at ``patch_size/downsample`` pixels per patch —
+    prob·255, unscored cells 0. Save with ``PIL.Image.fromarray``."""
+    from keep_tpu.wsi.grid import heatmap_image
+
+    grid = CoordGrid.from_coords(tile_coords, patch_size)
+    probs = score_tiles(classifier, tile_features)
+    g, occ = grid.scatter(probs)
+    if overlap:
+        g = refine_grid(g, occ)
+    return heatmap_image(np.asarray(g[..., 1]), np.asarray(occ),
+                         patch_size, downsample)
+
+
 def patch_labels_from_mask(
     mask: np.ndarray, coords: np.ndarray, patch_size: int
 ) -> np.ndarray:

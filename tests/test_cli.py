@@ -70,6 +70,26 @@ def test_wsi_cli_detection(model_dir, capsys):
     assert 0.0 <= prob <= 1.0
 
 
+def test_wsi_cli_detection_heatmap(model_dir, capsys, tmp_path):
+    from PIL import Image
+
+    from keep_tpu.wsi.run import main
+
+    png = tmp_path / "hm.png"
+    main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--h5", str(model_dir / "slide.h5"),
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "3",
+        "--heatmap-out", str(png),
+    ])
+    out = capsys.readouterr().out
+    assert "Heatmap" in out and png.exists()
+    img = np.asarray(Image.open(png))
+    # 100 patches on a 10-wide grid at 256px -> 16px cells
+    assert img.shape == (10 * 16, 10 * 16) and img.dtype == np.uint8
+
+
 def test_wsi_cli_subtyping_no_screening(model_dir, capsys):
     from keep_tpu.wsi.run import main
 

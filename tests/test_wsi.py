@@ -9,6 +9,7 @@ from keep_tpu.wsi.grid import CoordGrid, refine_grid
 from keep_tpu.wsi.pipelines import (
     dice_at_lowres,
     patch_labels_from_mask,
+    refined_tumor_probs,
     score_tiles,
     zero_shot_detection,
     zero_shot_segment,
@@ -76,6 +77,42 @@ def test_refine_matches_oracle(rng):
 def test_misaligned_coords_rejected():
     with pytest.raises(ValueError, match="uniform patch_size grid"):
         CoordGrid.from_coords(np.array([[0, 0], [100, 0]]), 256)
+
+
+def test_heatmap_image_paints_blocks():
+    from keep_tpu.wsi.grid import heatmap_image
+
+    vals = np.array([[0.5, 1.0], [0.0, 2.0]], np.float32)  # 2 clips to 1
+    occ = np.array([[1.0, 1.0], [0.0, 1.0]], np.float32)
+    img = heatmap_image(vals, occ, patch_size=256, downsample=16)
+    assert img.shape == (32, 32) and img.dtype == np.uint8  # 16px per cell
+    assert (img[:16, :16] == 128).all()    # 0.5 -> round(127.5)
+    assert (img[:16, 16:] == 255).all()
+    assert (img[16:, :16] == 0).all()      # unoccupied cell renders 0
+    assert (img[16:, 16:] == 255).all()    # clipped to 1.0
+
+
+def test_tumor_heatmap_end_to_end(rng):
+    from keep_tpu.wsi.pipelines import tumor_heatmap
+
+    ps = 224
+    coords, feats = make_slide(rng, n=60, ps=ps)
+    cls = rng.standard_normal((feats.shape[1], 2)).astype(np.float32)
+    hm = tumor_heatmap(cls, jnp.asarray(feats), coords, patch_size=ps)
+    grid = CoordGrid.from_coords(coords, ps)
+    cell = ps // 16
+    assert hm.shape == (grid.rows * cell, grid.cols * cell)
+    assert hm.dtype == np.uint8
+    # occupied cells carry the refined prob*255; empty cells are 0
+    _, occ = grid.scatter(jnp.zeros((len(coords), 1)))
+    empty = np.kron(np.asarray(occ) == 0, np.ones((cell, cell), bool))
+    assert (hm[empty] == 0).all()
+    probs = np.asarray(refined_tumor_probs(
+        cls, jnp.asarray(feats), grid, overlap=True))
+    r = (grid.cell_index // grid.cols) * cell
+    c = (grid.cell_index % grid.cols) * cell
+    np.testing.assert_array_equal(
+        hm[r, c], np.round(np.clip(probs, 0, 1) * 255).astype(np.uint8))
 
 
 def test_offset_aligned_coords_ok():
