@@ -129,6 +129,30 @@ def tumor_heatmap(
                          patch_size, downsample)
 
 
+def subtype_class_map(
+    classifier: Array,
+    tile_features: Array,
+    tile_coords: np.ndarray,
+    patch_size: int = 256,
+    *,
+    overlap: bool = True,
+    downsample: int = 16,
+) -> np.ndarray:
+    """uint8 class-index map: per occupied cell, argmax class + 1 (0 =
+    unscored) at ``patch_size/downsample`` pixels per patch — the
+    visualization of the subtyping refine (subtyping_utils.py:38-65).
+    Map back to names via ``{i+1: classname}``; feed a palette for color."""
+    grid = CoordGrid.from_coords(tile_coords, patch_size)
+    probs = score_tiles(classifier, tile_features)
+    g, occ = grid.scatter(probs)
+    if overlap:
+        g = refine_grid(g, occ)
+    cls = (np.asarray(jnp.argmax(g, axis=-1)).astype(np.uint8) + 1) * (
+        np.asarray(occ) > 0)
+    cell = max(1, int(round(patch_size / downsample)))
+    return np.kron(cls, np.ones((cell, cell), np.uint8))
+
+
 def patch_labels_from_mask(
     mask: np.ndarray, coords: np.ndarray, patch_size: int
 ) -> np.ndarray:

@@ -177,10 +177,11 @@ def main(argv=None):
                              "length-bucketed encoding (slower, bit-identical)")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--heatmap-out", metavar="PNG",
-                        help="single-slide detection/segmentation: also save "
-                        "a tumor-probability heatmap (prob*255 uint8 at "
-                        "patch_size/16 px per patch — the reference's mask-"
-                        "painting scale)")
+                        help="single-slide eval tasks: also save a heatmap "
+                        "at patch_size/16 px per patch (the reference's "
+                        "mask-painting scale) — tumor prob*255 for "
+                        "detection/segmentation, argmax class index + 1 "
+                        "for subtyping")
     parser.add_argument("--int8", action="store_true",
                         help="W8A8 quantized inference (keep_tpu.quant)")
     parser.add_argument("--int8-calib", type=int, default=32, metavar="N",
@@ -310,16 +311,20 @@ def main(argv=None):
             idx_to_class = {v: k for k, v in label_map.items()}
             print(f"Predicted subtype: {idx_to_class.get(label, label)} "
                   f"(fractions {np.round(fractions, 4).tolist()})")
-        if args.heatmap_out and args.task in ("detection", "segmentation"):
+        if args.heatmap_out:
             from PIL import Image
 
-            from keep_tpu.wsi.pipelines import tumor_heatmap
+            from keep_tpu.wsi.pipelines import subtype_class_map, tumor_heatmap
 
-            # refined (overlap) for segmentation, the detection rule is
-            # overlap=False — each task's own decision semantics
-            hm = tumor_heatmap(classifier, feats, coords,
-                               patch_size=args.patch_size,
-                               overlap=args.task == "segmentation")
+            if args.task == "subtyping":
+                hm = subtype_class_map(classifier, feats, coords,
+                                       patch_size=args.patch_size)
+            else:
+                # refined (overlap) for segmentation, the detection rule is
+                # overlap=False — each task's own decision semantics
+                hm = tumor_heatmap(classifier, feats, coords,
+                                   patch_size=args.patch_size,
+                                   overlap=args.task == "segmentation")
             Image.fromarray(hm).save(args.heatmap_out)
             print(f"Heatmap ({hm.shape[0]}x{hm.shape[1]}) -> "
                   f"{args.heatmap_out}")

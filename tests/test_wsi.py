@@ -115,6 +115,30 @@ def test_tumor_heatmap_end_to_end(rng):
         hm[r, c], np.round(np.clip(probs, 0, 1) * 255).astype(np.uint8))
 
 
+def test_subtype_class_map(rng):
+    from keep_tpu.wsi.pipelines import subtype_class_map
+
+    ps = 256
+    coords, feats = make_slide(rng, n=50, ps=ps)
+    cls = rng.standard_normal((feats.shape[1], 4)).astype(np.float32)
+    cm = subtype_class_map(cls, jnp.asarray(feats), coords, patch_size=ps)
+    grid = CoordGrid.from_coords(coords, ps)
+    cell = ps // 16
+    assert cm.shape == (grid.rows * cell, grid.cols * cell)
+    assert cm.dtype == np.uint8
+    # occupied cells carry argmax+1 in 1..4; unscored cells are 0
+    vals = np.unique(cm)
+    assert vals.min() >= 0 and vals.max() <= 4
+    probs = score_tiles(cls, jnp.asarray(feats))
+    g, occ = grid.scatter(probs)
+    want = (np.asarray(jnp.argmax(refine_grid(g, occ), -1)) + 1) * (
+        np.asarray(occ) > 0)
+    r = (grid.cell_index // grid.cols) * cell
+    c = (grid.cell_index % grid.cols) * cell
+    rr, cc = grid.cell_index // grid.cols, grid.cell_index % grid.cols
+    np.testing.assert_array_equal(cm[r, c], want[rr, cc].astype(np.uint8))
+
+
 def test_offset_aligned_coords_ok():
     g = CoordGrid.from_coords(np.array([[13, 13], [269, 13]]), 256)
     assert (g.rows, g.cols) == (1, 2)
