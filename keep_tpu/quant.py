@@ -46,19 +46,38 @@ def quantize_kernel(kernel: Array) -> dict:
 def quantize_linear_weights(
     params, targets: Sequence[str] = DEFAULT_TARGETS
 ) -> "object":
-    """Rewrite targeted linear params in a pytree of nested dicts."""
+    """Rewrite targeted linear params in a pytree of nested dicts.
 
-    def visit(node, name=""):
+    Name matching is PATH-aware to keep the stated policy on every tower:
+    ``proj`` means the attention OUTPUT projection (parent dict ``attn``) —
+    projection HEADS that happen to be named ``proj`` (CoCa's text head,
+    the EVA trunk head) stay high-precision; and nothing inside a
+    ``rel_pos`` subtree is touched (the vit_relpos bias MLP is a K=2
+    coordinate network whose per-token int8 quantization would corrupt
+    every head's attention bias for negligible FLOPs)."""
+
+    def eligible(node, name, parent, ancestors):
+        if not ("kernel" in node and "bias" in node and name in targets):
+            return False
+        if "rel_pos" in ancestors:
+            return False
+        if name == "proj" and parent != "attn":
+            return False
+        return True
+
+    def visit(node, name="", ancestors=()):
         if isinstance(node, dict):
-            if "kernel" in node and "bias" in node and name in targets:
+            parent = ancestors[-1] if ancestors else ""
+            if eligible(node, name, parent, ancestors):
                 q = quantize_kernel(node["kernel"])
                 # keep any sibling leaves (adapters, cached transforms) —
                 # only 'kernel' is replaced by (kernel_q, scale)
                 rest = {k: v for k, v in node.items() if k != "kernel"}
                 return {**rest, **q}
-            return {k: visit(v, k) for k, v in node.items()}
+            return {k: visit(v, k, ancestors + (name,))
+                    for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(visit(v, name) for v in node)
+            return type(node)(visit(v, name, ancestors) for v in node)
         return node
 
     return visit(params)

@@ -218,7 +218,13 @@ def _metric_loss(
 
     sf = sim * scale
     sf_qq = sf[:, :n]
-    e = jnp.exp(sf_qq * sign)  # exp(-s) in-group, exp(+s) cross-group
+    # overflow guard: the trainer permits logit_scale up to 100 while fp32
+    # exp overflows at ~88.7, so a cross-group pair at sim > ~0.887 would
+    # inf → NaN the whole loss. A shift is NOT loss-invariant here (positive
+    # terms enter via reciprocals), so clamp the exponent instead — exact
+    # below the clamp, saturated (finite) above it. mask_contrastive_loss
+    # guards the same failure via its row shift.
+    e = jnp.exp(jnp.minimum(sf_qq * sign, 85.0))  # exp(-s) in-grp, exp(+s) x-grp
 
     group_sums = e @ right  # [n, N_id]: per row, sum over each group's members
     pos_mask = right  # [n, N_id] 1 at own-group column per row-block
@@ -243,7 +249,7 @@ def _metric_loss(
             # extra negative text block (same N_id×N_ins group structure):
             # per group i, total exp-mass of its own extra-column block
             # (loss.py:239-246)
-            extra = jnp.exp(sf[:, n:] * within)
+            extra = jnp.exp(jnp.minimum(sf[:, n:] * within, 85.0))
             add_diag = jnp.diagonal(left @ extra @ right)
             gg = jnp.concatenate([gg, add_diag[:, None]], axis=1)
         return l1_log_diag(gg)
@@ -252,7 +258,11 @@ def _metric_loss(
         # lenient-hard-neg: invert negatives per instance, pool, re-invert
         inv_neg = 1.0 / jnp.where(group_sums * (1 - pos_mask) == 0, 1.0, group_sums)
         staged = inv_neg * (1 - pos_mask) + group_sums * pos_mask
-        gg = 1.0 / (left @ staged)
+        # same exp-underflow guard as the sibling variants: on TPU
+        # (flush-to-zero) fully-underflowed positive columns would pool to 0
+        # and 1/0 → inf; the other three variants guard their reciprocals
+        pooled = left @ staged
+        gg = 1.0 / jnp.where(pooled == 0, 1.0, pooled)
         return l1_log_diag(gg)
 
     if loss_type == "lhp-lhn":

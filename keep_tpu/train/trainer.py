@@ -132,6 +132,20 @@ def _apply_freeze(tree, frozen):
     return jax.tree.map(lambda x, f: x * (1.0 - f).astype(x.dtype), tree, frozen)
 
 
+def _optimizer_apply(state, grads, tx, frozen, loss):
+    """The freeze→update→clamp→metrics tail shared by both step factories."""
+    grads = _apply_freeze(grads, frozen)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = _apply_freeze(updates, frozen)  # kill weight-decay drift too
+    params = optax.apply_updates(state.params, updates)
+    params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
+    new_state = state.replace(
+        params=params, opt_state=opt_state, step=state.step + 1
+    )
+    return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads),
+                       "logit_scale": jnp.exp(params["logit_scale"])}
+
+
 def make_train_step(
     cfg: KEEPConfig,
     loss_cfg: LossConfig,
@@ -185,17 +199,7 @@ def make_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = _apply_freeze(grads, frozen)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = _apply_freeze(updates, frozen)  # kill weight-decay drift too
-        params = optax.apply_updates(state.params, updates)
-        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
-        gnorm = optax.global_norm(grads)
-        new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        return new_state, {"loss": loss, "grad_norm": gnorm,
-                           "logit_scale": jnp.exp(params["logit_scale"])}
+        return _optimizer_apply(state, grads, tx, frozen, loss)
 
     from keep_tpu.utils.compile import tpu_compiler_options
 
@@ -258,7 +262,14 @@ def make_accum_train_step(
                     loss_type=loss_cfg.loss_subtype,
                 )
             else:
-                loss = clip_loss(img_all, txt_all, scale)
+                # forward the labels like the non-accum path does — silently
+                # dropping them would turn mask_contrastive into plain
+                # InfoNCE only when accumulation is on
+                labels = batches.get("labels")
+                loss = clip_loss(
+                    img_all, txt_all, scale,
+                    labels=None if labels is None else labels.reshape(-1),
+                )
             if getattr(cfg.vision, "moe_experts", 0) > 0:
                 # each chunk carries its own live aux; the chunk grads SUM,
                 # so weight each by 1/accum — the summed aux gradient then
@@ -281,17 +292,7 @@ def make_accum_train_step(
         # summed gradient is ~accum× the full-batch one — exactly the
         # reference's behavior (train_hierarchy.py:127-165 accumulates
         # whole-matrix backwards without dividing), reproduced as-is.
-        grads = _apply_freeze(grads, frozen)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = _apply_freeze(updates, frozen)
-        params = optax.apply_updates(state.params, updates)
-        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
-        gnorm = optax.global_norm(grads)
-        new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        return new_state, {"loss": jnp.mean(losses), "grad_norm": gnorm,
-                           "logit_scale": jnp.exp(params["logit_scale"])}
+        return _optimizer_apply(state, grads, tx, frozen, jnp.mean(losses))
 
     from keep_tpu.utils.compile import tpu_compiler_options
 

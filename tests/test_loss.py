@@ -186,6 +186,40 @@ def test_hy_metric_loss_matches_oracle(loss_type, rng):
     assert got == pytest.approx(ref, rel=1e-4), loss_type
 
 
+@pytest.mark.parametrize("loss_type", ["hp-hn", "lhp-hn", "hp-lhn", "lhp-lhn"])
+def test_hy_metric_loss_finite_at_max_scale(loss_type):
+    """The trainer clamps logit_scale at ln(100); at scale=100 a cross-group
+    pair with sim ~1 drives exp(scale*sim) past fp32 max. The exponent clamp
+    must keep every variant finite (a raw exp infs, then 0*inf NaNs)."""
+    n_id, n_ins, d = 3, 2, 8
+    n = n_id * n_ins
+    v = np.zeros((n, d), np.float32)
+    v[:, 0] = 1.0  # every feature identical: all sims exactly 1
+    node = np.ones((n_id, n_id), np.float32)
+    loss = float(hy_metric_loss(
+        jnp.asarray(v), jnp.asarray(v), jnp.asarray(node), 100.0,
+        caption_num=n_id, loss_type=loss_type,
+    ))
+    assert np.isfinite(loss), (loss_type, loss)
+
+
+def test_metric_loss_hp_lhn_guards_underflowed_positives():
+    """hp-lhn's pooled positive column must be guarded like the sibling
+    variants: if every in-group exp(-scale*sim) underflows to exactly 0,
+    1/pooled would inf -> NaN."""
+    from keep_tpu.train.loss import _metric_loss
+
+    n_id, n_ins = 2, 2
+    n = n_id * n_ins
+    sim = np.full((n, n), 0.1, np.float32)
+    within = np.kron(np.eye(n_id), np.ones((n_ins, n_ins))).astype(bool)
+    # in-group exponent -110 -> exp underflows to exactly 0 (below the fp32
+    # subnormal floor ~e^-103) even on CPU
+    sim[within] = 1.1
+    loss = float(_metric_loss(jnp.asarray(sim), 100.0, n_id, n_ins, "hp-lhn"))
+    assert np.isfinite(loss)
+
+
 def test_hy_metric_loss_extra_negatives(rng):
     n_id, n_ins, d = 3, 2, 8
     n = n_id * n_ins

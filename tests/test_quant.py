@@ -51,6 +51,30 @@ def test_quantize_pytree_structure(rng):
     assert errs and max(errs.values()) < 0.01
 
 
+def test_quantize_is_path_aware(rng):
+    """Name matching must not leak outside its policy: the vit_relpos
+    rel-pos bias MLP (a K=2 coordinate network) and projection HEADS named
+    'proj' (CoCa text / EVA trunk) stay high-precision; the attention
+    output proj (parent 'attn') still quantizes."""
+    from keep_tpu.models import vit_relpos as vrp
+
+    cfg = vrp.ViTRelPosConfig(img_size=32, patch_size=8, embed_dim=64,
+                              depth=2, num_heads=4, rel_pos_hidden=16)
+    qp = quantize_linear_weights(vrp.init(jax.random.PRNGKey(0), cfg))
+    rel = qp["blocks"]["attn"]["rel_pos"]
+    assert "kernel" in rel["fc1"] and "kernel_q" not in rel["fc1"]
+    assert "kernel" in rel["fc2"] and "kernel_q" not in rel["fc2"]
+    assert qp["blocks"]["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+    assert qp["blocks"]["attn"]["proj"]["kernel_q"].dtype == jnp.int8
+
+    lin = lambda i, o: {"kernel": rng.standard_normal((i, o)).astype(np.float32),
+                        "bias": np.zeros(o, np.float32)}
+    tree = {"attn": {"proj": lin(8, 8)}, "proj": lin(8, 4)}  # head named proj
+    q = quantize_linear_weights(tree)
+    assert q["attn"]["proj"]["kernel_q"].dtype == jnp.int8
+    assert "kernel_q" not in q["proj"] and "kernel" in q["proj"]
+
+
 def test_vit_int8_close_to_fp32(rng):
     cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=4)
     params = vit.init(jax.random.PRNGKey(1), cfg)

@@ -192,6 +192,42 @@ def test_wd_mask_structure():
     assert mask["text"]["blocks"]["norm"]["scale"] is False
 
 
+def test_accum_step_forwards_labels(rng):
+    """mask_contrastive labels must survive gradient accumulation — the
+    accum path previously dropped them, silently degrading to plain
+    InfoNCE only when accum was on."""
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    tx = optim.adamw(1e-3)
+    batch = make_batch(rng, 8)
+    labels = np.array([0, 0, 1, 1, 2, 2, 3, 3], np.int32)
+    full = {**{k: jnp.asarray(v) for k, v in batch.items()},
+            "labels": jnp.asarray(labels)}
+    micro = {
+        k: jnp.asarray(v.reshape((2, 4) + v.shape[1:]) if k != "node_connection"
+                       else np.stack([v, v]))
+        for k, v in batch.items()
+    }
+    micro["labels"] = jnp.asarray(labels.reshape(2, 4))
+
+    s_full = tree_state(params, tx)
+    step_full = make_train_step(TINY, LossConfig(kind="clip"), tx,
+                                dtype=jnp.float32, donate=False)
+    s_full, m_full = step_full(s_full, full)
+
+    # the labeled loss is genuinely different from unlabeled InfoNCE
+    # (run before the accum step — it donates the shared param buffers)
+    _, m_plain = step_full(tree_state(params, tx),
+                           {k: v for k, v in full.items() if k != "labels"})
+    assert float(m_plain["loss"]) != pytest.approx(float(m_full["loss"]),
+                                                   rel=1e-5)
+
+    s_acc = tree_state(params, tx)
+    step_acc = make_accum_train_step(TINY, LossConfig(kind="clip"), tx, 2,
+                                     dtype=jnp.float32)
+    s_acc, m_acc = step_acc(s_acc, micro)
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]), rel=1e-4)
+
+
 def test_accum_step_hierarchy_matches_full(rng):
     """Accumulation parity for the hierarchical metric loss under the REAL
     data layout: each microbatch is independently group-blocked with
