@@ -108,6 +108,12 @@ def forward(
     ``act_sharding`` pins the [B, S, D] stream at block boundaries
     (Megatron-SP via GSPMD constraints — ``parallel.sp``); an identity."""
     b, s = input_ids.shape
+    if s > cfg.max_position_embeddings:
+        # the position-table slice would silently shorten and fail later
+        # with an opaque broadcast error
+        raise ValueError(
+            f"sequence length {s} exceeds max_position_embeddings="
+            f"{cfg.max_position_embeddings}; truncate at the tokenizer")
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
     if token_type_ids is None:

@@ -54,15 +54,26 @@ def resample_pos_embed(
     pos_embed: Array, grid_hw: tuple[int, int], num_prefix: int
 ) -> Array:
     """Bicubic pos-embed resample for dynamic image sizes (timm
-    ``resample_abs_pos_embed`` semantics; reference model.py:563-594)."""
+    ``resample_abs_pos_embed`` semantics; reference model.py:563-594).
+
+    Implemented as two separable weight matmuls with TORCH's antialiased
+    bicubic kernel (a=-0.75, half-pixel centers) — ``jax.image.resize``'s
+    Keys a=-0.5 kernel deviates from the reference's
+    ``F.interpolate(mode='bicubic', antialias=True)`` on every resampled
+    position (oracle-tested vs real torch in tests/test_vit_parity.py)."""
+    from keep_tpu.ops.preprocess import torch_resize_weights
+
     n = pos_embed.shape[1] - num_prefix
     old = int(round(float(n) ** 0.5))
     gh, gw = grid_hw
     if (old, old) == (gh, gw):
         return pos_embed
     prefix = pos_embed[:, :num_prefix]
-    grid = pos_embed[:, num_prefix:].reshape(1, old, old, -1).astype(jnp.float32)
-    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), method="bicubic")
+    grid = pos_embed[0, num_prefix:].reshape(old, old, -1).astype(jnp.float32)
+    wh = jnp.asarray(torch_resize_weights(old, gh))
+    ww = jnp.asarray(torch_resize_weights(old, gw))
+    grid = jnp.tensordot(wh, grid, axes=[[1], [0]])      # [gh, old, D]
+    grid = jnp.einsum("co,hod->hcd", ww, grid)           # [gh, gw, D]
     grid = grid.reshape(1, gh * gw, -1).astype(pos_embed.dtype)
     return jnp.concatenate([prefix, grid], axis=1)
 
@@ -215,6 +226,12 @@ def forward(
     ps = cfg.patch_size
     if h % ps or w % ps:
         raise ValueError(f"image size {(h, w)} not a multiple of patch_size {ps}")
+    if cfg.num_prefix_tokens > 1:
+        # registers are not implemented: forward concatenates ONE cls token
+        # while pos_embed/pooling would size for more — a silent mismatch
+        raise ValueError(
+            f"num_prefix_tokens={cfg.num_prefix_tokens} unsupported (0 = gap "
+            f"ViT, 1 = CLS); register tokens are not implemented")
 
     x = x.astype(dtype)
     tokens = patchify(params["patch_embed"], x, ps)

@@ -127,6 +127,11 @@ def mlp(p: dict, x: Array, gelu_approx: bool = False,
     the tanh-GELU into the int8 matmul epilogue."""
     if act == "quick_gelu":  # OpenAI-CLIP variant; no fused int8 epilogue
         return linear(p["fc2"], quick_gelu(linear(p["fc1"], x)))
+    if act != "gelu":
+        # fail fast: a typo'd/unknown activation silently running GELU
+        # would be wrong for every token with no signal
+        raise ValueError(f"unknown mlp act {act!r}; expected 'gelu' or "
+                         f"'quick_gelu'")
     if (
         gelu_approx
         and "kernel_q" in p["fc1"]

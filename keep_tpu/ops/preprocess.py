@@ -40,7 +40,8 @@ def _cubic_filter(x: np.ndarray, a: float = -0.5) -> np.ndarray:
     return out
 
 
-def resize_weights(in_size: int, out_size: int, support: float = 2.0) -> np.ndarray:
+def resize_weights(in_size: int, out_size: int, support: float = 2.0,
+                   a: float = -0.5) -> np.ndarray:
     """[out_size, in_size] row-stochastic resample matrix, PIL semantics."""
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
@@ -51,9 +52,20 @@ def resize_weights(in_size: int, out_size: int, support: float = 2.0) -> np.ndar
         xmin = max(int(center - support + 0.5), 0)
         xmax = min(int(center + support + 0.5), in_size)
         xs = np.arange(xmin, xmax)
-        k = _cubic_filter((xs + 0.5 - center) / filterscale)
+        k = _cubic_filter((xs + 0.5 - center) / filterscale, a)
         w[i, xmin:xmax] = k / k.sum()
     return w.astype(np.float32)
+
+
+def torch_resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] matrix matching ``torch.nn.functional.interpolate(
+    mode='bicubic', antialias=True, align_corners=False)`` — the reference's
+    pos-embed resample (model.py:563-594 passes antialias=True). torch's AA
+    resampler IS Pillow's windowed-normalized construction (it was written
+    to match PIL, cubic a=-0.5, at upscale and downscale alike — verified
+    ≤6e-6 vs real torch in tests/test_vit_parity.py); only torch's
+    non-antialias bicubic uses a=-0.75."""
+    return resize_weights(in_size, out_size)
 
 
 def resized_output_size(h: int, w: int, size: int) -> tuple[int, int]:
