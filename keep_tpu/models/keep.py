@@ -234,23 +234,33 @@ class KEEPModel:
         recommended for released real-data checkpoints, where LN-output
         outlier channels are common."""
         from keep_tpu.models.vit import fold_layerscale
-        from keep_tpu.quant import quantize_linear_weights, smooth_vit
+        from keep_tpu.quant import (DEFAULT_TARGETS, MOE_TARGETS,
+                                    quantize_linear_weights, smooth_vit)
 
-        if getattr(self.cfg.vision, "moe_experts", 0) > 0:
-            raise NotImplementedError(
-                "int8 quantization covers the dense trunk only; the MoE "
-                "trunk (vision.moe_experts > 0) serves in bf16")
         params = dict(self.params)
-        params["visual"] = fold_layerscale(params["visual"])
-        if calib_pixels is not None:
-            from keep_tpu.models import vit as _vit
+        if getattr(self.cfg.vision, "moe_experts", 0) > 0:
+            # MoE trunk: expert wi/wo + attention/stem matmuls go int8
+            # (moe._expert_linear / ops.nn.linear dispatch on kernel_q); no
+            # LayerScale to fold, and SmoothQuant calibration is
+            # dense-trunk-only (vit.forward ln_stats) — reject rather than
+            # silently skip what the caller asked for.
+            if calib_pixels is not None:
+                raise NotImplementedError(
+                    "SmoothQuant calibration (calib_pixels) covers the "
+                    "dense trunk only; quantize the MoE model without it")
+            targets = MOE_TARGETS
+        else:
+            targets = DEFAULT_TARGETS
+            params["visual"] = fold_layerscale(params["visual"])
+            if calib_pixels is not None:
+                from keep_tpu.models import vit as _vit
 
-            _, stats = _vit.forward(params["visual"], calib_pixels,
-                                    self.cfg.vision, ln_stats=True)
-            params["visual"] = smooth_vit(params["visual"], stats,
-                                          smooth_alpha)
+                _, stats = _vit.forward(params["visual"], calib_pixels,
+                                        self.cfg.vision, ln_stats=True)
+                params["visual"] = smooth_vit(params["visual"], stats,
+                                              smooth_alpha)
         return KEEPModel(
-            params=quantize_linear_weights(params),
+            params=quantize_linear_weights(params, targets),
             cfg=self.cfg,
             dtype=self.dtype,
             use_flash=self.use_flash,

@@ -30,6 +30,11 @@ Array = jax.Array
 # poolers and embeddings stay fp32/bf16.
 DEFAULT_TARGETS = ("qkv", "proj", "fc1", "fc2", "out", "patch_embed")
 
+# MoE expert matmuls (wi/wo under a 'moe' subtree) carry the trunk's FLOPs
+# when cfg.vision.moe_experts > 0; the router stays fp32 (tiny, and its
+# argmax decides token placement — quantization noise there moves tokens).
+MOE_TARGETS = DEFAULT_TARGETS + ("wi", "wo")
+
 
 def quantize_kernel(kernel: Array) -> dict:
     """[..., K, N] fp kernel → int8 + per-output-channel scale [..., N].
@@ -62,6 +67,8 @@ def quantize_linear_weights(
         if "rel_pos" in ancestors:
             return False
         if name == "proj" and parent != "attn":
+            return False
+        if name in ("wi", "wo") and parent != "moe":
             return False
         return True
 

@@ -223,21 +223,41 @@ def bench_trunk(args):
         out, _ = jax.lax.scan(body, x, params["blocks"])
         return out, jnp.float32(0)
 
+    variants = [
+        ("einsum", params, "einsum"),
+        ("gather", params, "gather"),
+    ]
+    if args.int8:
+        from keep_tpu.quant import MOE_TARGETS, quantize_linear_weights
+
+        qparams = quantize_linear_weights(params, MOE_TARGETS)
+        variants += [("einsum-int8", qparams, "einsum"),
+                     ("gather-int8", qparams, "gather")]
+
     for b in (args.batch, 4 * args.batch):
         x = jax.random.normal(jax.random.PRNGKey(1),
                               (b, 197, cfg.embed_dim), jnp.bfloat16)
-        for name, fn in (
-            ("einsum", functools.partial(
+        ref_out = {}
+        for name, pv, disp in variants:
+            fn = functools.partial(
                 moe.forward_trunk, cfg=cfg, top_k=1, capacity_factor=args.cf,
-                gelu_approx=True, dispatch="einsum")),
-            ("gather", functools.partial(
-                moe.forward_trunk, cfg=cfg, top_k=1, capacity_factor=args.cf,
-                gelu_approx=True, dispatch="gather")),
-            ("dense-anchor", dense_trunk),
-        ):
-            dt = timed(jax.jit(fn), params, x, iters=max(5, args.iters // 2))
+                gelu_approx=True, dispatch=disp)
+            jfn = jax.jit(fn)
+            out = np.asarray(jfn(pv, x)[0], np.float32).reshape(-1)
+            if name.endswith("-int8"):
+                base = ref_out[disp]
+                cos = float((out @ base) / (np.linalg.norm(out)
+                                            * np.linalg.norm(base) + 1e-12))
+            else:
+                ref_out[disp] = out
+                cos = 1.0
+            dt = timed(jfn, pv, x, iters=max(5, args.iters // 2))
             print(f"B={b:4d} {name:13s} {dt*1e3:8.2f} ms  "
-                  f"{b/dt:8.1f} img/s (24-layer trunk)")
+                  f"{b/dt:8.1f} img/s (24-layer trunk)  cos={cos:.6f}")
+        dt = timed(jax.jit(dense_trunk), params, x,
+                   iters=max(5, args.iters // 2))
+        print(f"B={b:4d} {'dense-anchor':13s} {dt*1e3:8.2f} ms  "
+              f"{b/dt:8.1f} img/s (24-layer trunk)")
 
 
 def main():
@@ -247,6 +267,9 @@ def main():
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--cf", type=float, default=1.25)
     ap.add_argument("--trunk", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the int8-quantized expert weights "
+                         "(wi/wo via quant.MOE_TARGETS) in --trunk mode")
     args = ap.parse_args()
     if args.trunk:
         bench_trunk(args)

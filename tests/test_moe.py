@@ -35,6 +35,30 @@ def make_moe_params(key, d=32, f=64, e=4):
     }
 
 
+@pytest.mark.parametrize("path", ["einsum", "gather"])
+def test_int8_expert_mlp_matches_float(path):
+    """Quantized wi/wo (per-expert per-column int8 scales) track the float
+    MoE MLP closely on BOTH dispatch paths, and routing (which tokens land
+    where — visible through which outputs are zero) is identical since the
+    fp32 router is untouched."""
+    from keep_tpu.quant import MOE_TARGETS, quantize_linear_weights
+
+    p = make_moe_params(jax.random.PRNGKey(0))
+    qp = quantize_linear_weights({"moe": p}, MOE_TARGETS)["moe"]
+    assert qp["wi"]["kernel_q"].dtype == jnp.int8
+    assert qp["wo"]["scale"].shape == (4, 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+    fn = moe.moe_mlp_gather if path == "gather" else moe.moe_mlp
+    y, aux = fn(p, x, capacity_factor=2.0)
+    yq, auxq = fn(qp, x, capacity_factor=2.0)
+    np.testing.assert_allclose(np.asarray(auxq), np.asarray(aux), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(y),
+                               rtol=0.15, atol=0.02)
+    rel = np.linalg.norm(np.asarray(yq - y)) / np.linalg.norm(np.asarray(y))
+    assert rel < 0.05, rel
+    np.testing.assert_array_equal(np.asarray(y) == 0, np.asarray(yq) == 0)
+
+
 def test_identical_experts_match_gated_dense():
     """With every expert carrying the SAME weights and capacity ample, the
     MoE output must equal gate * dense_mlp(x) token-for-token (top-1 gate =
@@ -175,10 +199,19 @@ def test_keep_moe_integration():
     _, daux = keep.encode_image(dparams, px, dense, return_aux=True)
     assert float(daux) == 0.0
 
-    # int8 quantization is dense-only: a clean error, not a KeyError
+    # int8 quantization covers the MoE trunk too (expert wi/wo + attention
+    # + stem matmuls go int8); SmoothQuant calibration stays dense-only
     model = keep.KEEPModel(params=params, cfg=cfg)
-    with pytest.raises(NotImplementedError, match="dense trunk"):
-        model.quantize()
+    qmodel = model.quantize()
+    qblocks = qmodel.params["visual"]["blocks"]
+    assert qblocks["moe"]["wi"]["kernel_q"].dtype == jnp.int8
+    assert qblocks["moe"]["wi"]["scale"].shape == (2, 4, cfg.vision.mlp_dim)
+    assert "kernel" in qblocks["moe"]["router"]  # router stays fp
+    qfeats = qmodel.encode_image(px)
+    cos = float(jnp.mean(jnp.sum(feats * qfeats, axis=-1)))
+    assert cos > 0.99, cos
+    with pytest.raises(NotImplementedError, match="calibration"):
+        model.quantize(calib_pixels=px)
 
 
 def test_ep_sharding_parity():
