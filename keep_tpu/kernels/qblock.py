@@ -143,13 +143,17 @@ def _make_qattn_postln_kernel(heads: int, dh: int, eps: float):
     scale = dh**-0.5
     d = heads * dh
 
-    def kernel(x_ref, mask_ref, g_ref, bln_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-               wout_ref, sout_ref, bout_ref, o_ref, attn_scratch):
+    def kernel(x_ref, mask_ref, g_ref, bln_ref, psq_ref, wqkv_ref, sqkv_ref,
+               bqkv_ref, wout_ref, sout_ref, bout_ref, o_ref, attn_scratch):
         xf = x_ref[0].astype(jnp.float32)  # [S, D]
         # the mask is passed whole ([B, S] is tiny) and indexed by program —
         # a (1, S) block would violate the 8-sublane block rule
         bias_row = mask_ref[pl.program_id(0)][None, :]  # [1, S]
-        yq, a1 = _quant_rows(xf)
+        # SmoothQuant pre_scale (1/s; ones when unsmoothed): the qkv kernel
+        # rows carry s, so dividing only the QUANTIZE input keeps x·W exact
+        # while the int8 rounding sees the equalized tensor. The residual
+        # and exit LN still use the raw xf.
+        yq, a1 = _quant_rows(xf * psq_ref[0][None, :])
         slab = _int8_dot(yq, wqkv_ref[:]).astype(jnp.float32)
         slab = slab * (a1 * sqkv_ref[0][None, :]) + bqkv_ref[0][None, :]
         slab = slab.astype(jnp.bfloat16)
@@ -169,8 +173,8 @@ def _make_qattn_postln_kernel(heads: int, dh: int, eps: float):
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps"))
-def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
-                       *, num_heads: int, eps: float):
+def _qattn_postln_call(x, mask, g, bln, psq, wqkv, sqkv, bqkv, wout, sout,
+                       bout, *, num_heads: int, eps: float):
     b, s, d = x.shape
     dh = d // num_heads
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -182,7 +186,7 @@ def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
         in_specs=[
             pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const((b, s)),  # whole mask, indexed by program id
-            const((1, d)), const((1, d)),
+            const((1, d)), const((1, d)), const((1, d)),
             const((d, 3 * d)), const((1, 3 * d)), const((1, 3 * d)),
             const((d, d)), const((1, d)), const((1, d)),
         ],
@@ -197,7 +201,7 @@ def _qattn_postln_call(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
-    )(x, mask, g, bln, wqkv, sqkv, bqkv, wout, sout, bout)
+    )(x, mask, g, bln, psq, wqkv, sqkv, bqkv, wout, sout, bout)
 
 
 def quantized_attention_block_postln(
@@ -215,11 +219,16 @@ def quantized_attention_block_postln(
     [B, S] (0 valid, -1e9 padded) applied to the scores.
 
     ``qkv_p``/``out_p``: {kernel_q, scale, bias}; ``norm``: the block's
-    attention LayerNorm (applied at the EXIT, over the residual sum)."""
+    attention LayerNorm (applied at the EXIT, over the residual sum).
+    A ``pre_scale`` leaf on ``qkv_p`` (SmoothQuant, quant.smooth_bert) is
+    applied to the quantize input in-kernel."""
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    psq = qkv_p.get("pre_scale")
+    if psq is None:
+        psq = jnp.ones((1, x.shape[-1]), jnp.float32)
     return _qattn_postln_call(
         x, jnp.asarray(key_mask, jnp.float32),
-        row(norm["scale"]), row(norm["bias"]),
+        row(norm["scale"]), row(norm["bias"]), row(psq),
         qkv_p["kernel_q"], row(qkv_p["scale"]), row(qkv_p["bias"]),
         out_p["kernel_q"], row(out_p["scale"]), row(out_p["bias"]),
         num_heads=num_heads, eps=eps,

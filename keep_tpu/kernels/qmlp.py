@@ -105,14 +105,14 @@ def quantized_mlp(
 
 
 def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
-                          post_ln: bool = False, rows: int = 1):
+                          post_ln: bool = False, rows: int = 1,
+                          with_ps: bool = False):
     def kernel(*refs):
-        if with_ln:
-            (x_ref, g_ref, bln_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
-             b2_ref, o_ref) = refs
-        else:
-            (x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-             o_ref) = refs
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        g_ref, bln_ref = (refs.pop(0), refs.pop(0)) if with_ln else (None, None)
+        ps1_ref = refs.pop(0) if with_ps else None
+        (w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref) = refs
         if rows > 1:
             # k independent batch rows in one program: all math here is
             # per-token, so collapsing [k, S, D] → [k·S, D] in VMEM is
@@ -124,7 +124,9 @@ def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
             xf = x_ref[0].astype(jnp.float32)  # [S, D]
         y = _ln_rows(xf, g_ref[0][None, :], bln_ref[0][None, :], eps) \
             if with_ln and not post_ln else xf
-        xq, a1 = _quant_rows(y)
+        # SmoothQuant pre_scale (1/s): fc1's kernel rows carry s, the
+        # quantize input is divided by s — exact, tamer int8 rounding
+        xq, a1 = _quant_rows(y * ps1_ref[0][None, :] if with_ps else y)
         h = _int8_dot(xq, w1_ref).astype(jnp.float32)
         h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
         h = _gelu_tanh(h)
@@ -159,6 +161,7 @@ def quantized_mlp_bsd(
     residual: bool = False,
     post_ln: bool = False,
     rows: int = 1,
+    pre_scale1: Array | None = None,
 ) -> Array:
     """``quantized_mlp`` over [B, S, D] activations in their natural layout
     (no [B·S, D] flatten — a physical relayout when S isn't sublane-aligned;
@@ -180,10 +183,12 @@ def quantized_mlp_bsd(
     ``residual=True`` adds the RAW input to the output (the pre-LN block's
     ``x + mlp(ln(x))``); ``post_ln=True`` instead computes the post-LN (BERT)
     tail ``LN(x + mlp(x))`` with ``ln_scale``/``ln_bias`` as the EXIT norm —
-    each saves an [B, S, D] HBM round trip."""
+    each saves an [B, S, D] HBM round trip. ``pre_scale1`` (SmoothQuant,
+    quant.smooth_bert) divides fc1's quantize input per channel in-kernel."""
     b, s, d = x.shape
     _, f = w1_q.shape
     with_ln = ln_scale is not None
+    with_ps = pre_scale1 is not None
     if post_ln and not with_ln:
         raise ValueError("post_ln=True needs ln_scale/ln_bias (the exit norm)")
     if rows < 1 or b % rows:
@@ -200,6 +205,9 @@ def quantized_mlp_bsd(
         in_specs += [const((1, d)), const((1, d))]
         args += [jnp.asarray(ln_scale, jnp.float32).reshape(1, d),
                  jnp.asarray(ln_bias, jnp.float32).reshape(1, d)]
+    if with_ps:
+        in_specs += [const((1, d))]
+        args += [jnp.asarray(pre_scale1, jnp.float32).reshape(1, d)]
     in_specs += [const((d, f)), const((1, f)), const((1, f)),
                  const((f, d)), const((1, d)), const((1, d))]
     args += [w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
@@ -207,7 +215,8 @@ def quantized_mlp_bsd(
              w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
              b2.reshape(1, d).astype(jnp.float32)]
     return pl.pallas_call(
-        _make_qmlp_bsd_kernel(with_ln, residual, eps, post_ln, rows=rows),
+        _make_qmlp_bsd_kernel(with_ln, residual, eps, post_ln, rows=rows,
+                              with_ps=with_ps),
         out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
         grid=(b // rows,),
         in_specs=in_specs,

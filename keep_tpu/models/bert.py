@@ -39,19 +39,29 @@ Array = jax.Array
 MASK_VALUE = -1e9
 
 
-def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bool, gelu_approx: bool = False) -> Array:
+def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *,
+          use_flash: bool, gelu_approx: bool = False,
+          collect_ln_stats: bool = False) -> Array:
+    """``collect_ln_stats=True`` (calibration only — quant.smooth_bert) also
+    returns per-channel abs-max of the qkv input (the block input) and the
+    fc1 input (the attention sub-block's exit LN), pad positions zeroed."""
     b, s, d = x.shape
     h, dh = cfg.num_attention_heads, cfg.head_dim
 
+    quantized = "kernel_q" in p["attn"]["qkv"]
+    if collect_ln_stats and quantized:
+        raise ValueError("LN-stats calibration needs unquantized params")
     if (
-        use_flash and gelu_approx
-        and "kernel_q" in p["attn"]["qkv"] and "kernel_q" in p["attn"]["out"]
+        use_flash and gelu_approx and quantized
+        and "kernel_q" in p["attn"]["out"]
         and "kernel_q" in p["mlp"]["fc1"] and "kernel_q" in p["mlp"]["fc2"]
     ):
         # int8 megakernel path (mirrors vit.block): the whole post-LN
         # attention sub-block in one kernel (int8 qkv → masked MHA → int8
         # out → LN(x+·)), then the int8 MLP pair with the exit LN fused —
-        # each layer reads/writes the [B, S, D] stream exactly twice
+        # each layer reads/writes the [B, S, D] stream exactly twice.
+        # SmoothQuant pre_scale leaves (quant.smooth_bert) ride into the
+        # kernels' quantize steps.
         from keep_tpu.kernels.qblock import quantized_attention_block_postln
         from keep_tpu.kernels.qmlp import quantized_mlp_bsd
 
@@ -67,7 +77,13 @@ def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bo
             out_dtype=x.dtype,
             ln_scale=p["norm"]["scale"], ln_bias=p["norm"]["bias"],
             eps=cfg.ln_eps, post_ln=True,
+            pre_scale1=m["fc1"].get("pre_scale"),
         )
+    if collect_ln_stats:
+        # pad positions carry embedding noise irrelevant to real outputs
+        # ([CLS] pooling + key masking) — exclude them from the abs-max
+        valid = (mask_bias.reshape(b, s) == 0).astype(jnp.float32)[..., None]
+        stat_qkv = jnp.max(jnp.abs(x.astype(jnp.float32)) * valid, axis=(0, 1))
     if use_flash:
         from keep_tpu.kernels.flash_attention import attention_qkv_slab
 
@@ -84,7 +100,11 @@ def block(p: dict, x: Array, mask_bias: Array, cfg: BertConfig, *, use_flash: bo
     x = layer_norm(p["attn"]["norm"], x + attn, cfg.ln_eps)
 
     y = mlp(p["mlp"], x, gelu_approx=gelu_approx)
-    return layer_norm(p["norm"], x + y, cfg.ln_eps)
+    out = layer_norm(p["norm"], x + y, cfg.ln_eps)
+    if collect_ln_stats:
+        stat_fc1 = jnp.max(jnp.abs(x.astype(jnp.float32)) * valid, axis=(0, 1))
+        return out, {"qkv": stat_qkv, "fc1": stat_fc1}
+    return out
 
 
 def forward(
@@ -100,13 +120,17 @@ def forward(
     remat: bool = False,
     position_ids: Array | None = None,
     act_sharding=None,
+    ln_stats: bool = False,
 ) -> dict:
     """[B, S] int token ids → {'last_hidden_state': [B,S,D], 'pooler_output': [B,D]}.
 
     ``position_ids`` overrides the default 0..S-1 positions (RoBERTa-family
     towers derive positions from the padding mask — ``models.hf_text``).
     ``act_sharding`` pins the [B, S, D] stream at block boundaries
-    (Megatron-SP via GSPMD constraints — ``parallel.sp``); an identity."""
+    (Megatron-SP via GSPMD constraints — ``parallel.sp``); an identity.
+    ``ln_stats=True`` returns ``(outputs, {"qkv": [L, D], "fc1": [L, D]})``
+    per-layer abs-max of the int8 path's quantize inputs — the calibration
+    pass for ``quant.smooth_bert``."""
     b, s = input_ids.shape
     if s > cfg.max_position_embeddings:
         # the position-table slice would silently shorten and fail later
@@ -134,7 +158,9 @@ def forward(
     # [B, 1, 1, S] additive bias on key positions.
     mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * MASK_VALUE
 
-    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash, gelu_approx=gelu_approx)
+    block_fn = functools.partial(block, cfg=cfg, use_flash=use_flash,
+                                 gelu_approx=gelu_approx,
+                                 collect_ln_stats=ln_stats)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
@@ -143,16 +169,17 @@ def forward(
 
     def scan_body(carry, layer_params):
         out = block_fn(layer_params, carry, mask_bias)
+        out, extra = (out[0], out[1]) if ln_stats else (out, None)
         if act_sharding is not None:
             out = jax.lax.with_sharding_constraint(out, act_sharding)
-        return out, None
+        return out, extra
 
-    x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+    x, stats = jax.lax.scan(scan_body, x, params["blocks"])
 
     out = {"last_hidden_state": x}
     if "pooler" in params:  # absent for add_pooling_layer=False towers
         out["pooler_output"] = jnp.tanh(linear(params["pooler"], x[:, 0]))
-    return out
+    return (out, stats) if ln_stats else out
 
 
 def init(key: jax.Array, cfg: BertConfig, dtype: jnp.dtype = jnp.float32) -> dict:

@@ -224,7 +224,8 @@ class KEEPModel:
     def logit_scale(self) -> float:
         return float(jnp.exp(self.params["logit_scale"]))
 
-    def quantize(self, calib_pixels=None, smooth_alpha: float = 0.5) -> "KEEPModel":
+    def quantize(self, calib_pixels=None, smooth_alpha: float = 0.5,
+                 calib_text=None) -> "KEEPModel":
         """Opt-in W8A8 int8 inference variant (see ``keep_tpu.quant``).
         LayerScale is folded into proj/fc2 first (exact) so the quantized
         kernels carry it for free. With ``calib_pixels`` ([N, H, W, 3]
@@ -232,12 +233,24 @@ class KEEPModel:
         calibrated first: activation outliers migrate into per-channel
         weight scales at the LN→qkv/fc1 edges (``quant.smooth_vit``) —
         recommended for released real-data checkpoints, where LN-output
-        outlier channels are common."""
+        outlier channels are common. ``calib_text`` (``input_ids`` [N, S]
+        or ``(input_ids, attention_mask)``) does the same for the BERT
+        tower in the pre_scale form (``quant.smooth_bert`` — post-LN
+        residuals forbid the LN fold)."""
         from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import (DEFAULT_TARGETS, MOE_TARGETS,
-                                    quantize_linear_weights, smooth_vit)
+                                    quantize_linear_weights, smooth_bert,
+                                    smooth_vit)
 
         params = dict(self.params)
+        if calib_text is not None:
+            from keep_tpu.models import bert as _bert
+
+            ids, mask = (calib_text if isinstance(calib_text, (tuple, list))
+                         else (calib_text, None))
+            _, tstats = _bert.forward(params["text"], ids, mask,
+                                      cfg=self.cfg.text, ln_stats=True)
+            params["text"] = smooth_bert(params["text"], tstats, smooth_alpha)
         if getattr(self.cfg.vision, "moe_experts", 0) > 0:
             # MoE trunk: expert wi/wo + attention/stem matmuls go int8
             # (moe._expert_linear / ops.nn.linear dispatch on kernel_q); no

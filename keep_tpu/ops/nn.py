@@ -33,6 +33,10 @@ def gelu(x: Array, approximate: bool = False) -> Array:
 def linear(p: dict, x: Array) -> Array:
     if "kernel_q" in p:
         return _qlinear(p, x)
+    if "pre_scale" in p:
+        # SmoothQuant pre_scale form (quant._prescale_lin): the kernel rows
+        # carry s, the input is divided by s — exact identity in fp
+        x = (x.astype(jnp.float32) * p["pre_scale"]).astype(x.dtype)
     out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     out = out + p["bias"].astype(jnp.float32)
     return out.astype(x.dtype)
@@ -46,6 +50,12 @@ def _qlinear(p: dict, x: Array) -> Array:
     if jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2:
         from keep_tpu.kernels.qmatmul import qlinear_fused
 
+        if "pre_scale" in p:
+            # fp32 stream into the kernel so the ÷s happens before the bf16
+            # cast could re-round it (generic path only — the BERT
+            # megakernels apply pre_scale in-kernel at no extra traffic)
+            return qlinear_fused(p, x.astype(jnp.float32)
+                                 * p["pre_scale"]).astype(x.dtype)
         return qlinear_fused(p, x)
     if p["kernel_q"].ndim != 2:
         # stacked [L, K, N] kernels are consumed one layer at a time inside
@@ -56,6 +66,8 @@ def _qlinear(p: dict, x: Array) -> Array:
             f"{p['kernel_q'].shape} — slice the stacked layer axis first")
     dtype = x.dtype
     xf = x.astype(jnp.float32)
+    if "pre_scale" in p:
+        xf = xf * p["pre_scale"]
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     ascale = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
@@ -137,6 +149,9 @@ def mlp(p: dict, x: Array, gelu_approx: bool = False,
         and "kernel_q" in p["fc1"]
         and p["fc1"]["kernel_q"].ndim == 2
         and jax.default_backend() == "tpu"
+        # SmoothQuant pre_scale: the pair/epilogue kernels below don't take
+        # it — route through _qlinear (which applies it before qlinear_fused)
+        and "pre_scale" not in p["fc1"]
     ):
         if "kernel_q" in p["fc2"] and p["fc2"]["kernel_q"].ndim == 2:
             from keep_tpu.kernels.qmlp import qmlp_fused

@@ -159,7 +159,8 @@ def smooth_vit(params: dict, stats: dict, alpha: float = 0.5) -> dict:
     transformer outlier pathology). Only these two edges are smoothable:
     proj's input (attention output) and fc2's input (GELU output) have no
     preceding affine op to fold into, and post-LN BERT's LN outputs also
-    feed residuals, so folding there would change the model.
+    feed residuals, so folding there would change the model — the BERT
+    tower uses the pre_scale form instead (``smooth_bert``).
     """
     p = dict(params)
     blocks = dict(p["blocks"])
@@ -172,6 +173,60 @@ def smooth_vit(params: dict, stats: dict, alpha: float = 0.5) -> dict:
     blocks["attn"], blocks["mlp"] = attn, mlp_
     p["blocks"] = blocks
     return p
+
+
+def _prescale_lin(lin: dict, act_amax: Array, alpha: float) -> dict:
+    """Smooth a linear WITHOUT a foldable preceding affine: multiply the
+    kernel's input rows by s offline and store ``pre_scale = 1/s`` to be
+    applied to the activation inside the per-token quantize —
+    ``(x/s) @ (s·W) == x @ W`` exactly, but the int8 rounding is spent on
+    the equalized tensor. ``ops.nn.linear`` and the int8 megakernels
+    (qblock post-LN, qmlp ``pre_scale1``) honor the leaf."""
+    s = smooth_scales(act_amax, lin["kernel"], alpha)
+    k_dtype = lin["kernel"].dtype
+    return {
+        **lin,
+        "kernel": (lin["kernel"].astype(jnp.float32) * s[..., None]).astype(
+            k_dtype),
+        "pre_scale": (1.0 / s).astype(jnp.float32),
+    }
+
+
+def smooth_bert(params: dict, stats: dict, alpha: float = 0.5) -> dict:
+    """SmoothQuant for the post-LN BERT tower (qkv and fc1 edges).
+
+    Unlike the pre-LN ViT (``smooth_vit``), BERT's qkv/fc1 inputs also feed
+    residual paths, so dividing the preceding LN affine by s would change
+    the model. Instead the equalization rides WITH each quantized linear as
+    a ``pre_scale`` leaf (see ``_prescale_lin``) — one extra per-channel
+    VPU multiply inside the quantize step, numerics otherwise identical.
+
+    ``stats`` comes from ``bert.forward(..., ln_stats=True)`` on a
+    calibration batch: per-layer [L, D] abs-max of the qkv input (the block
+    input stream) and the fc1 input (the attention sub-block's exit LN),
+    pad positions masked out."""
+    p = dict(params)
+    blocks = dict(p["blocks"])
+    attn = dict(blocks["attn"])
+    mlp_ = dict(blocks["mlp"])
+    attn["qkv"] = _prescale_lin(attn["qkv"], stats["qkv"], alpha)
+    mlp_["fc1"] = _prescale_lin(mlp_["fc1"], stats["fc1"], alpha)
+    blocks["attn"], blocks["mlp"] = attn, mlp_
+    p["blocks"] = blocks
+    return p
+
+
+def smooth_quantize_bert(params: dict, input_ids: Array,
+                         attention_mask: Array | None, cfg,
+                         alpha: float = 0.5) -> dict:
+    """Calibrate on a token batch → smooth (pre_scale form) → int8-quantize
+    the BERT tower. The result runs the same megakernel path as a plainly
+    quantized tower (``bert.block`` threads pre_scale into the kernels)."""
+    from keep_tpu.models import bert
+
+    _, stats = bert.forward(params, input_ids, attention_mask, cfg=cfg,
+                            ln_stats=True)
+    return quantize_linear_weights(smooth_bert(params, stats, alpha))
 
 
 def smooth_quantize_vit(params: dict, calib_pixels: Array, cfg,

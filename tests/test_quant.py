@@ -487,6 +487,144 @@ def test_keep_model_quantize_with_calibration(rng):
     assert _cos(got, ref) > 0.995
 
 
+def _outlier_bert(cfg, n_outlier=4, gain=60.0):
+    """A BERT whose residual-stream LN scales carry a few huge channels —
+    outliers at every block's qkv and fc1 inputs. NOT an equivalence
+    transform (post-LN residuals forbid one; see quant.smooth_bert): both
+    quantized variants are judged against the fp forward of THIS model."""
+    from keep_tpu.models import bert
+
+    params = bert.init(jax.random.PRNGKey(2), cfg)
+    ch = np.arange(n_outlier)
+    blocks = params["blocks"]
+
+    # BERT init kernels (std 0.02) make sublayer outputs tiny next to the
+    # residual stream, hiding any quantization error behind the exact
+    # residual pass-through — scale them up so attn/mlp carry real signal
+    for lin in (blocks["attn"]["qkv"], blocks["attn"]["out"],
+                blocks["mlp"]["fc1"], blocks["mlp"]["fc2"]):
+        lin["kernel"] = jnp.asarray(np.array(lin["kernel"], np.float32) * 10)
+
+    def boost(norm):
+        sc = np.array(norm["scale"], np.float32)
+        sc[..., ch] *= gain
+        norm["scale"] = jnp.asarray(sc)
+
+    def shrink_rows(lin):
+        # the consuming kernel divides the outlier rows back out, keeping
+        # every dot output O(1) — so the per-token quantize's lost small
+        # channels (step ≈ gain/127) actually show up as output error
+        k = np.array(lin["kernel"], np.float32)
+        k[:, ch, :] /= gain
+        lin["kernel"] = jnp.asarray(k)
+
+    boost(params["embeddings"]["norm"])      # layer-0 qkv input
+    boost(blocks["attn"]["norm"])            # every layer's fc1 input
+    boost(blocks["norm"])                    # the next layer's qkv input
+    shrink_rows(blocks["attn"]["qkv"])
+    shrink_rows(blocks["mlp"]["fc1"])
+    return params
+
+
+_BERT_TINY = None
+
+
+def _bert_tiny_cfg():
+    from keep_tpu.configs import BertConfig
+
+    global _BERT_TINY
+    if _BERT_TINY is None:
+        _BERT_TINY = BertConfig(
+            vocab_size=128, hidden_size=48, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=96,
+            max_position_embeddings=64)
+    return _BERT_TINY
+
+
+def test_smooth_bert_is_exact(rng):
+    """pre_scale smoothing alone (no quantization) must not change the
+    model: kernel rows ×s, activation ÷s inside ops.nn.linear."""
+    from keep_tpu.models import bert
+    from keep_tpu.quant import smooth_bert
+
+    cfg = _bert_tiny_cfg()
+    params = _outlier_bert(cfg)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 16)))
+    mask = jnp.asarray((np.arange(16)[None, :]
+                        < np.array([16, 12, 9, 16])[:, None]).astype(np.int32))
+    ref, stats = bert.forward(params, ids, mask, cfg=cfg, ln_stats=True)
+    assert stats["qkv"].shape == (cfg.num_hidden_layers, cfg.hidden_size)
+    sm = smooth_bert(params, stats)
+    assert sm["blocks"]["attn"]["qkv"]["pre_scale"].shape == (
+        cfg.num_hidden_layers, cfg.hidden_size)
+    got = bert.forward(sm, ids, mask, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got["pooler_output"]),
+                               np.asarray(ref["pooler_output"]),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_smooth_quantize_bert_recovers_outliers(rng):
+    """With outlier channels, plain W8A8 degrades (per-token scales spend
+    the 8 bits on the outliers); the pre_scale form recovers the cos
+    without touching the post-LN residual math."""
+    from keep_tpu.models import bert
+    from keep_tpu.quant import smooth_quantize_bert
+
+    cfg = _bert_tiny_cfg()
+    params = _outlier_bert(cfg)
+    calib_ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 16)))
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (8, 16)))
+    ref = np.asarray(bert.forward(params, ids, cfg=cfg)["last_hidden_state"])
+    naive = np.asarray(bert.forward(
+        quantize_linear_weights(params), ids, cfg=cfg)["last_hidden_state"])
+    sq = smooth_quantize_bert(params, calib_ids, None, cfg)
+    smoothq = np.asarray(
+        bert.forward(sq, ids, cfg=cfg)["last_hidden_state"])
+    cos_naive, cos_smooth = _cos(naive, ref), _cos(smoothq, ref)
+    assert cos_naive < 0.999, cos_naive   # the pathology is real...
+    assert cos_smooth > 0.9999, cos_smooth  # ...and pre_scale recovers it
+
+
+def test_bert_megakernel_honors_pre_scale(rng):
+    """The int8 megakernel path (qblock post-LN + qmlp pre_scale1) must
+    agree with the XLA _qlinear fallback on smoothed params — both divide
+    the quantize input by s."""
+    from keep_tpu.models import bert
+    from keep_tpu.quant import smooth_quantize_bert
+
+    cfg = _bert_tiny_cfg()
+    params = _outlier_bert(cfg)
+    calib_ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 16)))
+    qp = smooth_quantize_bert(params, calib_ids, None, cfg)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (4, 16)))
+    mask = jnp.asarray((np.arange(16)[None, :]
+                        < np.array([16, 10, 16, 7])[:, None]).astype(np.int32))
+    mega = np.asarray(bert.forward(qp, ids, mask, cfg=cfg, use_flash=True,
+                                   gelu_approx=True)["pooler_output"])
+    ref = np.asarray(bert.forward(qp, ids, mask, cfg=cfg, use_flash=False,
+                                  gelu_approx=True)["pooler_output"])
+    assert _cos(mega, ref) > 0.9999, _cos(mega, ref)
+    np.testing.assert_allclose(mega, ref, atol=5e-3, rtol=1e-2)
+
+
+def test_keep_model_quantize_with_text_calibration(rng):
+    """KEEPModel.quantize(calib_text=...) smooths the BERT tower (pre_scale
+    form) before int8 — one call for the production path, both towers."""
+    from keep_tpu.models import keep
+    from tests.test_keep_api import TINY
+
+    params = keep.init(jax.random.PRNGKey(0), TINY)
+    model = keep.KEEPModel(params=params, cfg=TINY)
+    calib_ids = jnp.asarray(rng.integers(1, TINY.text.vocab_size, (2, 12)))
+    qm = model.quantize(calib_text=calib_ids)
+    assert "pre_scale" in qm.params["text"]["blocks"]["attn"]["qkv"]
+    assert "pre_scale" in qm.params["text"]["blocks"]["mlp"]["fc1"]
+    ids = jnp.asarray(rng.integers(1, TINY.text.vocab_size, (3, 12)))
+    ref = np.asarray(model.encode_text(ids))
+    got = np.asarray(qm.encode_text(ids))
+    assert _cos(got, ref) > 0.995
+
+
 def test_qmlp_bsd_rows_bit_identical():
     """rows=k fuses k batch rows into one program — per-token math, so the
     output must be BIT-identical to rows=1 for every LN/residual variant.
