@@ -285,6 +285,108 @@ def bench_single_tile(params, cfg, rng, use_flash, on_tpu):
         run_config(qp, True, "int8")
 
 
+def bench_extract_sweep(kparams, kcfg, pps_headline):
+    """The north-star pixels→features sweep WITH THE HOST IN THE LOOP:
+    tissue tiles streamed from a pyramidal TIFF through the native libtiff
+    reader (io/wsi + io/tiles) into the double-buffered int8 extractor
+    (wsi/extract.extract_features) — vs the same tiles preloaded in RAM, vs
+    the device-resident headline. A raw (uncompressed) pyramid separates
+    JPEG-decode cost from file IO. Ref: BASELINE.json configs 2/5;
+    zeroshot_detection_WSI.py:29-31 (the reference reads PREcomputed
+    features; this measures producing them)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from keep_tpu.io.tiles import iter_wsi_tiles
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.models import keep
+    from keep_tpu.wsi.extract import extract_features
+
+    model = keep.KEEPModel(params=kparams, cfg=kcfg, dtype=jnp.bfloat16,
+                           use_flash=True).quantize()
+    bs = 256
+    side = 36 * 224  # 1,296 tiles — ~195 MB of uint8 pixels per sweep
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:side, 0:side].astype(np.float32)
+    tissue = np.stack([200 + 30 * np.sin(xx / 400),
+                       120 + 40 * np.sin(yy / 300),
+                       160 + 30 * np.cos((xx + yy) / 500)], -1)
+    # ±18 gray-level noise: smooth synthetic content decodes ~2× faster
+    # than tissue-like JPEG; don't flatter the decoder
+    slide = np.clip(tissue + rng.normal(0, 18, tissue.shape), 0,
+                    255).astype(np.uint8)
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = {}
+        for comp in ("jpeg", "none"):
+            paths[comp] = os.path.join(td, f"slide_{comp}.tif")
+            write_pyramid(paths[comp], slide, tile=224, compression=comp,
+                          quality=85, min_size=1024)
+
+        def from_disk(path):
+            chunks = (t for t, _ in iter_wsi_tiles(
+                path, patch_size=224, tissue_fraction=0.25, chunk=bs))
+            t0 = time.time()
+            feats = extract_features(model, chunks, batch_size=bs)
+            return time.time() - t0, len(feats)
+
+        # tiles in RAM (decode excluded, upload+compute in the loop)
+        tiles = np.concatenate([t for t, _ in iter_wsi_tiles(
+            paths["jpeg"], patch_size=224, tissue_fraction=0.25, chunk=bs)])
+        extract_features(model, tiles[:bs], batch_size=bs)  # compile
+        t0 = time.time()
+        extract_features(model, tiles, batch_size=bs)
+        t_ram = time.time() - t0
+        t_jpeg, n = from_disk(paths["jpeg"])
+        t_raw, _ = from_disk(paths["none"])
+
+    dev_s = n / pps_headline  # device-resident time for the same tiles
+    _emit({
+        "metric": "extract_sweep",
+        "value": round(n / t_jpeg, 1), "unit": "tiles/s",
+        "vs_baseline": None,
+        "n_tiles": int(n),
+        "from_disk_jpeg_s": round(t_jpeg, 2),
+        "from_disk_raw_s": round(t_raw, 2),
+        "in_ram_s": round(t_ram, 2),
+        "in_ram_tiles_per_s": round(n / t_ram, 1),
+        "device_resident_tiles_per_s": round(pps_headline, 1),
+        "host_bound_fraction": round(1.0 - dev_s / t_jpeg, 3),
+        "note": "1-CPU box + axon relay: bound by tunnel upload "
+                "(~19 MB/330 ms) then JPEG decode; co-located+multicore "
+                "runs at the device rate (docs/PERF.md WSI tile reads)",
+    })
+
+
+def bench_train_steps(on_tpu):
+    """Flagship train step (full fine-tune, then LoRA) — each in its OWN
+    process: the B=64 step needs nearly the whole chip and a prior config's
+    buffers fragment the arena (docs/PERF.md caveat). Relays the JSON line
+    each subprocess emits; on CPU runs the tiny contract config."""
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "train_bench.py")
+    for mode in ("full", "lora"):
+        cmd = [_sys.executable, script, mode] + ([] if on_tpu else ["--tiny"])
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800)
+            line = next((l for l in out.stdout.splitlines()
+                         if l.startswith("{")), None)
+            if line:
+                print(line, flush=True)
+            else:
+                _emit({"metric": f"train_step_{mode}_error", "value": 0,
+                       "unit": "error", "vs_baseline": None,
+                       "error": (out.stderr or out.stdout)[-400:]})
+        except Exception as e:
+            _emit({"metric": f"train_step_{mode}_error", "value": 0,
+                   "unit": "error", "vs_baseline": None, "error": str(e)})
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -335,11 +437,15 @@ def main():
     if not tiny:
         kcfg = KEEPConfig()
         kparams = keep.init(jax.random.PRNGKey(0), kcfg)
-        for fn, args in (
+        benches = [
             (bench_single_tile, (kparams, kcfg, rng, on_tpu, on_tpu)),
             (bench_text_tower, (kparams, kcfg, rng, on_tpu, on_tpu)),
             (bench_wsi_configs, (rng,)),
-        ):
+            (bench_train_steps, (on_tpu,)),
+        ]
+        if on_tpu:  # host-in-loop sweep needs the int8/flash path
+            benches.insert(3, (bench_extract_sweep, (kparams, kcfg, pps)))
+        for fn, args in benches:
             try:
                 fn(*args)
             except Exception as e:  # keep the headline alive

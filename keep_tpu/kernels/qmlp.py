@@ -42,9 +42,15 @@ def _int8_dot(xq, wq_ref):
     return int8_dot(xq, wq_ref[:])
 
 
-def _qmlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                 o_ref):
-    xq, a1 = _quant_rows(x_ref[:].astype(jnp.float32))
+def _qmlp_kernel(*refs, with_ps=False):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    ps1_ref = refs.pop(0) if with_ps else None
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref = refs
+    xf = x_ref[:].astype(jnp.float32)
+    if with_ps:  # SmoothQuant: kernel rows carry s, quantize input ÷ s
+        xf = xf * ps1_ref[0][None, :]
+    xq, a1 = _quant_rows(xf)
     h = _int8_dot(xq, w1_ref).astype(jnp.float32)
     h = h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]
     h = _gelu_tanh(h)
@@ -60,29 +66,39 @@ def quantized_mlp(
     w1_q: Array, w1_scale: Array, b1: Array,
     w2_q: Array, w2_scale: Array, b2: Array,
     out_dtype=jnp.bfloat16,
+    pre_scale1: Array | None = None,
 ) -> Array:
     """x [M, D] × int8 fc1 [D, F] → tanh-GELU → int8 fc2 [F, D] → [M, D].
 
     ``w*_scale`` are per-output-channel dequant scales ([F] and [D]);
-    activations are re-quantized per token between the two dots."""
+    activations are re-quantized per token between the two dots.
+    ``pre_scale1`` [D] (SmoothQuant 1/s, fc1 kernel rows carry s) is
+    applied to the quantize input in-kernel."""
     m, d = x.shape
     _, f = w1_q.shape
     grid = (pl.cdiv(m, TILE_M),)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
+    with_ps = pre_scale1 is not None
+    in_specs = [pl.BlockSpec((TILE_M, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [x]
+    if with_ps:
+        in_specs.append(const((1, d)))
+        args.append(jnp.asarray(pre_scale1, jnp.float32).reshape(1, d))
+    in_specs += [const((d, f)), const((1, f)), const((1, f)),
+                 const((f, d)), const((1, d)), const((1, d))]
+    args += [
+        w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
+        b1.reshape(1, f).astype(jnp.float32),
+        w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
+        b2.reshape(1, d).astype(jnp.float32),
+    ]
     return pl.pallas_call(
-        _qmlp_kernel,
+        functools.partial(_qmlp_kernel, with_ps=with_ps),
         out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_M, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const((d, f)),
-            const((1, f)),
-            const((1, f)),
-            const((f, d)),
-            const((1, d)),
-            const((1, d)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE_M, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=maybe_cost_estimate(
@@ -95,13 +111,7 @@ def quantized_mlp(
         # exceed the ~16 MiB default when the caller's jit sets no limit
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
-    )(
-        x,
-        w1_q, w1_scale.reshape(1, f).astype(jnp.float32),
-        b1.reshape(1, f).astype(jnp.float32),
-        w2_q, w2_scale.reshape(1, d).astype(jnp.float32),
-        b2.reshape(1, d).astype(jnp.float32),
-    )
+    )(*args)
 
 
 def _make_qmlp_bsd_kernel(with_ln: bool, residual: bool, eps: float,
@@ -236,14 +246,17 @@ def quantized_mlp_bsd(
 
 def qmlp_fused(p_fc1: dict, p_fc2: dict, x: Array) -> Array:
     """MLP over [..., D] inputs via the fused pair kernel. ``p_fc1``/``p_fc2``:
-    {kernel_q, scale, bias} from ``quant.quantize_linear_weights``. 3-D
-    inputs take the batch-gridded kernel (no flatten relayout)."""
+    {kernel_q, scale, bias} from ``quant.quantize_linear_weights``; an
+    fc1 SmoothQuant ``pre_scale`` rides into the kernel (``pre_scale1``).
+    3-D inputs take the batch-gridded kernel (no flatten relayout)."""
+    ps1 = p_fc1.get("pre_scale")
     if x.ndim == 3:
         return quantized_mlp_bsd(
             x,
             p_fc1["kernel_q"], p_fc1["scale"], p_fc1["bias"],
             p_fc2["kernel_q"], p_fc2["scale"], p_fc2["bias"],
             out_dtype=x.dtype,
+            pre_scale1=ps1,
         )
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
@@ -252,5 +265,6 @@ def qmlp_fused(p_fc1: dict, p_fc2: dict, x: Array) -> Array:
         p_fc1["kernel_q"], p_fc1["scale"], p_fc1["bias"],
         p_fc2["kernel_q"], p_fc2["scale"], p_fc2["bias"],
         out_dtype=x.dtype,
+        pre_scale1=ps1,
     )
     return out.reshape(shape[:-1] + (out.shape[-1],))

@@ -50,12 +50,8 @@ def _qlinear(p: dict, x: Array) -> Array:
     if jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2:
         from keep_tpu.kernels.qmatmul import qlinear_fused
 
-        if "pre_scale" in p:
-            # fp32 stream into the kernel so the ÷s happens before the bf16
-            # cast could re-round it (generic path only — the BERT
-            # megakernels apply pre_scale in-kernel at no extra traffic)
-            return qlinear_fused(p, x.astype(jnp.float32)
-                                 * p["pre_scale"]).astype(x.dtype)
+        # a SmoothQuant pre_scale leaf rides INTO the kernel (applied fp32
+        # before quant_rows) — the activation stream stays bf16 through HBM
         return qlinear_fused(p, x)
     if p["kernel_q"].ndim != 2:
         # stacked [L, K, N] kernels are consumed one layer at a time inside
@@ -149,10 +145,9 @@ def mlp(p: dict, x: Array, gelu_approx: bool = False,
         and "kernel_q" in p["fc1"]
         and p["fc1"]["kernel_q"].ndim == 2
         and jax.default_backend() == "tpu"
-        # SmoothQuant pre_scale: the pair/epilogue kernels below don't take
-        # it — route through _qlinear (which applies it before qlinear_fused)
-        and "pre_scale" not in p["fc1"]
     ):
+        # fc1's SmoothQuant pre_scale (if any) rides into the fused kernels;
+        # fc2 never carries one (its input is the in-kernel GELU output)
         if "kernel_q" in p["fc2"] and p["fc2"]["kernel_q"].ndim == 2:
             from keep_tpu.kernels.qmlp import qmlp_fused
 

@@ -202,16 +202,29 @@ class InferenceServer:
 
     def __init__(self, model, tokenizer, *, max_length: int = 256,
                  image_size: int = 224, buckets=_BUCKETS,
-                 max_delay_ms: float = 3.0, mesh=None):
+                 max_delay_ms: float = 3.0, mesh=None,
+                 alt_model=None, alt_buckets=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a 'dp' axis → batches shard
         over all its devices (params replicate; every bucket is rounded up
-        to a multiple of the axis size)."""
+        to a multiple of the axis size).
+
+        ``alt_model``/``alt_buckets``: per-bucket precision policy.
+        ``alt_buckets`` maps tower → bucket sizes served by ``alt_model``
+        instead of ``model`` (e.g. ``{"text": (1, 8), "image": ()}`` keeps
+        the small text buckets on the bf16 model where int8's quantize
+        overhead loses at tiny batch — measured table in docs/PERF.md).
+        Warmup compiles exactly the chosen model per (tower, bucket)."""
         import jax
         import jax.numpy as jnp
 
         from keep_tpu.configs import PreprocessConfig
 
         self.model = model
+        self.alt_model = alt_model
+        self.alt_buckets = {k: frozenset(v)
+                            for k, v in (alt_buckets or {}).items()}
+        if any(self.alt_buckets.values()) and alt_model is None:
+            raise ValueError("alt_buckets given without alt_model")
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.image_size = image_size
@@ -227,6 +240,9 @@ class InferenceServer:
             # replicate params once; jit reuses the placed copies
             self.model = dataclasses_replace_params(
                 model, jax.device_put(model.params, rep))
+            if self.alt_model is not None:
+                self.alt_model = dataclasses_replace_params(
+                    alt_model, jax.device_put(alt_model.params, rep))
         self.buckets = tuple(buckets)
         _pcfg = PreprocessConfig(size=image_size)
         self._pcfg = _pcfg
@@ -240,9 +256,15 @@ class InferenceServer:
                 return jnp.asarray(full)
             return jax.device_put(full, self._shard)
 
+        def _model_for(tower: str, n: int):
+            if _bucket(n, self.buckets) in self.alt_buckets.get(tower, ()):
+                return self.alt_model
+            return self.model
+
         def launch_text(ids_mask: np.ndarray):
             im = _pad_put(ids_mask)
-            return self.model.encode_text(im[:, 0], im[:, 1])  # unfetched
+            m = _model_for("text", len(ids_mask))
+            return m.encode_text(im[:, 0], im[:, 1])  # unfetched
 
         def launch_image(tiles_u8: np.ndarray):
             # tiles arrive as raw uint8 [N, S, S, 3]; normalization happens
@@ -253,7 +275,8 @@ class InferenceServer:
             from keep_tpu.ops.preprocess import normalize_only
 
             px = _pad_put(tiles_u8)
-            return self.model.encode_image(normalize_only(px, _pcfg))
+            m = _model_for("image", len(tiles_u8))
+            return m.encode_image(normalize_only(px, _pcfg))
 
         # fetch (np.asarray) happens one dispatch behind launch: double-
         # buffering in BatchQueue overlaps batch N's compute with N+1's

@@ -260,6 +260,39 @@ def bench_trunk(args):
               f"{b/dt:8.1f} img/s (24-layer trunk)")
 
 
+def bench_model_cos(args):
+    """Full ViT-L MoE MODEL int8 accuracy at the bench gate's own metric:
+    per-row cosine of the pooled/normalized FEATURES vs bf16 (bench.py
+    `_int8_gate`), alongside the harsher flattened raw-trunk cosine the
+    round-3 table reported. The gate governs features — raw pre-pool
+    activations overweight per-token quant noise that pooling+LN+head
+    average away."""
+    from keep_tpu.models import vit
+    from keep_tpu.quant import MOE_TARGETS, quantize_linear_weights
+
+    cfg = ViTConfig(moe_experts=args.experts, moe_dispatch="gather",
+                    moe_capacity_factor=args.cf)
+    params = vit.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (args.batch, 224, 224, 3), jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    fwd = jax.jit(lambda p, x: vit.forward(
+        p, x, cfg, dtype=jnp.bfloat16, use_flash=on_tpu, gelu_approx=True))
+    a = np.asarray(fwd(params, x), np.float32)
+    qp = quantize_linear_weights(vit.fold_layerscale(params), MOE_TARGETS)
+    b_ = np.asarray(fwd(qp, x), np.float32)
+    cos = float(np.mean(np.sum(a * b_, 1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b_, axis=1))))
+    dt_bf16 = timed(lambda p, xx: (fwd(p, xx),), params, x,
+                    iters=max(5, args.iters // 2))
+    dt_int8 = timed(lambda p, xx: (fwd(p, xx),), qp, x,
+                    iters=max(5, args.iters // 2))
+    print(f"MoE full model (E={args.experts}, gather, B={args.batch}): "
+          f"feature cos vs bf16 = {cos:.6f} (gate >= 0.999), "
+          f"bf16 {dt_bf16*1e3:.1f} ms / int8 {dt_int8*1e3:.1f} ms "
+          f"({args.batch/dt_int8:.1f} img/s int8)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -267,10 +300,16 @@ def main():
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--cf", type=float, default=1.25)
     ap.add_argument("--trunk", action="store_true")
+    ap.add_argument("--model-cos", action="store_true",
+                    help="full-model int8 feature cosine at the bench "
+                         "gate's metric + timings")
     ap.add_argument("--int8", action="store_true",
                     help="also time the int8-quantized expert weights "
                          "(wi/wo via quant.MOE_TARGETS) in --trunk mode")
     args = ap.parse_args()
+    if args.model_cos:
+        bench_model_cos(args)
+        return
     if args.trunk:
         bench_trunk(args)
         return

@@ -1,0 +1,174 @@
+"""Bench-facing train-step runner: one config per process.
+
+Separate from bench.py because (a) a prior config's live buffers fragment
+the HBM arena and produce spurious OOMs (docs/PERF.md measurement caveat),
+and (b) the B=64 full-fine-tune step needs nearly the whole 16 GB chip —
+it cannot share a process with the inference benches. bench.py shells out
+here and relays the JSON lines.
+
+Usage: python scripts/train_bench.py [full|lora] [--tiny]
+
+Emits ONE JSON line:
+  full: {"metric": "train_step_samples_per_s", ...}
+  lora: {"metric": "train_step_lora_samples_per_s", ...}
+with ms/step, the max-batch-that-fits context, an N-step loss curve on a
+fixed batch (first/last loss + monotone-trend check — the on-chip
+"training actually learns" evidence), and HBM stats when the runtime
+exposes them.
+
+Config = the flagship recipe (ViT-L/16 + BERT-base @256 tokens,
+HyMetricLoss lhp-hn over 32 group-blocked captions, bf16 compute / fp32
+AdamW params, full per-block remat), the TPU-native analog of the
+reference's keep_config.yml run (training/path_training/main.py:70-467,
+train_hierarchy.py:73-248; BATCH_SIZE 128 / CAPTION_NUM 32 on "one A100" —
+B=64 is this chip's measured max under fp32 AdamW, docs/PERF.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
+from keep_tpu.models import keep
+from keep_tpu.train import optim, schedules
+from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
+
+CAPTION_NUM = 32  # groups per batch (keep_config.yml CAPTION_NUM)
+LOSS_STEPS = 24   # fixed-batch steps for the loss-curve check
+
+
+def make_batch(rng, batch_size, cfg):
+    n_id = min(CAPTION_NUM, batch_size)
+    return {
+        "pixels": jnp.asarray(rng.standard_normal(
+            (batch_size, cfg.vision.img_size, cfg.vision.img_size, 3)
+        ).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(
+            1, cfg.text.vocab_size,
+            (batch_size, cfg.text.max_position_embeddings))),
+        "attention_mask": jnp.ones(
+            (batch_size, cfg.text.max_position_embeddings), jnp.int32),
+        "node_connection": jnp.ones((n_id, n_id), jnp.float32),
+    }
+
+
+def hbm_stats():
+    try:
+        s = jax.local_devices()[0].memory_stats() or {}
+        peak = s.get("peak_bytes_in_use")
+        limit = s.get("bytes_limit")
+        if peak:
+            out = {"hbm_peak_gb": round(peak / 2**30, 2)}
+            if limit:
+                out["hbm_limit_gb"] = round(limit / 2**30, 2)
+            return out
+    except Exception:
+        pass
+    return {}
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+    tiny = "--tiny" in sys.argv or jax.default_backend() != "tpu"
+
+    if tiny:
+        cfg = KEEPConfig(
+            vision=ViTConfig(img_size=32, patch_size=16, embed_dim=64,
+                             depth=2, num_heads=4),
+            text=BertConfig(vocab_size=64, hidden_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=128,
+                            max_position_embeddings=32),
+            projection_dim=64,
+        )
+        batch_size, iters = 8, 2
+    else:
+        cfg = KEEPConfig()
+        batch_size, iters = 64, 8
+    use_flash = jax.default_backend() == "tpu"
+
+    loss_cfg = LossConfig(kind="hierarchy_metric",
+                          caption_num=min(CAPTION_NUM, batch_size))
+    # short warmup then constant: the loss-curve leg needs live updates from
+    # step 0 and a rate that visibly learns the fixed batch
+    lr = schedules.cosine_lr(1e-4, warmup_length=2, steps=100000)
+    tx = optim.adamw(lr, weight_decay=0.2, grad_clip_norm=1.0)
+
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, batch_size, cfg)
+
+    extra = {}
+    if mode == "lora":
+        from keep_tpu.train import lora as lora_mod
+
+        rank = 8
+        base = keep.init(jax.random.PRNGKey(0), cfg)
+        adapters = lora_mod.init_lora(jax.random.PRNGKey(1), base, rank)
+        state = tree_state(adapters, tx)
+        raw = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,
+                              use_flash=use_flash, donate=False,
+                              lora_scale=16.0 / rank)
+        step = lambda s, b: raw(s, b, None, base)
+        metric = "train_step_lora_samples_per_s"
+        extra["lora_rank"] = rank
+        # measured on this chip (docs/PERF.md): adapters free ~3.4 GB of
+        # optimizer HBM; B=256 fits under LoRA where full FT OOMs at B=96
+        extra["max_batch_that_fits"] = None if tiny else 256
+    else:
+        params = keep.init(jax.random.PRNGKey(0), cfg)
+        state = tree_state(params, tx)
+        raw = make_train_step(cfg, loss_cfg, tx, dtype=jnp.bfloat16,
+                              use_flash=use_flash, donate=False)
+        step = lambda s, b: raw(s, b, None)
+        metric = "train_step_samples_per_s"
+        # fp32-AdamW memory wall measured in scripts/train_lab.py: B=96/128
+        # RESOURCE_EXHAUSTED in fresh processes; mu_dtype=bf16 fits B=96,
+        # Adafactor B=128 (docs/PERF.md)
+        extra["max_batch_that_fits"] = None if tiny else 64
+
+    state, m = step(state, batch)  # compile + warmup
+    losses = [float(m["loss"])]
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    losses.append(float(m["loss"]))  # fetch = sync
+    dt = (time.time() - t0) / iters
+
+    # loss curve: keep stepping the SAME batch; a working end-to-end step
+    # (loss -> grads -> AdamW -> params) must memorize it
+    for _ in range(LOSS_STEPS):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+
+    n = len(losses)
+    rec = {
+        "metric": metric,
+        "value": round(batch_size / dt, 1),
+        "unit": "samples/s",
+        "vs_baseline": None,  # the reference publishes no training rate
+        "ms_per_step": round(dt * 1e3, 1),
+        "batch_size": batch_size,
+        "loss_first": round(losses[0], 4),
+        "loss_last": round(losses[-1], 4),
+        "loss_decreased": bool(
+            losses[-1] < losses[0]
+            and np.mean(losses[n // 2:]) < np.mean(losses[: n // 2])),
+        "steps_run": n,
+        **extra,
+        **hbm_stats(),
+    }
+    if tiny:
+        rec["tiny"] = True
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

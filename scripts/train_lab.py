@@ -21,10 +21,13 @@ fragment the arena and produce spurious OOMs (docs/PERF.md caveat).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

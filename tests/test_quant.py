@@ -659,3 +659,34 @@ def test_qmlp_bsd_rows_bit_identical():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError, match="rows"):
         quantized_mlp_bsd(x, w1q, s1, b1, w2q, s2, b2, rows=3)
+
+
+def test_inkernel_pre_scale_matches_premultiply(rng):
+    """quantized_matmul(_bsd) / quantized_mlp with an in-kernel pre_scale
+    must equal quantizing the explicitly pre-multiplied activation (the
+    round-3 generic path that streamed fp32 through HBM) — 2-D and 3-D,
+    interpret mode."""
+    from keep_tpu.kernels.qmatmul import qlinear_fused
+    from keep_tpu.kernels.qmlp import qmlp_fused
+    from keep_tpu.quant import quantize_kernel
+
+    d, f = 16, 32
+    k1 = rng.standard_normal((d, f)).astype(np.float32)
+    k2 = rng.standard_normal((f, d)).astype(np.float32)
+    b1 = rng.standard_normal(f).astype(np.float32)
+    b2 = rng.standard_normal(d).astype(np.float32)
+    ps = np.exp(rng.standard_normal(d)).astype(np.float32)  # 1/s > 0
+    p1 = {**quantize_kernel(jnp.asarray(k1)), "bias": jnp.asarray(b1),
+          "pre_scale": jnp.asarray(ps)}
+    p1_plain = {k: v for k, v in p1.items() if k != "pre_scale"}
+    p2 = {**quantize_kernel(jnp.asarray(k2)), "bias": jnp.asarray(b2)}
+
+    for shape in ((6, d), (2, 5, d)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        want = np.asarray(qlinear_fused(p1_plain, x * ps))
+        got = np.asarray(qlinear_fused(p1, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        want_mlp = np.asarray(qmlp_fused(p1_plain, p2, x * ps))
+        got_mlp = np.asarray(qmlp_fused(p1, p2, x))
+        np.testing.assert_allclose(got_mlp, want_mlp, atol=1e-5)

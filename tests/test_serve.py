@@ -298,3 +298,66 @@ def test_oversize_requests_chunk_not_crash(core):
     # matches the same tiles sent one at a time
     one = np.concatenate([core.encode_image(big[i:i + 1]) for i in range(11)])
     np.testing.assert_allclose(np.asarray(out), one, atol=1e-5)
+
+
+def test_per_bucket_precision_policy():
+    """alt_buckets routes the listed (tower, bucket) dispatches to alt_model
+    — the measured per-bucket precision policy (small text buckets bf16,
+    the rest int8; docs/PERF.md serving)."""
+    import dataclasses
+
+    cfg = KEEPConfig(
+        vision=ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                         num_heads=2),
+        text=BertConfig(vocab_size=len(VOCAB), hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, max_position_embeddings=32),
+        projection_dim=32, max_text_length=16,
+    )
+    base = keep.KEEPModel(params=keep.init(jax.random.PRNGKey(0), cfg),
+                          cfg=cfg)
+    calls = {"primary": 0, "alt": 0}
+
+    @dataclasses.dataclass(frozen=True)
+    class Tagged:
+        inner: object
+        tag: str
+
+        @property
+        def params(self):
+            return self.inner.params
+
+        def encode_text(self, ids, mask):
+            calls[self.tag] += 1
+            return self.inner.encode_text(ids, mask)
+
+        def encode_image(self, px):
+            calls[self.tag] += 1
+            return self.inner.encode_image(px)
+
+    from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(vocab={w: i for i, w in enumerate(VOCAB)})
+    core = serve.InferenceServer(
+        Tagged(base, "primary"), tok, max_length=16, image_size=16,
+        buckets=(2, 4), max_delay_ms=1.0,
+        alt_model=Tagged(base, "alt"), alt_buckets={"text": (2,)})
+    try:
+        core.encode_text(["tumor ."])             # bucket 2 -> alt
+        assert calls == {"primary": 0, "alt": 1}
+        core.encode_text(["tumor ."] * 3)         # bucket 4 -> primary
+        assert calls == {"primary": 1, "alt": 1}
+        imgs = np.zeros((1, 16, 16, 3), np.uint8)
+        core.encode_image(imgs)                   # image has no alt buckets
+        assert calls == {"primary": 2, "alt": 1}
+        # results identical either way (same underlying weights here)
+        a = core.encode_text(["tumor ."])
+        b = core.encode_text(["tumor .", "normal tissue .", "a ."])[:1]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    finally:
+        core.stop()
+
+
+def test_alt_buckets_without_alt_model_rejected():
+    with pytest.raises(ValueError, match="alt_model"):
+        serve.InferenceServer(object(), object(), alt_buckets={"text": (1,)})
