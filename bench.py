@@ -190,11 +190,17 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
                                         dt, iters)
         if promote:
             dt, precision = dt_q, "int8_w8a8"
+    # BERT-base @256 tokens ≈ 48.4 GFLOPs/text: 12 layers × (12·D² matmul
+    # params + 4·S·D attention contractions) × 2 FLOPs × S tokens
+    d_, s_, l_ = cfg.text.hidden_size, 256, cfg.text.num_hidden_layers
+    flops_per_text = 2 * s_ * l_ * (12 * d_ * d_ + 4 * s_ * d_)
+    peak = PEAK_INT8_TOPS if precision == "int8_w8a8" else PEAK_TFLOPS
     rec = {
         "metric": "bert_text_tower_256tok",
         "value": round(bs / dt, 1), "unit": "texts/s",
         "ms": round(dt * 1e3, 2), "batch_size": bs,
         "precision": precision, "vs_baseline": None,
+        "sol_fraction": round((bs / dt) / (peak / flops_per_text), 4),
     }
     if cos is not None:
         rec["int8_cos_vs_bf16"] = round(cos, 6)

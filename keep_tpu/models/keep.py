@@ -236,7 +236,18 @@ class KEEPModel:
         outlier channels are common. ``calib_text`` (``input_ids`` [N, S]
         or ``(input_ids, attention_mask)``) does the same for the BERT
         tower in the pre_scale form (``quant.smooth_bert`` — post-LN
-        residuals forbid the LN fold)."""
+        residuals forbid the LN fold).
+
+        When is calibration worth it? It is insurance against ACTIVATION
+        OUTLIER channels, and a no-op without them: on outlier-free
+        weights it moves the int8-vs-bf16 feature cosine by ~1e-5
+        (measured, docs/PERF.md), while on an injected-outlier tower it
+        recovers 0.997 → 0.99999 (tests/test_quant.py). Cost at inference
+        is nil (ViT: exact LN fold; BERT: an in-kernel per-channel
+        multiply, +1.1% measured). Rule of thumb: quantize plainly, check
+        features against the bf16 model on a handful of real inputs
+        (cos ≥ 0.999, the bench gate); calibrate only if that check
+        fails."""
         from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import (DEFAULT_TARGETS, MOE_TARGETS,
                                     quantize_linear_weights, smooth_bert,

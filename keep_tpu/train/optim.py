@@ -37,6 +37,23 @@ def wd_mask(params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def bn_stats_mask(params):
+    """True for BatchNorm running-stat leaves ('mean'/'var' — the RN/Swin
+    ConvStem trunks, models/resnet.py, models/swin.py). Torch keeps these as
+    BUFFERS: never gradient-updated, and under the reference's LiT locking
+    they stay frozen outright (freeze_batch_norm_2d,
+    training/path_open_clip/utils.py:5-30, timm_model.py:117-131). Our BN
+    layers always normalize with the stored stats (inference-mode/Frozen
+    semantics), so the optimizer must never touch them — without this mask
+    AdamW would happily follow their gradients."""
+
+    def decide(path, leaf) -> bool:
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        return bool(keys) and keys[-1] in ("mean", "var")
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def adamw(
     learning_rate: Callable | float,
     weight_decay: float = 0.2,
@@ -71,6 +88,11 @@ def adamw(
             mask=wd_mask if params is None else wd_mask(params),
         )
     )
+    # BN running stats are buffers, not parameters (see bn_stats_mask):
+    # zero their updates unconditionally so fine-tuning a BN trunk keeps
+    # the reference's frozen-stats semantics instead of gradient-walking
+    # the normalization statistics
+    txs.append(optax.masked(optax.set_to_zero(), bn_stats_mask))
     return optax.chain(*txs)
 
 

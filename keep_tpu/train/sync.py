@@ -74,6 +74,13 @@ def sync_fsspec(local_dir: str, remote_dir: str) -> bool:
                     continue
             except Exception:
                 pass  # unknown remote state → upload
+            # directory-ful filesystems (file://, sftp) need the parent to
+            # exist; object stores no-op here (coverage-found: local-scheme
+            # sync crashed FileNotFoundError on nested checkpoints)
+            try:
+                fs.makedirs(dst.rsplit("/", 1)[0], exist_ok=True)
+            except Exception:
+                pass
             fs.put(src, dst)
     return True
 

@@ -47,15 +47,16 @@ LOSS_STEPS = 24   # fixed-batch steps for the loss-curve check
 
 def make_batch(rng, batch_size, cfg):
     n_id = min(CAPTION_NUM, batch_size)
+    # the published contract tokenizes to max_text_length=256
+    # (keep_inference.py:99), NOT the tower's 512 learned positions
+    seq = min(cfg.max_text_length, cfg.text.max_position_embeddings)
     return {
         "pixels": jnp.asarray(rng.standard_normal(
             (batch_size, cfg.vision.img_size, cfg.vision.img_size, 3)
         ).astype(np.float32)),
         "input_ids": jnp.asarray(rng.integers(
-            1, cfg.text.vocab_size,
-            (batch_size, cfg.text.max_position_embeddings))),
-        "attention_mask": jnp.ones(
-            (batch_size, cfg.text.max_position_embeddings), jnp.int32),
+            1, cfg.text.vocab_size, (batch_size, seq))),
+        "attention_mask": jnp.ones((batch_size, seq), jnp.int32),
         "node_connection": jnp.ones((n_id, n_id), jnp.float32),
     }
 
@@ -76,8 +77,12 @@ def hbm_stats():
 
 
 def main():
+    global CAPTION_NUM
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     tiny = "--tiny" in sys.argv or jax.default_backend() != "tpu"
+    for a in sys.argv[2:]:
+        if a.startswith("--caption-num="):
+            CAPTION_NUM = int(a.split("=")[1])
 
     if tiny:
         cfg = KEEPConfig(

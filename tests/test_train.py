@@ -356,3 +356,34 @@ def test_mu_dtype_bf16_moments(rng):
     assert all(m.dtype == jnp.bfloat16 for m in mus)
     assert all(n.dtype == jnp.float32 for n in nus)
     assert losses[-1] < losses[0]
+
+
+def test_bn_running_stats_never_updated():
+    """BatchNorm mean/var leaves are buffers (reference freeze_batch_norm_2d
+    semantics, utils.py:5-30): AdamW must zero their updates even when
+    gradients flow through them, while sibling scale/bias still train."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from keep_tpu.train import optim
+
+    params = {
+        "conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+        "bn1": {"scale": jnp.ones(2), "bias": jnp.zeros(2),
+                "mean": jnp.zeros(2), "var": jnp.ones(2)},
+    }
+    tx = optim.adamw(1e-2, weight_decay=0.1, grad_clip_norm=1.0)
+    state = tx.init(params)
+
+    def loss(p):
+        # gradients flow through EVERY leaf, including the stats
+        return (jnp.sum(p["conv"]["kernel"]) + jnp.sum(p["bn1"]["scale"])
+                + jnp.sum(p["bn1"]["mean"]) + jnp.sum(p["bn1"]["var"])) ** 2
+
+    grads = jax.grad(loss)(params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.all(np.asarray(updates["bn1"]["mean"]) == 0)
+    assert np.all(np.asarray(updates["bn1"]["var"]) == 0)
+    assert np.any(np.asarray(updates["bn1"]["scale"]) != 0)
+    assert np.any(np.asarray(updates["conv"]["kernel"]) != 0)
