@@ -236,7 +236,8 @@ class KEEPModel:
         outlier channels are common. ``calib_text`` (``input_ids`` [N, S]
         or ``(input_ids, attention_mask)``) does the same for the BERT
         tower in the pre_scale form (``quant.smooth_bert`` — post-LN
-        residuals forbid the LN fold).
+        residuals forbid the LN fold). MoE visual trunks calibrate via
+        ``quant.smooth_moe`` (router-compensated fold; routing unchanged).
 
         When is calibration worth it? It is insurance against ACTIVATION
         OUTLIER channels, and a no-op without them: on outlier-free
@@ -264,14 +265,19 @@ class KEEPModel:
             params["text"] = smooth_bert(params["text"], tstats, smooth_alpha)
         if getattr(self.cfg.vision, "moe_experts", 0) > 0:
             # MoE trunk: expert wi/wo + attention/stem matmuls go int8
-            # (moe._expert_linear / ops.nn.linear dispatch on kernel_q); no
-            # LayerScale to fold, and SmoothQuant calibration is
-            # dense-trunk-only (vit.forward ln_stats) — reject rather than
-            # silently skip what the caller asked for.
+            # (moe._expert_linear / ops.nn.linear dispatch on kernel_q);
+            # no LayerScale to fold. SmoothQuant calibration folds norm2's
+            # equalization into BOTH consumers — router and expert wi —
+            # so token→expert routing is unchanged (quant.smooth_moe).
             if calib_pixels is not None:
-                raise NotImplementedError(
-                    "SmoothQuant calibration (calib_pixels) covers the "
-                    "dense trunk only; quantize the MoE model without it")
+                from keep_tpu.models import moe as _moe
+                from keep_tpu.quant import smooth_moe
+
+                _, _, stats = _moe.vit_forward(
+                    params["visual"], calib_pixels, self.cfg.vision,
+                    ln_stats=True)
+                params["visual"] = smooth_moe(params["visual"], stats,
+                                              smooth_alpha)
             targets = MOE_TARGETS
         else:
             targets = DEFAULT_TARGETS

@@ -246,15 +246,21 @@ def moe_mlp(
 
 def block(p: dict, x: Array, cfg, *, top_k: int = 1,
           capacity_factor: float = 1.25, gelu_approx: bool = False,
-          dispatch: str = "einsum") -> tuple[Array, Array]:
+          dispatch: str = "einsum", collect_ln_stats: bool = False
+          ) -> tuple[Array, Array]:
     """Pre-LN transformer block whose MLP is the sparse ``moe_mlp``:
     attention sub-block identical to ``vit.block``'s XLA path, MoE second
     half. ``dispatch``: 'einsum' (grouped, EP-shardable) or 'gather'
     (global routing, single-device/dp fast path; top-1 only). Returns
-    (out, aux)."""
+    (out, aux); with ``collect_ln_stats=True`` (calibration only —
+    quant.smooth_moe) returns (out, aux, stats) where stats holds the
+    per-channel abs-max of the two LN outputs — the exact tensors the int8
+    path quantizes per token (qkv's input and the router/expert-wi input)."""
     b, s, d = x.shape
     h = cfg.num_heads
     dh = d // h
+    if collect_ln_stats and "kernel_q" in p["attn"]["qkv"]:
+        raise ValueError("LN-stats calibration needs the unquantized fp path")
     ln1 = layer_norm(p["norm1"], x, cfg.ln_eps)
     qkv = linear(p["attn"]["qkv"], ln1).reshape(b, s, 3, h, dh)
     qkv = qkv.transpose(2, 0, 3, 1, 4)
@@ -273,27 +279,38 @@ def block(p: dict, x: Array, cfg, *, top_k: int = 1,
     else:
         raise ValueError(f"unknown moe dispatch {dispatch!r} "
                          "(expected 'einsum' or 'gather')")
+    if collect_ln_stats:
+        stats = {
+            "qkv": jnp.max(jnp.abs(ln1.astype(jnp.float32)), axis=(0, 1)),
+            "wi": jnp.max(jnp.abs(ln2.astype(jnp.float32)), axis=(0, 1)),
+        }
+        return x + y, aux, stats
     return x + y, aux
 
 
 def forward_trunk(params: dict, tokens: Array, cfg, *, top_k: int = 1,
                   capacity_factor: float = 1.25, gelu_approx: bool = False,
-                  remat: bool = False, dispatch: str = "einsum"
-                  ) -> tuple[Array, Array]:
+                  remat: bool = False, dispatch: str = "einsum",
+                  ln_stats: bool = False) -> tuple:
     """Stacked-MoE trunk over [B, S, D] tokens → ([B, S, D], mean aux).
-    Blocks stacked on a leading [L] axis and scanned, like ``vit.forward``."""
+    Blocks stacked on a leading [L] axis and scanned, like ``vit.forward``.
+    ``ln_stats=True`` also returns {"qkv": [L, D], "wi": [L, D]} abs-max
+    calibration stats (quant.smooth_moe)."""
     block_fn = functools.partial(block, cfg=cfg, top_k=top_k,
                                  capacity_factor=capacity_factor,
-                                 gelu_approx=gelu_approx, dispatch=dispatch)
+                                 gelu_approx=gelu_approx, dispatch=dispatch,
+                                 collect_ln_stats=ln_stats)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
     def scan_body(carry, layer_params):
-        out, aux = block_fn(layer_params, carry)
-        return out, aux
+        out = block_fn(layer_params, carry)
+        return out[0], out[1:]
 
-    tokens, auxes = jax.lax.scan(scan_body, tokens, params["blocks"])
-    return tokens, jnp.mean(auxes)
+    tokens, ys = jax.lax.scan(scan_body, tokens, params["blocks"])
+    if ln_stats:
+        return tokens, jnp.mean(ys[0]), ys[1]
+    return tokens, jnp.mean(ys[0])
 
 
 def init(key: jax.Array, cfg, num_experts: int, depth: int | None = None,
@@ -337,11 +354,13 @@ def vit_forward(
     dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
     gelu_approx: bool = False,
-) -> tuple[Array, Array]:
+    ln_stats: bool = False,
+) -> tuple:
     """MoE-ViT image encoder: [B, H, W, 3] → ([B, D] pooled, aux []).
     The stem (patchify, CLS, pos-embed resample) and final LN/pool are
     ``vit.forward``'s; the trunk is the Switch-MoE ``forward_trunk``.
-    Selected by ``cfg.moe_experts > 0`` (``keep.encode_image``)."""
+    Selected by ``cfg.moe_experts > 0`` (``keep.encode_image``).
+    ``ln_stats=True`` (calibration) returns (pooled, aux, stats)."""
     from keep_tpu.models import vit as _vit
 
     b, h, w, _ = x.shape
@@ -357,12 +376,13 @@ def vit_forward(
         params["pos_embed"], (h // ps, w // ps), cfg.num_prefix_tokens)
     tokens = tokens + pos.astype(dtype)
 
-    tokens, aux = forward_trunk(
+    out = forward_trunk(
         params, tokens, cfg, top_k=cfg.moe_top_k,
         capacity_factor=cfg.moe_capacity_factor, gelu_approx=gelu_approx,
-        remat=remat, dispatch=getattr(cfg, "moe_dispatch", "einsum"))
-    tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)
-    return tokens[:, 0], aux
+        remat=remat, dispatch=getattr(cfg, "moe_dispatch", "einsum"),
+        ln_stats=ln_stats)
+    tokens = layer_norm(params["norm"], out[0], cfg.ln_eps)
+    return (tokens[:, 0],) + out[1:]
 
 
 def init_vit(key: jax.Array, cfg, dtype: jnp.dtype = jnp.float32) -> dict:

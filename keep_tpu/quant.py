@@ -216,6 +216,63 @@ def smooth_bert(params: dict, stats: dict, alpha: float = 0.5) -> dict:
     return p
 
 
+def smooth_moe(params: dict, stats: dict, alpha: float = 0.5) -> dict:
+    """SmoothQuant (LN-fold form) for the Switch-MoE visual trunk.
+
+    The qkv edge folds exactly as in ``smooth_vit``. The MLP edge differs:
+    norm2's output feeds BOTH the router and every expert's ``wi``, so the
+    fold divides norm2 by one per-input-channel ``s`` SHARED across experts
+    (computed against the abs-max over all experts' wi rows) and multiplies
+    *both* consumers' kernels by s — wi's input rows ([L, E, D, F] × s over
+    D) and the router's rows ([L, D, E] × s over D). Router logits are
+    therefore bit-comparable in fp: token→expert assignments cannot move.
+    Per-(layer, expert, column) weight scales (``quantize_kernel`` on the
+    stacked [L, E, D, F] kernels) then absorb the migrated outliers
+    per expert. ``stats`` comes from ``moe.vit_forward(..., ln_stats=True)``:
+    {"qkv": [L, D], "wi": [L, D]} abs-max of the two LN outputs."""
+    p = dict(params)
+    blocks = dict(p["blocks"])
+    attn = dict(blocks["attn"])
+    moe_p = dict(blocks["moe"])
+    n1, qkv = _fold_smooth(blocks["norm1"], attn["qkv"], stats["qkv"], alpha)
+
+    wi = moe_p["wi"]
+    k = jnp.asarray(wi["kernel"], jnp.float32)          # [L, E, D, F]
+    l, e, d, f = k.shape
+    s = smooth_scales(stats["wi"],
+                      k.transpose(0, 2, 1, 3).reshape(l, d, e * f),
+                      alpha)                             # [L, D]
+    norm2 = blocks["norm2"]
+    n_dt, k_dt = norm2["scale"].dtype, wi["kernel"].dtype
+    blocks["norm2"] = {
+        "scale": (norm2["scale"].astype(jnp.float32) / s).astype(n_dt),
+        "bias": (norm2["bias"].astype(jnp.float32) / s).astype(n_dt),
+    }
+    moe_p["wi"] = {**wi, "kernel": (k * s[:, None, :, None]).astype(k_dt)}
+    router = moe_p["router"]
+    moe_p["router"] = {
+        **router,
+        "kernel": (router["kernel"].astype(jnp.float32)
+                   * s[..., None]).astype(router["kernel"].dtype),
+    }
+    blocks["norm1"], attn["qkv"] = n1, qkv
+    blocks["attn"], blocks["moe"] = attn, moe_p
+    p["blocks"] = blocks
+    return p
+
+
+def smooth_quantize_moe_vit(params: dict, calib_pixels: Array, cfg,
+                            alpha: float = 0.5) -> dict:
+    """Calibrate on ``calib_pixels`` → smooth (``smooth_moe``) →
+    int8-quantize the MoE visual tower (expert wi/wo included via
+    ``MOE_TARGETS``). No LayerScale to fold — the MoE trunk has none."""
+    from keep_tpu.models import moe
+
+    _, _, stats = moe.vit_forward(params, calib_pixels, cfg, ln_stats=True)
+    return quantize_linear_weights(smooth_moe(params, stats, alpha),
+                                   MOE_TARGETS)
+
+
 def smooth_quantize_bert(params: dict, input_ids: Array,
                          attention_mask: Array | None, cfg,
                          alpha: float = 0.5) -> dict:

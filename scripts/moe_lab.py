@@ -28,9 +28,13 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -200,7 +200,8 @@ def test_keep_moe_integration():
     assert float(daux) == 0.0
 
     # int8 quantization covers the MoE trunk too (expert wi/wo + attention
-    # + stem matmuls go int8); SmoothQuant calibration stays dense-only
+    # + stem matmuls go int8); calibrated quantization is covered in
+    # tests/test_quant.py (smooth_moe)
     model = keep.KEEPModel(params=params, cfg=cfg)
     qmodel = model.quantize()
     qblocks = qmodel.params["visual"]["blocks"]
@@ -210,8 +211,6 @@ def test_keep_moe_integration():
     qfeats = qmodel.encode_image(px)
     cos = float(jnp.mean(jnp.sum(feats * qfeats, axis=-1)))
     assert cos > 0.99, cos
-    with pytest.raises(NotImplementedError, match="calibration"):
-        model.quantize(calib_pixels=px)
 
 
 def test_ep_sharding_parity():

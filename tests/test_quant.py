@@ -690,3 +690,119 @@ def test_inkernel_pre_scale_matches_premultiply(rng):
         want_mlp = np.asarray(qmlp_fused(p1_plain, p2, x * ps))
         got_mlp = np.asarray(qmlp_fused(p1, p2, x))
         np.testing.assert_allclose(got_mlp, want_mlp, atol=1e-5)
+
+
+# ---------------------------------------------------------------- MoE smooth
+
+def _moe_vit_cfg():
+    # img 32 / patch 8 -> 17 tokens: at 5 tokens (img 16) the pooled CLS
+    # has so little averaging that even the UNsmoothable edges' per-token
+    # quant noise alone costs ~0.008 cos, swamping what smoothing fixes
+    return ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                     num_heads=4, moe_experts=4, moe_capacity_factor=2.0,
+                     moe_dispatch="gather")
+
+
+def _outlier_moe_params(cfg, n_outlier=4, gain=80.0):
+    """An MoE-ViT with outlier LN channels, built EXACTLY equivalent to the
+    base model: norm scale x g on those channels; every consumer's input
+    rows / g — qkv for norm1, BOTH the expert wi kernels and the router
+    for norm2 (the router reads the same LN output)."""
+    from keep_tpu.models import moe
+
+    params = moe.init_vit(jax.random.PRNGKey(1), cfg)
+    blocks = params["blocks"]
+    ch = np.arange(n_outlier)
+    for norm_name in ("norm1", "norm2"):
+        sc = np.array(blocks[norm_name]["scale"], np.float32)
+        bi = np.array(blocks[norm_name]["bias"], np.float32)
+        sc[:, ch] *= gain
+        bi[:, ch] *= gain
+        blocks[norm_name]["scale"] = jnp.asarray(sc)
+        blocks[norm_name]["bias"] = jnp.asarray(bi)
+    qkv = np.array(blocks["attn"]["qkv"]["kernel"], np.float32)
+    qkv[:, ch, :] /= gain
+    blocks["attn"]["qkv"]["kernel"] = jnp.asarray(qkv)
+    wi = np.array(blocks["moe"]["wi"]["kernel"], np.float32)  # [L, E, D, F]
+    wi[:, :, ch, :] /= gain
+    blocks["moe"]["wi"]["kernel"] = jnp.asarray(wi)
+    rt = np.array(blocks["moe"]["router"]["kernel"], np.float32)  # [L, D, E]
+    rt[:, ch, :] /= gain
+    blocks["moe"]["router"]["kernel"] = jnp.asarray(rt)
+    return params
+
+
+def test_smooth_moe_fold_is_exact(rng):
+    """Smoothing alone (no quantization) must not change the MoE model —
+    including token->expert routing (the router kernel is compensated)."""
+    from keep_tpu.models import moe
+    from keep_tpu.quant import smooth_moe
+
+    cfg = _moe_vit_cfg()
+    params = _outlier_moe_params(cfg)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3), dtype=np.float32))
+    ref, aux_ref, stats = moe.vit_forward(params, x, cfg, ln_stats=True)
+    assert stats["qkv"].shape == (cfg.depth, cfg.embed_dim)
+    assert stats["wi"].shape == (cfg.depth, cfg.embed_dim)
+    sm = smooth_moe(params, stats)
+    got, aux = moe.vit_forward(sm, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+
+def test_smooth_quantize_moe_recovers_outliers(rng):
+    """With outlier channels, plain W8A8 over the expert kernels degrades;
+    the router-compensated fold recovers the feature cos back to the
+    CLEAN-model quantization floor. The floor itself is computed in-test
+    (same seed, no outliers): at toy scale the discontinuous router means
+    tiny per-edge quant noise flips some token->expert assignments, so an
+    absolute 0.999 gate would be testing the toy geometry, not smoothing —
+    at production scale the same path measures feature cos 1.000 on chip
+    (scripts/moe_lab.py --model-cos, docs/PERF.md)."""
+    from keep_tpu.models import moe
+    from keep_tpu.quant import MOE_TARGETS, smooth_quantize_moe_vit
+
+    cfg = _moe_vit_cfg()
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3), dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32))
+
+    clean = moe.init_vit(jax.random.PRNGKey(1), cfg)
+    ref_c = np.asarray(moe.vit_forward(clean, x, cfg)[0])
+    floor = _cos(np.asarray(moe.vit_forward(
+        quantize_linear_weights(clean, MOE_TARGETS), x, cfg)[0]), ref_c)
+
+    params = _outlier_moe_params(cfg)  # exactly-equivalent rescale of clean
+    ref = np.asarray(moe.vit_forward(params, x, cfg)[0])
+    naive = _cos(np.asarray(moe.vit_forward(
+        quantize_linear_weights(params, MOE_TARGETS), x, cfg)[0]), ref)
+    smooth = _cos(np.asarray(moe.vit_forward(
+        smooth_quantize_moe_vit(params, calib, cfg), x, cfg)[0]), ref)
+    assert naive < floor - 0.01, (naive, floor)   # the pathology is real...
+    assert smooth > floor - 0.005, (smooth, floor)  # ...and the fold recovers
+
+
+def test_keep_moe_quantize_with_calibration(rng):
+    """KEEPModel.quantize(calib_pixels=...) on an MoE config calibrates via
+    smooth_moe instead of raising (round-3 gap)."""
+    from keep_tpu.configs import BertConfig, KEEPConfig
+    from keep_tpu.models import keep
+
+    cfg = KEEPConfig(
+        vision=_moe_vit_cfg(),
+        text=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=64,
+                        max_position_embeddings=32),
+        projection_dim=32,
+    )
+    params = keep.init(jax.random.PRNGKey(0), cfg)
+    model = keep.KEEPModel(params=params, cfg=cfg)
+    calib = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    qm = model.quantize(calib_pixels=calib)
+    assert "kernel_q" in qm.params["visual"]["blocks"]["moe"]["wi"]
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3), dtype=np.float32))
+    ref = np.asarray(model.encode_image(x))
+    got = np.asarray(qm.encode_image(x))
+    # toy-scale MoE: router flips set the floor (see recovery test); this
+    # is an integration check that calibration runs and stays close
+    assert _cos(got, ref) > 0.98
