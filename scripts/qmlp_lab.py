@@ -120,6 +120,53 @@ def probe_int4():
     timed("pallas-w4a8-dot", jax.jit(w4a8), xi8, wi8)
 
 
+# ---------------------------------------------------- bf16-epilogue variant
+
+def _qmlp_bf16epi_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                         b2_ref, o_ref):
+    """The [M, F] hidden's elementwise chain (GELU + requant) in bf16:
+    the result is requantized to 8 bits anyway, so bf16's 8 mantissa bits
+    cost ~nothing in resolution IF the VPU runs bf16 elementwise faster.
+    The dequant multiply-add stays fp32 (int32 accum needs the range)."""
+    xf = x_ref[0].astype(jnp.float32)
+    xq, a1 = quant_rows(xf)
+    h = int8_dot(xq, w1_ref[:]).astype(jnp.float32)
+    h = (h * (a1 * s1_ref[0][None, :]) + b1_ref[0][None, :]).astype(
+        jnp.bfloat16)
+    g = gelu_tanh(h)
+    amax = jnp.max(jnp.abs(g.astype(jnp.float32)), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(g.astype(jnp.float32) * (1.0 / scale)),
+                  -127, 127).astype(jnp.int8)
+    out = int8_dot(hq, w2_ref[:]).astype(jnp.float32)
+    out = out * (scale * s2_ref[0][None, :]) + b2_ref[0][None, :]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@jax.jit
+def qmlp_bf16epi(x, w1_q, w1_s, b1, w2_q, w2_s, b2):
+    b, s, d = x.shape
+    _, f = w1_q.shape
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _qmlp_bf16epi_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  const((d, f)), const((1, f)), const((1, f)),
+                  const((f, d)), const((1, d)), const((1, d))],
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(x, w1_q, w1_s.reshape(1, f).astype(jnp.float32),
+      b1.reshape(1, f).astype(jnp.float32),
+      w2_q, w2_s.reshape(1, d).astype(jnp.float32),
+      b2.reshape(1, d).astype(jnp.float32))
+
+
 # ------------------------------------------------- gelu-scale-bound variant
 
 def _qmlp_geluscale_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
@@ -194,10 +241,10 @@ def stack(pair_fn):
 
 
 def main():
-    which = set(sys.argv[1:]) or {"probe", "geluscale", "pair"}
+    which = set(sys.argv[1:]) or {"probe", "geluscale", "bf16epi", "pair"}
     if "probe" in which:
         probe_int4()
-    if not ({"geluscale", "pair"} & which):
+    if not ({"geluscale", "bf16epi", "pair"} & which):
         return
     params = make_params(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (B, S, D), jnp.bfloat16)
@@ -209,6 +256,9 @@ def main():
     if "geluscale" in which:
         gs = stack(qmlp_geluscale)
         timed("geluscale", gs, params, x, ref=ref)
+    if "bf16epi" in which:
+        be = stack(qmlp_bf16epi)
+        timed("bf16epi", be, params, x, ref=ref)
 
 
 if __name__ == "__main__":
