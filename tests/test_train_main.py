@@ -533,3 +533,153 @@ def test_train_async_checkpointing(run_dirs, tmp_path):
     restored = ckpt.restore(d)
     assert "params" in restored and "opt_state" in restored
     assert int(np.asarray(restored["step"])) >= 1
+
+
+# ------------------------------------------------- coverage-gap round 4
+
+def test_solver_combo_validation(run_dirs, tmp_path):
+    """Every parallelism-combo guard fires with its own message (the
+    round-4 coverage report showed these raise lines unexecuted)."""
+    cases = [
+        (dict(tp=2, sp=True, accum_freq=2), None,
+         "sp does not compose with accum_freq"),
+        (dict(tp=2), dict(moe_experts=2, moe_capacity_factor=2.0),
+         "MoE trunk trains with dp/fsdp/ep"),
+        (dict(pp=2, accum_freq=2), None,
+         "pp does not compose with accum_freq"),
+        (dict(ep=2, fsdp=True),
+         dict(moe_experts=2, moe_capacity_factor=2.0),
+         "ep and solver.fsdp are mutually exclusive"),
+        (dict(tp=3), None, "does not divide"),
+    ]
+    for i, (solver_kw, vision_kw, match) in enumerate(cases):
+        cfg = make_cfg(run_dirs, tmp_path / f"v{i}", vision_kw=vision_kw,
+                       **solver_kw)
+        with pytest.raises(ValueError, match=match):
+            tmain.train(cfg)
+
+
+def test_pp_microbatch_split_validation(run_dirs, tmp_path):
+    """pp=2 with batch 4 on 8 devices: microbatches of 2 don't divide
+    dp=4 -> the explicit split error, not a cryptic reshape failure."""
+    cfg = make_cfg(run_dirs, tmp_path, pp=2)
+    cfg.dataloader = DataloaderConfig(batch_size=4, caption_num=4, workers=1)
+    with pytest.raises(ValueError, match="must split into pp microbatches"):
+        tmain.train(cfg)
+
+
+def test_experiment_name_autogenerated(run_dirs, tmp_path):
+    cfg = make_cfg(run_dirs, tmp_path)
+    cfg.save = dataclasses.replace(cfg.save, experiment_name="")
+    name = tmain.experiment_name(cfg)
+    assert "model_hierarchy_metric" in name
+    assert "lr_0.001" in name and "b_8" in name and "e_3" in name
+
+
+def test_build_schedule_branches(run_dirs, tmp_path):
+    base = make_cfg(run_dirs, tmp_path)
+    for sched in ("cosine", "const-cooldown"):
+        cfg = dataclasses.replace(
+            base, solver=dataclasses.replace(base.solver, lr_scheduler=sched))
+        fn = tmain.build_schedule(cfg, steps_per_epoch=4)
+        assert np.isfinite(float(fn(0))) and np.isfinite(float(fn(11)))
+    bad = dataclasses.replace(
+        base, solver=dataclasses.replace(base.solver, lr_scheduler="nope"))
+    with pytest.raises(ValueError, match="unknown lr scheduler"):
+        tmain.build_schedule(bad, steps_per_epoch=4)
+
+
+def test_build_params_pretrained_towers(run_dirs, tmp_path):
+    """model.pretrained_image / pretrained_text load timm-ViT / (prefixed)
+    HF-BERT torch checkpoints through the converters; an MoE trunk with a
+    dense pretrained_image is rejected."""
+    import torch
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    from tests.torch_fixtures import TorchViT
+
+    cfg = make_cfg(run_dirs, tmp_path)
+    tvit = TorchViT(cfg.keep.vision).eval()
+    img_pt = tmp_path / "vit.pt"
+    torch.save(tvit.state_dict(), img_pt)
+
+    t = cfg.keep.text
+    hf = BertModel(HFBertConfig(
+        vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+        num_hidden_layers=t.num_hidden_layers,
+        num_attention_heads=t.num_attention_heads,
+        intermediate_size=t.intermediate_size,
+        max_position_embeddings=t.max_position_embeddings)).eval()
+    # the reference's knowledge-BERT checkpoints carry a bert_model. prefix
+    sd = {f"bert_model.{k}": v for k, v in hf.state_dict().items()}
+    txt_pt = tmp_path / "bert.pt"
+    torch.save(sd, txt_pt)
+
+    cfg.model = dataclasses.replace(
+        cfg.model, pretrained_image=str(img_pt), pretrained_text=str(txt_pt))
+    params = tmain.build_params(cfg, rng_seed=0)
+    np.testing.assert_allclose(
+        np.asarray(params["visual"]["cls_token"]).ravel(),
+        tvit.cls_token.detach().numpy().ravel(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["text"]["embeddings"]["word"]),
+        hf.state_dict()["embeddings.word_embeddings.weight"].numpy(),
+        atol=1e-6)
+
+    moe_cfg = make_cfg(run_dirs, tmp_path,
+                       vision_kw=dict(moe_experts=2, moe_capacity_factor=2.0))
+    moe_cfg.model = dataclasses.replace(
+        moe_cfg.model, pretrained_image=str(img_pt))
+    with pytest.raises(ValueError, match="DENSE timm trunk"):
+        tmain.build_params(moe_cfg, rng_seed=0)
+
+
+def test_resume_fresh_start_and_epoch_select(run_dirs, tmp_path):
+    """resume='latest' on an empty dir logs fresh-start; resume='<epoch>'
+    restores that epoch; resuming past solver.epochs trains nothing."""
+    d = tmp_path / "run"
+    cfg = make_cfg(run_dirs, d, epochs=1)
+    cfg.save = dataclasses.replace(cfg.save, resume="latest")
+    res = tmain.train(cfg)  # no checkpoint yet -> fresh start leg
+    assert res["epoch"] == 0
+
+    cfg2 = make_cfg(run_dirs, d, epochs=2)
+    cfg2.save = dataclasses.replace(cfg2.save, resume="0")  # explicit epoch
+    res2 = tmain.train(cfg2)
+    assert res2["epoch"] == 1  # trained exactly the remaining epoch
+
+    cfg3 = make_cfg(run_dirs, d, epochs=1)
+    cfg3.save = dataclasses.replace(cfg3.save, resume="latest")
+    res3 = tmain.train(cfg3)  # start_epoch 2 >= epochs 1: nothing to train
+    assert res3["resumed"] and res3["epoch"] == 1  # last restored epoch
+
+
+def test_copy_codebase_remote_sync_and_preload(run_dirs, tmp_path):
+    """One run exercising save.copy_codebase, save.remote_sync (local dir
+    target: initial sync, background process, final sync) and
+    dataset.preload_images."""
+    sync_dir = tmp_path / "synced"
+    cfg = make_cfg(run_dirs, tmp_path / "run", epochs=1)
+    cfg.save = dataclasses.replace(cfg.save, copy_codebase=True,
+                                   remote_sync=str(sync_dir),
+                                   remote_sync_frequency=1)
+    cfg.dataset = dataclasses.replace(cfg.dataset, preload_data=True)
+    res = tmain.train(cfg)
+    assert res["epoch"] == 0
+    out = tmp_path / "run" / "exp"
+    assert (out / "code" / "keep_tpu").is_dir()  # snapshot
+    assert any(sync_dir.rglob("*")), "remote sync copied nothing"
+
+
+def test_main_cli_overrides(run_dirs, tmp_path):
+    """In-process main(argv): --resume and --experiment-name override the
+    YAML (the subprocess CLI tests don't register line coverage)."""
+    import yaml
+
+    cfg = make_cfg(run_dirs, tmp_path, epochs=1)
+    y = tmp_path / "cfg.yml"
+    y.write_text(yaml.safe_dump(dataclasses.asdict(cfg)))
+    res = tmain.main(["--config", str(y), "--experiment-name", "cli_exp",
+                      "--resume", ""])
+    assert res["epoch"] == 0
+    assert (tmp_path / "cli_exp").is_dir()
