@@ -77,7 +77,7 @@ class BatchQueue:
     max(upload, compute), not their sum."""
 
     def __init__(self, launch, max_batch: int, max_delay_ms: float = 3.0,
-                 name: str = "q", fetch=None):
+                 name: str = "q", fetch=None, bucket_of=None):
         self.launch = launch  # (np stacked [N, ...]) -> handle
         self.fetch = fetch or (lambda h: h)  # handle -> np [N, D]
         self.max_batch = max_batch
@@ -87,6 +87,8 @@ class BatchQueue:
         self.name = name
         self.served = 0
         self.dispatches = 0
+        self.bucket_of = bucket_of  # raw batch size -> compiled bucket
+        self.bucket_hits: dict[int, int] = {}
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True,
                                        name=f"batcher-{name}")
@@ -153,6 +155,9 @@ class BatchQueue:
             out = self.fetch(handle)
             self.served += n
             self.dispatches += 1
+            if self.bucket_of is not None:
+                b = self.bucket_of(n)
+                self.bucket_hits[b] = self.bucket_hits.get(b, 0) + 1
             off = 0
             for r in batch:
                 k = len(r.payload)
@@ -281,10 +286,12 @@ class InferenceServer:
         # fetch (np.asarray) happens one dispatch behind launch: double-
         # buffering in BatchQueue overlaps batch N's compute with N+1's
         # host assembly + upload (padded tail rows are simply never sliced)
+        _b_of = lambda n: _bucket(n, self.buckets)  # noqa: E731
         self.text_q = BatchQueue(launch_text, self.buckets[-1], max_delay_ms,
-                                 "text", fetch=np.asarray)
+                                 "text", fetch=np.asarray, bucket_of=_b_of)
         self.image_q = BatchQueue(launch_image, self.buckets[-1],
-                                  max_delay_ms, "image", fetch=np.asarray)
+                                  max_delay_ms, "image", fetch=np.asarray,
+                                  bucket_of=_b_of)
         self.started = time.time()
 
     # -- public API ---------------------------------------------------------
@@ -354,9 +361,11 @@ class InferenceServer:
         return {
             "uptime_s": round(time.time() - self.started, 1),
             "text": {"served": self.text_q.served,
-                     "dispatches": self.text_q.dispatches},
+                     "dispatches": self.text_q.dispatches,
+                     "bucket_hits": dict(self.text_q.bucket_hits)},
             "image": {"served": self.image_q.served,
-                      "dispatches": self.image_q.dispatches},
+                      "dispatches": self.image_q.dispatches,
+                      "bucket_hits": dict(self.image_q.bucket_hits)},
             "buckets": list(self.buckets),
         }
 

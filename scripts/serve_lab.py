@@ -145,6 +145,8 @@ def run_load(int8: bool, n_clients: int = 16, req_tiles: int = 16,
         "txt_p50_ms": pct(txt_lat, 50), "txt_p99_ms": pct(txt_lat, 99),
         "image_dispatches": stats["image"]["dispatches"],
         "text_dispatches": stats["text"]["dispatches"],
+        "image_bucket_hits": stats["image"]["bucket_hits"],
+        "text_bucket_hits": stats["text"]["bucket_hits"],
         "requests": n_clients * n_requests,
     }), flush=True)
 

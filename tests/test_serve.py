@@ -45,6 +45,21 @@ def test_bucket_selection():
     assert serve._bucket(9, (2, 4)) == 4  # clamped to the largest
 
 
+def test_stats_bucket_hit_rates(core):
+    """stats() attributes every dispatch to the compiled bucket it padded
+    to — the hit-rate data the per-bucket precision policy is tuned on."""
+    before = core.stats()["text"]["bucket_hits"]
+    core.encode_text(["tumor ."])           # 1 -> bucket 2
+    core.encode_text(["tumor ."] * 3)       # 3 -> bucket 4
+    core.encode_text(["tumor ."] * 2)       # 2 -> bucket 2
+    after = core.stats()["text"]["bucket_hits"]
+    delta = {b: after.get(b, 0) - before.get(b, 0) for b in (2, 4)}
+    assert delta == {2: 2, 4: 1}, after
+    # dispatch totals and bucket attribution agree
+    s = core.stats()["text"]
+    assert sum(s["bucket_hits"].values()) == s["dispatches"]
+
+
 def test_encode_and_similarity(core):
     out = core.encode_text(["an image of lung tumor .", "normal tissue ."])
     assert out.shape == (2, 32)
