@@ -249,6 +249,16 @@ class InferenceServer:
                 self.alt_model = dataclasses_replace_params(
                     alt_model, jax.device_put(alt_model.params, rep))
         self.buckets = tuple(buckets)
+        # fail fast on precision-policy buckets that can never be hit —
+        # a typo, or a bucket the mesh path rounded away (dp=4 rewrites
+        # bucket 1 to 4), would otherwise silently serve the wrong model
+        for tower, alts in self.alt_buckets.items():
+            stray = alts - set(self.buckets)
+            if stray:
+                raise ValueError(
+                    f"alt_buckets[{tower!r}] contains {sorted(stray)} not in "
+                    f"the compiled buckets {self.buckets} (mesh rounding "
+                    f"rewrites buckets to multiples of the dp axis)")
         _pcfg = PreprocessConfig(size=image_size)
         self._pcfg = _pcfg
 

@@ -75,6 +75,13 @@ def adamw(
     numerics.
     """
     txs = []
+    # BN running stats are buffers, not parameters (see bn_stats_mask):
+    # zero their gradients FIRST — before clipping and the Adam moments —
+    # so fine-tuning a BN trunk keeps the reference's frozen-stats
+    # semantics. Torch buffers carry no grad at all, so they must not
+    # inflate the global clip norm either (zeroing only the final update
+    # would leave every other parameter's clipped update too small).
+    txs.append(optax.masked(optax.set_to_zero(), bn_stats_mask))
     if grad_clip_norm is not None:
         txs.append(optax.clip_by_global_norm(grad_clip_norm))
     txs.append(
@@ -88,11 +95,6 @@ def adamw(
             mask=wd_mask if params is None else wd_mask(params),
         )
     )
-    # BN running stats are buffers, not parameters (see bn_stats_mask):
-    # zero their updates unconditionally so fine-tuning a BN trunk keeps
-    # the reference's frozen-stats semantics instead of gradient-walking
-    # the normalization statistics
-    txs.append(optax.masked(optax.set_to_zero(), bn_stats_mask))
     return optax.chain(*txs)
 
 

@@ -157,11 +157,16 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--tiles", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8,
+                    help="requests per client (docs/PERF.md run: 8)")
+    ap.add_argument("--texts", type=int, default=4,
+                    help="texts per request (docs/PERF.md run: 4)")
     args = ap.parse_args()
     if args.mode == "ab":
         run_ab()
     else:
-        run_load(args.int8, n_clients=args.clients, req_tiles=args.tiles)
+        run_load(args.int8, n_clients=args.clients, req_tiles=args.tiles,
+                 n_requests=args.requests, texts_per_req=args.texts)
 
 
 if __name__ == "__main__":

@@ -376,3 +376,13 @@ def test_per_bucket_precision_policy():
 def test_alt_buckets_without_alt_model_rejected():
     with pytest.raises(ValueError, match="alt_model"):
         serve.InferenceServer(object(), object(), alt_buckets={"text": (1,)})
+
+
+def test_alt_buckets_must_exist_in_compiled_buckets():
+    """A precision-policy bucket that can never be hit (typo, or rounded
+    away by the mesh path) must fail fast, not silently serve the wrong
+    model."""
+    with pytest.raises(ValueError, match="not in"):
+        serve.InferenceServer(object(), object(), buckets=(2, 4),
+                              alt_model=object(),
+                              alt_buckets={"text": (3,)})

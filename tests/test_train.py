@@ -387,3 +387,17 @@ def test_bn_running_stats_never_updated():
     assert np.all(np.asarray(updates["bn1"]["var"]) == 0)
     assert np.any(np.asarray(updates["bn1"]["scale"]) != 0)
     assert np.any(np.asarray(updates["conv"]["kernel"]) != 0)
+
+    # Torch buffers carry NO grad, so the stat grads must also not inflate
+    # the global clip norm (they are zeroed BEFORE clip_by_global_norm):
+    # trainable updates must match a run where the stat grads never existed.
+    grads_nostat = jax.tree.map(lambda g: g, grads)
+    grads_nostat["bn1"]["mean"] = jnp.zeros(2)
+    grads_nostat["bn1"]["var"] = jnp.zeros(2)
+    updates_ref, _ = tx.update(grads_nostat, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]),
+                               np.asarray(updates_ref["conv"]["kernel"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["bn1"]["scale"]),
+                               np.asarray(updates_ref["bn1"]["scale"]),
+                               rtol=1e-6)
