@@ -225,7 +225,7 @@ class KEEPModel:
         return float(jnp.exp(self.params["logit_scale"]))
 
     def quantize(self, calib_pixels=None, smooth_alpha: float = 0.5,
-                 calib_text=None) -> "KEEPModel":
+                 calib_text=None, moe_w8a16: bool = False) -> "KEEPModel":
         """Opt-in W8A8 int8 inference variant (see ``keep_tpu.quant``).
         LayerScale is folded into proj/fc2 first (exact) so the quantized
         kernels carry it for free. With ``calib_pixels`` ([N, H, W, 3]
@@ -248,7 +248,18 @@ class KEEPModel:
         multiply, +1.1% measured). Rule of thumb: quantize plainly, check
         features against the bf16 model on a handful of real inputs
         (cos ≥ 0.999, the bench gate); calibrate only if that check
-        fails."""
+        fails.
+
+        MoE trunks: full W8A8 experts measure feature cos ≈0.995 vs bf16
+        at random init — but a routing-pinned A/B (scripts/moe_lab.py
+        --route-study, docs/PERF.md round 4) shows the int8 NUMERICS meet
+        the 0.999 gate (pinned cos 0.9994); the gap is ~3.5% discrete
+        router flips from the perturbed stream, which W8A16
+        (``moe_w8a16=True``: weight-only int8 experts, bf16 activations)
+        does NOT reduce (same flip rate, +0.00001 numerics, 20% slower —
+        measured). W8A8 therefore stays the default; check features on
+        your own trained checkpoint, where router margins are larger than
+        at the random init these numbers come from."""
         from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import (DEFAULT_TARGETS, MOE_TARGETS,
                                     quantize_linear_weights, smooth_bert,
@@ -289,8 +300,11 @@ class KEEPModel:
                                         self.cfg.vision, ln_stats=True)
                 params["visual"] = smooth_vit(params["visual"], stats,
                                               smooth_alpha)
+        w_only = ("wi", "wo") if (
+            targets is MOE_TARGETS and moe_w8a16) else ()
         return KEEPModel(
-            params=quantize_linear_weights(params, targets),
+            params=quantize_linear_weights(params, targets,
+                                           weight_only=w_only),
             cfg=self.cfg,
             dtype=self.dtype,
             use_flash=self.use_flash,

@@ -82,6 +82,15 @@ def _expert_linear(p_lin: dict, x: Array, eq: str) -> Array:
     stacked kernels. Dropped/pad rows are all-zero, so their activation
     scale degenerates harmlessly."""
     bias = p_lin["bias"][:, None, :]
+    if "kernel_q" in p_lin and "w_only" in p_lin:
+        # W8A16: int8 weights dequantized into the einsum's operand read
+        # (XLA fuses convert*scale into the dot) — keeps the E× weight-HBM
+        # halving that is the whole MoE-int8 win while the activations and
+        # the MXU contraction stay bf16, so there is no per-token
+        # activation-quant noise (the W8A8 path's cos-gate failure mode).
+        w = (p_lin["kernel_q"].astype(x.dtype)
+             * p_lin["scale"][:, None, :].astype(x.dtype))
+        return jnp.einsum(eq, x, w) + bias.astype(x.dtype)
     if "kernel_q" in p_lin:
         xf = x.astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -101,7 +110,9 @@ def moe_mlp_gather(
     *,
     capacity_factor: float = 1.25,
     gelu_approx: bool = False,
-) -> tuple[Array, Array]:
+    route: Array | None = None,
+    return_route: bool = False,
+) -> tuple:
     """Top-1 sparse MLP with GLOBAL routing and gather-only data movement
     (the single-device / dp fast path; `dispatch='gather'`).
 
@@ -124,6 +135,14 @@ def moe_mlp_gather(
     Measured (scripts/moe_lab.py, 24-layer ViT-L trunk, B=64, E=8, one
     v5e): see docs/PERF.md. Returns (out, aux) like `moe_mlp`. Top-1 only —
     the trunk falls back to the einsum path for top_k > 1.
+
+    ``route`` ([T] int32, token order = row-major over the flattened input)
+    FORCES token→expert assignments, bypassing the router argmax (gates
+    still read the router probs at the forced expert). ``return_route``
+    appends the realized [T] assignment to the return tuple. Together these
+    give expert-utilization tracing and routing-pinned A/B studies (e.g.
+    isolating discrete router-flip noise from matmul quantization noise —
+    scripts/moe_lab.py --route-study, docs/PERF.md round 4).
     """
     orig_shape = x.shape
     d = orig_shape[-1]
@@ -135,7 +154,8 @@ def moe_mlp_gather(
     logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
                         p["router"]["kernel"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
-    idx = jnp.argmax(probs, axis=-1)                       # [T]
+    idx = (jnp.argmax(probs, axis=-1) if route is None
+           else route.astype(jnp.int32))                   # [T]
     gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
     onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)       # [T, E]
     counts = _chunked_cumsum(onehot)                       # [T, E] inclusive
@@ -163,6 +183,8 @@ def moe_mlp_gather(
 
     f_e = jnp.mean(onehot.astype(jnp.float32), axis=0)
     aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    if return_route:
+        return yt.reshape(orig_shape), aux, idx
     return yt.reshape(orig_shape), aux
 
 
@@ -246,8 +268,9 @@ def moe_mlp(
 
 def block(p: dict, x: Array, cfg, *, top_k: int = 1,
           capacity_factor: float = 1.25, gelu_approx: bool = False,
-          dispatch: str = "einsum", collect_ln_stats: bool = False
-          ) -> tuple[Array, Array]:
+          dispatch: str = "einsum", collect_ln_stats: bool = False,
+          route: Array | None = None, return_route: bool = False
+          ) -> tuple:
     """Pre-LN transformer block whose MLP is the sparse ``moe_mlp``:
     attention sub-block identical to ``vit.block``'s XLA path, MoE second
     half. ``dispatch``: 'einsum' (grouped, EP-shardable) or 'gather'
@@ -259,6 +282,8 @@ def block(p: dict, x: Array, cfg, *, top_k: int = 1,
     b, s, d = x.shape
     h = cfg.num_heads
     dh = d // h
+    if route is not None and route.shape[-1] == 0:
+        route = None  # forward_trunk's static no-routes placeholder
     if collect_ln_stats and "kernel_q" in p["attn"]["qkv"]:
         raise ValueError("LN-stats calibration needs the unquantized fp path")
     ln1 = layer_norm(p["norm1"], x, cfg.ln_eps)
@@ -269,48 +294,68 @@ def block(p: dict, x: Array, cfg, *, top_k: int = 1,
     x = x + linear(p["attn"]["proj"], attn)
     ln2 = layer_norm(p["norm2"], x, cfg.ln_eps)
     if dispatch == "gather" and top_k == 1:
-        y, aux = moe_mlp_gather(p["moe"], ln2,
-                                capacity_factor=capacity_factor,
-                                gelu_approx=gelu_approx)
+        r = moe_mlp_gather(p["moe"], ln2,
+                           capacity_factor=capacity_factor,
+                           gelu_approx=gelu_approx,
+                           route=route, return_route=return_route)
+        y, aux = r[0], r[1]
     elif dispatch in ("einsum", "gather"):
-        y, aux = moe_mlp(p["moe"], ln2, top_k=top_k,
-                         capacity_factor=capacity_factor,
-                         gelu_approx=gelu_approx)
+        if route is not None or return_route:
+            raise ValueError("route tracing/forcing needs dispatch='gather'")
+        r = moe_mlp(p["moe"], ln2, top_k=top_k,
+                    capacity_factor=capacity_factor,
+                    gelu_approx=gelu_approx)
+        y, aux = r
     else:
         raise ValueError(f"unknown moe dispatch {dispatch!r} "
                          "(expected 'einsum' or 'gather')")
+    extras = r[2:]
     if collect_ln_stats:
         stats = {
             "qkv": jnp.max(jnp.abs(ln1.astype(jnp.float32)), axis=(0, 1)),
             "wi": jnp.max(jnp.abs(ln2.astype(jnp.float32)), axis=(0, 1)),
         }
-        return x + y, aux, stats
-    return x + y, aux
+        return (x + y, aux, stats) + extras
+    return (x + y, aux) + extras
 
 
 def forward_trunk(params: dict, tokens: Array, cfg, *, top_k: int = 1,
                   capacity_factor: float = 1.25, gelu_approx: bool = False,
                   remat: bool = False, dispatch: str = "einsum",
-                  ln_stats: bool = False) -> tuple:
+                  ln_stats: bool = False, routes: Array | None = None,
+                  return_routes: bool = False) -> tuple:
     """Stacked-MoE trunk over [B, S, D] tokens → ([B, S, D], mean aux).
     Blocks stacked on a leading [L] axis and scanned, like ``vit.forward``.
     ``ln_stats=True`` also returns {"qkv": [L, D], "wi": [L, D]} abs-max
-    calibration stats (quant.smooth_moe)."""
+    calibration stats (quant.smooth_moe). ``routes`` ([L, T] int32) forces
+    per-layer token→expert assignments; ``return_routes=True`` appends the
+    realized [L, T] assignments — both gather-dispatch only (see
+    ``moe_mlp_gather``)."""
     block_fn = functools.partial(block, cfg=cfg, top_k=top_k,
                                  capacity_factor=capacity_factor,
                                  gelu_approx=gelu_approx, dispatch=dispatch,
-                                 collect_ln_stats=ln_stats)
+                                 collect_ln_stats=ln_stats,
+                                 return_route=return_routes)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
-    def scan_body(carry, layer_params):
-        out = block_fn(layer_params, carry)
+    def scan_body(carry, xs):
+        layer_params, route_l = xs
+        out = block_fn(layer_params, carry, route=route_l)
         return out[0], out[1:]
 
-    tokens, ys = jax.lax.scan(scan_body, tokens, params["blocks"])
-    if ln_stats:
-        return tokens, jnp.mean(ys[0]), ys[1]
-    return tokens, jnp.mean(ys[0])
+    tokens, ys = jax.lax.scan(
+        scan_body, tokens,
+        (params["blocks"],
+         routes if routes is not None
+         else jnp.zeros((_n_layers(params), 0), jnp.int32)))
+    aux = jnp.mean(ys[0])
+    rest = ys[1:]
+    return (tokens, aux) + tuple(rest)
+
+
+def _n_layers(params: dict) -> int:
+    return params["blocks"]["norm1"]["scale"].shape[0]
 
 
 def init(key: jax.Array, cfg, num_experts: int, depth: int | None = None,
@@ -355,12 +400,16 @@ def vit_forward(
     remat: bool = False,
     gelu_approx: bool = False,
     ln_stats: bool = False,
+    routes: Array | None = None,
+    return_routes: bool = False,
 ) -> tuple:
     """MoE-ViT image encoder: [B, H, W, 3] → ([B, D] pooled, aux []).
     The stem (patchify, CLS, pos-embed resample) and final LN/pool are
     ``vit.forward``'s; the trunk is the Switch-MoE ``forward_trunk``.
     Selected by ``cfg.moe_experts > 0`` (``keep.encode_image``).
-    ``ln_stats=True`` (calibration) returns (pooled, aux, stats)."""
+    ``ln_stats=True`` (calibration) returns (pooled, aux, stats).
+    ``routes``/``return_routes`` force/trace per-layer token→expert
+    assignments (gather dispatch only; see ``forward_trunk``)."""
     from keep_tpu.models import vit as _vit
 
     b, h, w, _ = x.shape
@@ -380,7 +429,7 @@ def vit_forward(
         params, tokens, cfg, top_k=cfg.moe_top_k,
         capacity_factor=cfg.moe_capacity_factor, gelu_approx=gelu_approx,
         remat=remat, dispatch=getattr(cfg, "moe_dispatch", "einsum"),
-        ln_stats=ln_stats)
+        ln_stats=ln_stats, routes=routes, return_routes=return_routes)
     tokens = layer_norm(params["norm"], out[0], cfg.ln_eps)
     return (tokens[:, 0],) + out[1:]
 

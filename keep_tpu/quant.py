@@ -49,7 +49,8 @@ def quantize_kernel(kernel: Array) -> dict:
 
 
 def quantize_linear_weights(
-    params, targets: Sequence[str] = DEFAULT_TARGETS
+    params, targets: Sequence[str] = DEFAULT_TARGETS,
+    weight_only: Sequence[str] = (),
 ) -> "object":
     """Rewrite targeted linear params in a pytree of nested dicts.
 
@@ -59,7 +60,14 @@ def quantize_linear_weights(
     the EVA trunk head) stay high-precision; and nothing inside a
     ``rel_pos`` subtree is touched (the vit_relpos bias MLP is a K=2
     coordinate network whose per-token int8 quantization would corrupt
-    every head's attention bias for negligible FLOPs)."""
+    every head's attention bias for negligible FLOPs).
+
+    Targets also named in ``weight_only`` are marked W8A16: the int8
+    kernel is dequantized to the activation dtype inside the consuming
+    einsum (activations never quantized). The marker is an EMPTY-TUPLE
+    leaf ``w_only`` — structural (visible to `"w_only" in p` under jit),
+    zero pytree leaves. Used for MoE expert wi/wo, whose int8 win is
+    expert-weight HBM traffic, not MXU rate (docs/PERF.md)."""
 
     def eligible(node, name, parent, ancestors):
         if not ("kernel" in node and "bias" in node and name in targets):
@@ -77,6 +85,8 @@ def quantize_linear_weights(
             parent = ancestors[-1] if ancestors else ""
             if eligible(node, name, parent, ancestors):
                 q = quantize_kernel(node["kernel"])
+                if name in weight_only:
+                    q["w_only"] = ()
                 # keep any sibling leaves (adapters, cached transforms) —
                 # only 'kernel' is replaced by (kernel_q, scale)
                 rest = {k: v for k, v in node.items() if k != "kernel"}

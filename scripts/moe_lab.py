@@ -237,6 +237,10 @@ def bench_trunk(args):
         qparams = quantize_linear_weights(params, MOE_TARGETS)
         variants += [("einsum-int8", qparams, "einsum"),
                      ("gather-int8", qparams, "gather")]
+    if args.w8a16:
+        wparams = quantize_linear_weights(params, MOE_TARGETS,
+                                          weight_only=("wi", "wo"))
+        variants += [("gather-w8a16", wparams, "gather")]
 
     for b in (args.batch, 4 * args.batch):
         x = jax.random.normal(jax.random.PRNGKey(1),
@@ -271,19 +275,27 @@ def bench_model_cos(args):
     round-3 table reported. The gate governs features — raw pre-pool
     activations overweight per-token quant noise that pooling+LN+head
     average away."""
-    from keep_tpu.models import vit
     from keep_tpu.quant import MOE_TARGETS, quantize_linear_weights
 
     cfg = ViTConfig(moe_experts=args.experts, moe_dispatch="gather",
                     moe_capacity_factor=args.cf)
-    params = vit.init(jax.random.PRNGKey(0), cfg)
+    # MoE routing lives in moe.init_vit/moe.vit_forward (what
+    # keep.encode_image selects for moe_experts > 0) — vit.init/vit.forward
+    # build the DENSE model and silently ignore the moe_* config fields
+    pdt = jnp.bfloat16 if args.bf16_params else jnp.float32
+    params = moe.init_vit(jax.random.PRNGKey(0), cfg, dtype=pdt)
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (args.batch, 224, 224, 3), jnp.float32)
-    on_tpu = jax.default_backend() == "tpu"
-    fwd = jax.jit(lambda p, x: vit.forward(
-        p, x, cfg, dtype=jnp.bfloat16, use_flash=on_tpu, gelu_approx=True))
+    fwd = jax.jit(lambda p, x: moe.vit_forward(
+        p, x, cfg, dtype=jnp.bfloat16, gelu_approx=True)[0])
     a = np.asarray(fwd(params, x), np.float32)
-    qp = quantize_linear_weights(vit.fold_layerscale(params), MOE_TARGETS)
+    if args.smooth:
+        from keep_tpu.quant import smooth_quantize_moe_vit
+
+        qp = smooth_quantize_moe_vit(params, x[: min(8, args.batch)], cfg)
+    else:
+        wo = ("wi", "wo") if args.w8a16 else ()
+        qp = quantize_linear_weights(params, MOE_TARGETS, weight_only=wo)
     b_ = np.asarray(fwd(qp, x), np.float32)
     cos = float(np.mean(np.sum(a * b_, 1) / (
         np.linalg.norm(a, axis=1) * np.linalg.norm(b_, axis=1))))
@@ -295,6 +307,51 @@ def bench_model_cos(args):
           f"feature cos vs bf16 = {cos:.6f} (gate >= 0.999), "
           f"bf16 {dt_bf16*1e3:.1f} ms / int8 {dt_int8*1e3:.1f} ms "
           f"({args.batch/dt_int8:.1f} img/s int8)")
+
+
+def route_study(args):
+    """Decompose the int8 MoE feature error into DISCRETE router-flip noise
+    vs continuous matmul-quantization noise: trace the bf16 model's
+    per-layer token→expert assignments, then run the int8 model twice —
+    free routing (its own argmax) and PINNED to the bf16 routes. The
+    pinned cosine is the pure-numerics error; free-minus-pinned is what
+    discrete flips cost. Also reports the flip rate per layer."""
+    from keep_tpu.quant import MOE_TARGETS, quantize_linear_weights
+
+    cfg = ViTConfig(moe_experts=args.experts, moe_dispatch="gather",
+                    moe_capacity_factor=args.cf)
+    pdt = jnp.bfloat16 if args.bf16_params else jnp.float32
+    params = moe.init_vit(jax.random.PRNGKey(0), cfg, dtype=pdt)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (args.batch, 224, 224, 3), jnp.float32)
+
+    traced = jax.jit(lambda p, x: moe.vit_forward(
+        p, x, cfg, dtype=jnp.bfloat16, gelu_approx=True,
+        return_routes=True))
+    pinned = jax.jit(lambda p, x, r: moe.vit_forward(
+        p, x, cfg, dtype=jnp.bfloat16, gelu_approx=True, routes=r)[0])
+
+    a, _, routes_bf16 = traced(params, x)
+    a = np.asarray(a, np.float32)
+    wo = ("wi", "wo") if args.w8a16 else ()
+    qp = quantize_linear_weights(params, MOE_TARGETS, weight_only=wo)
+    b_free, _, routes_int8 = traced(qp, x)
+    b_free = np.asarray(b_free, np.float32)
+    b_pin = np.asarray(pinned(qp, x, routes_bf16), np.float32)
+
+    def cosm(u, v):
+        return float(np.mean(np.sum(u * v, 1) / (
+            np.linalg.norm(u, axis=1) * np.linalg.norm(v, axis=1))))
+
+    flips = np.asarray(routes_bf16) != np.asarray(routes_int8)  # [L, T]
+    mode = "w8a16" if args.w8a16 else "w8a8"
+    print(f"route study (E={args.experts}, B={args.batch}, {mode}):")
+    print(f"  free-routing cos   = {cosm(a, b_free):.6f}")
+    print(f"  pinned-routing cos = {cosm(a, b_pin):.6f}  "
+          f"(numerics only; gate >= 0.999)")
+    print(f"  flip rate = {float(flips.mean()) * 100:.3f}% of (layer, token)"
+          f" assignments; per-layer "
+          f"{np.round(flips.mean(1) * 100, 2).tolist()}")
 
 
 def main():
@@ -310,7 +367,25 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="also time the int8-quantized expert weights "
                          "(wi/wo via quant.MOE_TARGETS) in --trunk mode")
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="--model-cos with bf16 master params (the E=8 "
+                         "ViT-L is ~1.9B params; three fp32 copies OOM one "
+                         "v5e chip in --smooth mode)")
+    ap.add_argument("--w8a16", action="store_true",
+                    help="weight-only int8 experts (W8A16: int8 wi/wo "
+                         "dequantized in-einsum, bf16 activations) — in "
+                         "--trunk and --model-cos modes")
+    ap.add_argument("--smooth", action="store_true",
+                    help="--model-cos with SmoothQuant-MoE calibration "
+                         "(quant.smooth_quantize_moe_vit) instead of "
+                         "plain per-channel quantization")
+    ap.add_argument("--route-study", action="store_true",
+                    help="decompose int8 MoE error into router-flip vs "
+                         "matmul-quant noise (pinned-routing A/B)")
     args = ap.parse_args()
+    if args.route_study:
+        route_study(args)
+        return
     if args.model_cos:
         bench_model_cos(args)
         return

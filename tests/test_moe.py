@@ -343,3 +343,48 @@ class TestGatherDispatch:
             np.testing.assert_array_equal(
                 np.asarray(moe._chunked_cumsum(x)),
                 np.cumsum(np.asarray(x), 0))
+
+
+class TestRouteTraceAndPin:
+    """Round-4 observability: trace token→expert assignments and force them
+    (the decomposition tool behind the MoE-int8 route study, docs/PERF.md)."""
+
+    def _cfg(self):
+        return ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                         num_heads=4, moe_experts=4, moe_dispatch="gather")
+
+    def test_trace_is_noninvasive_and_pin_roundtrips(self):
+        cfg = self._cfg()
+        params = moe.init_vit(jax.random.PRNGKey(1), cfg)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (4, 32, 32, 3)), jnp.float32)
+        ref = np.asarray(moe.vit_forward(params, x, cfg)[0])
+        feat, _, routes = moe.vit_forward(params, x, cfg, return_routes=True)
+        assert routes.shape == (cfg.depth, 4 * 17)  # [L, B*S]
+        assert routes.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(feat), ref)
+        # pinning to the model's own routes is the identity
+        pinned = moe.vit_forward(params, x, cfg, routes=routes)[0]
+        np.testing.assert_array_equal(np.asarray(pinned), ref)
+        # pinning to different routes changes the output
+        other = moe.vit_forward(params, x, cfg,
+                                routes=(routes + 1) % cfg.moe_experts)[0]
+        assert not np.allclose(np.asarray(other), ref)
+
+    def test_compose_with_ln_stats_and_jit(self):
+        cfg = self._cfg()
+        params = moe.init_vit(jax.random.PRNGKey(1), cfg)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (2, 32, 32, 3)), jnp.float32)
+        fn = jax.jit(lambda p, x: moe.vit_forward(
+            p, x, cfg, ln_stats=True, return_routes=True))
+        _, _, stats, routes = fn(params, x)
+        assert sorted(stats) == ["qkv", "wi"]
+        assert routes.shape == (cfg.depth, 2 * 17)
+
+    def test_route_force_requires_gather(self):
+        cfg = dataclasses.replace(self._cfg(), moe_dispatch="einsum")
+        params = moe.init_vit(jax.random.PRNGKey(1), cfg)
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        with pytest.raises(ValueError, match="gather"):
+            moe.vit_forward(params, x, cfg, return_routes=True)

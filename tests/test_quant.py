@@ -757,9 +757,10 @@ def test_smooth_quantize_moe_recovers_outliers(rng):
     CLEAN-model quantization floor. The floor itself is computed in-test
     (same seed, no outliers): at toy scale the discontinuous router means
     tiny per-edge quant noise flips some token->expert assignments, so an
-    absolute 0.999 gate would be testing the toy geometry, not smoothing —
-    at production scale the same path measures feature cos 1.000 on chip
-    (scripts/moe_lab.py --model-cos, docs/PERF.md)."""
+    absolute 0.999 gate would be testing the toy geometry, not smoothing.
+    (At production scale full-W8A8 experts measure feature cos ≈0.995 on
+    chip — below the 0.999 gate — which is why expert weights default to
+    W8A16; scripts/moe_lab.py --model-cos, docs/PERF.md round 4.)"""
     from keep_tpu.models import moe
     from keep_tpu.quant import MOE_TARGETS, smooth_quantize_moe_vit
 
@@ -806,3 +807,62 @@ def test_keep_moe_quantize_with_calibration(rng):
     # toy-scale MoE: router flips set the floor (see recovery test); this
     # is an integration check that calibration runs and stays close
     assert _cos(got, ref) > 0.98
+
+
+def test_moe_w8a16_marker_and_oracle(rng):
+    """weight_only targets carry the structural ``w_only`` marker (and only
+    they do), and the _expert_linear W8A16 branch computes exactly an
+    einsum against the dequantized int8 kernel."""
+    from keep_tpu.models.moe import _expert_linear
+    from keep_tpu.quant import MOE_TARGETS
+
+    cfg = _moe_vit_cfg()
+    from keep_tpu.models import moe
+
+    params = moe.init_vit(jax.random.PRNGKey(1), cfg)
+    qp = quantize_linear_weights(params, MOE_TARGETS,
+                                 weight_only=("wi", "wo"))
+    blocks = qp["blocks"]
+    for t in ("wi", "wo"):
+        assert "w_only" in blocks["moe"][t] and "kernel_q" in blocks["moe"][t]
+    assert "w_only" not in blocks["attn"]["qkv"]  # W8A8 as before
+    assert "kernel_q" in blocks["attn"]["qkv"]
+
+    # branch oracle: dequantized-einsum equality (bf16 activations)
+    e, d, f = 4, 64, 96
+    k = jnp.asarray(rng.standard_normal((e, d, f), dtype=np.float32) * 0.05)
+    b = jnp.asarray(rng.standard_normal((e, f), dtype=np.float32) * 0.01)
+    p_lin = {**quantize_kernel(k), "bias": b, "w_only": ()}
+    x = jnp.asarray(
+        rng.standard_normal((e, 8, d), dtype=np.float32)).astype(jnp.bfloat16)
+    got = _expert_linear(p_lin, x, "ecd,edf->ecf")
+    w = (p_lin["kernel_q"].astype(x.dtype)
+         * p_lin["scale"][:, None, :].astype(x.dtype))
+    want = jnp.einsum("ecd,edf->ecf", x, w) + b[:, None, :].astype(x.dtype)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_moe_w8a16_beats_w8a8_on_expert_noise(rng):
+    """Quantizing ONLY the expert wi/wo: the W8A16 path (no activation
+    quantization) must reconstruct the bf16 model strictly better than
+    W8A8 — same routing noise, strictly less matmul noise. (On chip the
+    difference is small because router flips dominate both variants;
+    docs/PERF.md round-4 route study.)"""
+    from keep_tpu.models import moe
+
+    cfg = _moe_vit_cfg()
+    params = moe.init_vit(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32))
+    fwd = jax.jit(lambda p: moe.vit_forward(
+        p, x, cfg, dtype=jnp.bfloat16, gelu_approx=True)[0])
+    ref = np.asarray(fwd(params), np.float32)
+    experts_only = ("wi", "wo")
+    a8 = np.asarray(fwd(quantize_linear_weights(
+        params, experts_only)), np.float32)
+    a16 = np.asarray(fwd(quantize_linear_weights(
+        params, experts_only, weight_only=experts_only)), np.float32)
+    err8 = float(np.linalg.norm(a8 - ref))
+    err16 = float(np.linalg.norm(a16 - ref))
+    assert err16 < err8, (err16, err8)
+    assert _cos(a16, ref) > 0.998, _cos(a16, ref)
