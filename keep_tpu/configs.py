@@ -42,7 +42,7 @@ class ViTConfig:
     moe_aux_weight: float = 0.01  # weight of the load-balancing loss
     # 'einsum' = grouped one-hot dispatch (EP-shardable — REQUIRED under an
     # 'ep' mesh axis); 'gather' = global routing, sort-free gather dispatch
-    # (the single-device/dp fast path; top-1 only, measured in docs/PERF.md)
+    # (the single-device/dp fast path, any top_k; measured in docs/PERF.md)
     moe_dispatch: str = "einsum"
 
     @property

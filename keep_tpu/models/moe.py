@@ -108,12 +108,13 @@ def moe_mlp_gather(
     p: dict,
     x: Array,
     *,
+    top_k: int = 1,
     capacity_factor: float = 1.25,
     gelu_approx: bool = False,
     route: Array | None = None,
     return_route: bool = False,
 ) -> tuple:
-    """Top-1 sparse MLP with GLOBAL routing and gather-only data movement
+    """Top-k sparse MLP with GLOBAL routing and gather-only data movement
     (the single-device / dp fast path; `dispatch='gather'`).
 
     Where `moe_mlp` builds [G, S, E, C] one-hot dispatch/combine tensors
@@ -133,8 +134,15 @@ def moe_mlp_gather(
       grouped path's C ≈ S·cf/E ≈ 31-wide slivers).
 
     Measured (scripts/moe_lab.py, 24-layer ViT-L trunk, B=64, E=8, one
-    v5e): see docs/PERF.md. Returns (out, aux) like `moe_mlp`. Top-1 only —
-    the trunk falls back to the einsum path for top_k > 1.
+    v5e): see docs/PERF.md. Returns (out, aux) like `moe_mlp`.
+
+    Top-k (round 4): routing is ``lax.top_k`` — equivalent to the einsum
+    path's k sequential argmax rounds (same tie order) — with gates = the
+    raw per-expert probs (GShard-unnormalized, matching `moe_mlp`) and
+    slots claimed in the SAME round-major order (all round-0 winners in
+    token order, then round-1, …) via one chunked cumsum over the
+    round-major [K·T, E] one-hots, so at no-drop capacity the two
+    dispatches are bit-equal (tested).
 
     ``route`` ([T] int32, token order = row-major over the flattened input)
     FORCES token→expert assignments, bypassing the router argmax (gates
@@ -142,33 +150,47 @@ def moe_mlp_gather(
     appends the realized [T] assignment to the return tuple. Together these
     give expert-utilization tracing and routing-pinned A/B studies (e.g.
     isolating discrete router-flip noise from matmul quantization noise —
-    scripts/moe_lab.py --route-study, docs/PERF.md round 4).
+    scripts/moe_lab.py --route-study, docs/PERF.md round 4). Both are
+    top-1 only.
     """
+    if (route is not None or return_route) and top_k != 1:
+        raise ValueError("route tracing/forcing is top-1 only")
     orig_shape = x.shape
     d = orig_shape[-1]
     xf = x.reshape(-1, d)
     t = xf.shape[0]
     e = p["router"]["kernel"].shape[-1]
-    c = moe_capacity(t, e, 1, capacity_factor)
+    if top_k > e:
+        raise ValueError(f"top_k={top_k} > num_experts={e}")
+    c = moe_capacity(t, e, top_k, capacity_factor)
 
     logits = jnp.einsum("td,de->te", xf.astype(jnp.float32),
                         p["router"]["kernel"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
-    idx = (jnp.argmax(probs, axis=-1) if route is None
-           else route.astype(jnp.int32))                   # [T]
-    gate = jnp.take_along_axis(probs, idx[:, None], 1)[:, 0]
-    onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)       # [T, E]
-    counts = _chunked_cumsum(onehot)                       # [T, E] inclusive
-    my_pos = jnp.sum((counts - onehot) * onehot, axis=-1)  # [T]
+    if route is not None:
+        idx = route.astype(jnp.int32)[None]                # [1, T]
+        gate = jnp.take_along_axis(probs, idx[0][:, None], 1).T  # [1, T]
+    elif top_k == 1:
+        idx = jnp.argmax(probs, axis=-1)[None]             # [1, T]
+        gate = jnp.take_along_axis(probs, idx[0][:, None], 1).T  # [1, T]
+    else:
+        gate_v, idx_v = jax.lax.top_k(probs, top_k)        # [T, K]
+        idx, gate = idx_v.T, gate_v.T                      # [K, T] round-major
+    k = idx.shape[0]
+    idx_f = idx.reshape(-1)                                # [K*T], round-major
+    onehot = jax.nn.one_hot(idx_f, e, dtype=jnp.int32)     # [K*T, E]
+    counts = _chunked_cumsum(onehot)                       # inclusive
+    my_pos = jnp.sum((counts - onehot) * onehot, axis=-1)  # [K*T]
     kept = my_pos < c
-    slot = jnp.where(kept, idx * c + my_pos, e * c)        # [T]; E*C = pad
+    slot = jnp.where(kept, idx_f * c + my_pos, e * c)      # [K*T]; E*C = pad
 
-    # inverse map: scatter token ids into their slots. KEPT tokens' slots
-    # are unique; every DROPPED token shares the pad slot e*c, so no
-    # unique_indices promise — duplicate writes race only on inv[e*c],
-    # which the slice below discards
+    # inverse map: scatter TOKEN ids into their slots (round-major flatten
+    # → token id = flat % T). KEPT (round, token) pairs' slots are unique;
+    # every DROPPED pair shares the pad slot e*c, so no unique_indices
+    # promise — duplicate writes race only on inv[e*c], discarded below
+    token_ids = jnp.tile(jnp.arange(t, dtype=jnp.int32), k)
     inv = jnp.full((e * c + 1,), t, jnp.int32).at[slot].set(
-        jnp.arange(t, dtype=jnp.int32), mode="drop")
+        token_ids, mode="drop")
     tok = inv[: e * c].reshape(e, c)                       # [E, C]
     filled = tok < t
     tok = jnp.minimum(tok, t - 1)
@@ -179,12 +201,13 @@ def moe_mlp_gather(
     out = _expert_linear(p["wo"], h, "ecf,efd->ecd")
     flat = jnp.concatenate(
         [out.reshape(e * c, d), jnp.zeros((1, d), x.dtype)], 0)
-    yt = flat[slot] * (gate * kept).astype(x.dtype)[:, None]
+    w = (gate * kept.reshape(k, t)).astype(x.dtype)        # [K, T]
+    yt = jnp.sum(flat[slot.reshape(k, t)] * w[..., None], axis=0)
 
     f_e = jnp.mean(onehot.astype(jnp.float32), axis=0)
     aux = e * jnp.sum(f_e * jnp.mean(probs, axis=0))
     if return_route:
-        return yt.reshape(orig_shape), aux, idx
+        return yt.reshape(orig_shape), aux, idx[0]
     return yt.reshape(orig_shape), aux
 
 
@@ -274,7 +297,7 @@ def block(p: dict, x: Array, cfg, *, top_k: int = 1,
     """Pre-LN transformer block whose MLP is the sparse ``moe_mlp``:
     attention sub-block identical to ``vit.block``'s XLA path, MoE second
     half. ``dispatch``: 'einsum' (grouped, EP-shardable) or 'gather'
-    (global routing, single-device/dp fast path; top-1 only). Returns
+    (global routing, single-device/dp fast path, any top_k). Returns
     (out, aux); with ``collect_ln_stats=True`` (calibration only —
     quant.smooth_moe) returns (out, aux, stats) where stats holds the
     per-channel abs-max of the two LN outputs — the exact tensors the int8
@@ -293,13 +316,13 @@ def block(p: dict, x: Array, cfg, *, top_k: int = 1,
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + linear(p["attn"]["proj"], attn)
     ln2 = layer_norm(p["norm2"], x, cfg.ln_eps)
-    if dispatch == "gather" and top_k == 1:
-        r = moe_mlp_gather(p["moe"], ln2,
+    if dispatch == "gather":
+        r = moe_mlp_gather(p["moe"], ln2, top_k=top_k,
                            capacity_factor=capacity_factor,
                            gelu_approx=gelu_approx,
                            route=route, return_route=return_route)
         y, aux = r[0], r[1]
-    elif dispatch in ("einsum", "gather"):
+    elif dispatch == "einsum":
         if route is not None or return_route:
             raise ValueError("route tracing/forcing needs dispatch='gather'")
         r = moe_mlp(p["moe"], ln2, top_k=top_k,

@@ -248,8 +248,8 @@ def bench_trunk(args):
         ref_out = {}
         for name, pv, disp in variants:
             fn = functools.partial(
-                moe.forward_trunk, cfg=cfg, top_k=1, capacity_factor=args.cf,
-                gelu_approx=True, dispatch=disp)
+                moe.forward_trunk, cfg=cfg, top_k=args.topk,
+                capacity_factor=args.cf, gelu_approx=True, dispatch=disp)
             jfn = jax.jit(fn)
             out = np.asarray(jfn(pv, x)[0], np.float32).reshape(-1)
             if name.endswith("-int8"):
@@ -360,6 +360,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--cf", type=float, default=1.25)
+    ap.add_argument("--topk", type=int, default=1,
+                    help="top-k routing in --trunk mode (both dispatches "
+                         "support any k as of round 4)")
     ap.add_argument("--trunk", action="store_true")
     ap.add_argument("--model-cos", action="store_true",
                     help="full-model int8 feature cosine at the bench "

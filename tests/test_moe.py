@@ -326,15 +326,47 @@ class TestGatherDispatch:
         with pytest.raises(ValueError, match="dispatch"):
             moe.forward_trunk(params, x, cfg, dispatch="bogus")
 
-    def test_topk2_falls_back_to_einsum(self):
-        """dispatch='gather' with top_k=2 silently uses the einsum path
-        (gather is top-1 only) — outputs match einsum exactly."""
+    def test_topk2_native_matches_einsum_no_drops(self):
+        """dispatch='gather' handles top_k=2 natively (round 4). At no-drop
+        capacity the per-token output is slot-numbering-independent, so it
+        matches the einsum path exactly; at tight capacity the two differ
+        only in WHICH pairs drop (global vs per-group capacity)."""
         cfg = tiny_cfg()
         params = moe.init(jax.random.PRNGKey(32), cfg, num_experts=4)
         x = jax.random.normal(jax.random.PRNGKey(33), (2, 17, 32))
-        a, _ = moe.forward_trunk(params, x, cfg, top_k=2, dispatch="gather")
-        b, _ = moe.forward_trunk(params, x, cfg, top_k=2, dispatch="einsum")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+        a, aux_a = moe.forward_trunk(params, x, cfg, top_k=2,
+                                     dispatch="gather", capacity_factor=4.0)
+        b, aux_b = moe.forward_trunk(params, x, cfg, top_k=2,
+                                     dispatch="einsum", capacity_factor=4.0)
+        # k>=2 sums the per-expert contributions in different orders
+        # (einsum: one [E,C] dot accumulation; gather: explicit k-row sum)
+        # -> reassociation noise only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(aux_a), float(aux_b), rtol=1e-6)
+
+    def test_topk2_gather_gates_sum_both_experts(self):
+        """Identical experts ⇒ top-2 output = (p1+p2)·dense(x) per token
+        (raw-prob gates, GShard-unnormalized, matching moe_mlp)."""
+        p = make_moe_params(jax.random.PRNGKey(40), d=32, f=64, e=4)
+        for t in ("wi", "wo"):
+            k0 = p[t]["kernel"][0]
+            p[t]["kernel"] = jnp.broadcast_to(k0, p[t]["kernel"].shape)
+        x = jax.random.normal(jax.random.PRNGKey(41), (30, 32))
+        y, _ = moe.moe_mlp_gather(p, x, top_k=2, capacity_factor=4.0)
+        logits = x @ p["router"]["kernel"]
+        probs = jax.nn.softmax(logits, -1)
+        top2 = jnp.sum(jax.lax.top_k(probs, 2)[0], -1)
+        want = dense_mlp(p["wi"], p["wo"],
+                         x[None])[0] * top2[:, None]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_topk_route_force_raises(self):
+        p = make_moe_params(jax.random.PRNGKey(42))
+        x = jnp.zeros((8, 32))
+        with pytest.raises(ValueError, match="top-1"):
+            moe.moe_mlp_gather(p, x, top_k=2, return_route=True)
 
     def test_chunked_cumsum_matches_flat(self):
         rng = np.random.default_rng(0)
