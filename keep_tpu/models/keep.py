@@ -281,14 +281,11 @@ class KEEPModel:
             # equalization into BOTH consumers — router and expert wi —
             # so token→expert routing is unchanged (quant.smooth_moe).
             if calib_pixels is not None:
-                from keep_tpu.models import moe as _moe
-                from keep_tpu.quant import smooth_moe
+                from keep_tpu.quant import calibrate_smooth_moe
 
-                _, _, stats = _moe.vit_forward(
+                params["visual"] = calibrate_smooth_moe(
                     params["visual"], calib_pixels, self.cfg.vision,
-                    ln_stats=True)
-                params["visual"] = smooth_moe(params["visual"], stats,
-                                              smooth_alpha)
+                    smooth_alpha)
             targets = MOE_TARGETS
         else:
             targets = DEFAULT_TARGETS

@@ -141,8 +141,11 @@ def moe_mlp_gather(
     raw per-expert probs (GShard-unnormalized, matching `moe_mlp`) and
     slots claimed in the SAME round-major order (all round-0 winners in
     token order, then round-1, …) via one chunked cumsum over the
-    round-major [K·T, E] one-hots, so at no-drop capacity the two
-    dispatches are bit-equal (tested).
+    round-major [K·T, E] one-hots. At no-drop capacity the (round, token)
+    → slot assignments therefore agree with the einsum path's; outputs
+    are bit-equal at k=1 and match up to float reassociation for k≥2
+    (einsum accumulates the k expert contributions inside one [E,C] dot,
+    gather sums k explicit rows — tested at rtol=1e-4).
 
     ``route`` ([T] int32, token order = row-major over the flattened input)
     FORCES token→expert assignments, bypassing the router argmax (gates

@@ -271,16 +271,25 @@ def smooth_moe(params: dict, stats: dict, alpha: float = 0.5) -> dict:
     return p
 
 
+def calibrate_smooth_moe(params: dict, calib_pixels: Array, cfg,
+                         alpha: float = 0.5) -> dict:
+    """Calibrate LN abs-max stats on ``calib_pixels`` and fold them into
+    the MoE trunk (``smooth_moe``) — the shared calibrate+smooth step of
+    `smooth_quantize_moe_vit` and `KEEPModel.quantize(calib_pixels=...)`
+    (which quantizes later, together with its other towers)."""
+    from keep_tpu.models import moe
+
+    _, _, stats = moe.vit_forward(params, calib_pixels, cfg, ln_stats=True)
+    return smooth_moe(params, stats, alpha)
+
+
 def smooth_quantize_moe_vit(params: dict, calib_pixels: Array, cfg,
                             alpha: float = 0.5) -> dict:
     """Calibrate on ``calib_pixels`` → smooth (``smooth_moe``) →
     int8-quantize the MoE visual tower (expert wi/wo included via
     ``MOE_TARGETS``). No LayerScale to fold — the MoE trunk has none."""
-    from keep_tpu.models import moe
-
-    _, _, stats = moe.vit_forward(params, calib_pixels, cfg, ln_stats=True)
-    return quantize_linear_weights(smooth_moe(params, stats, alpha),
-                                   MOE_TARGETS)
+    return quantize_linear_weights(
+        calibrate_smooth_moe(params, calib_pixels, cfg, alpha), MOE_TARGETS)
 
 
 def smooth_quantize_bert(params: dict, input_ids: Array,

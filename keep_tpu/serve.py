@@ -253,6 +253,11 @@ class InferenceServer:
         # a typo, or a bucket the mesh path rounded away (dp=4 rewrites
         # bucket 1 to 4), would otherwise silently serve the wrong model
         for tower, alts in self.alt_buckets.items():
+            if tower not in ("image", "text"):
+                raise ValueError(
+                    f"alt_buckets tower {tower!r} unknown (must be 'image' "
+                    f"or 'text') — a typo here would silently serve the "
+                    f"primary model for every request")
             stray = alts - set(self.buckets)
             if stray:
                 raise ValueError(

@@ -759,8 +759,10 @@ def test_smooth_quantize_moe_recovers_outliers(rng):
     tiny per-edge quant noise flips some token->expert assignments, so an
     absolute 0.999 gate would be testing the toy geometry, not smoothing.
     (At production scale full-W8A8 experts measure feature cos ≈0.995 on
-    chip — below the 0.999 gate — which is why expert weights default to
-    W8A16; scripts/moe_lab.py --model-cos, docs/PERF.md round 4.)"""
+    chip — below the 0.999 gate — with the SAME router-flip rate under
+    W8A16, so W8A8 stays the default and W8A16 ships as an opt-in for
+    outlier checkpoints; scripts/moe_lab.py --model-cos, docs/PERF.md
+    round 4.)"""
     from keep_tpu.models import moe
     from keep_tpu.quant import MOE_TARGETS, smooth_quantize_moe_vit
 

@@ -386,3 +386,12 @@ def test_alt_buckets_must_exist_in_compiled_buckets():
         serve.InferenceServer(object(), object(), buckets=(2, 4),
                               alt_model=object(),
                               alt_buckets={"text": (3,)})
+
+
+def test_alt_buckets_unknown_tower_rejected():
+    """A typo'd tower name ('txt', 'images') never matches _model_for's
+    lookups, silently serving the primary model — fail fast instead."""
+    with pytest.raises(ValueError, match="tower 'txt' unknown"):
+        serve.InferenceServer(object(), object(), buckets=(2, 4),
+                              alt_model=object(),
+                              alt_buckets={"txt": (2,)})
