@@ -103,14 +103,8 @@ def to_keep_state_dict(params: dict, cfg: KEEPConfig) -> dict:
     return out
 
 
-def save_pretrained(model_dir: str, params: dict, cfg: KEEPConfig) -> None:
-    """Write ``config.json`` + ``pytorch_model.bin`` in the published layout
-    (loadable by both the reference's AutoModel wrapper and
-    ``KEEPModel.from_pretrained``)."""
-    import torch
-
-    os.makedirs(model_dir, exist_ok=True)
-    config = {
+def _config_dict(cfg: KEEPConfig) -> dict:
+    return {
         "model_type": "keep",
         "projection_dim": cfg.projection_dim,
         "max_text_length": cfg.max_text_length,
@@ -127,9 +121,47 @@ def save_pretrained(model_dir: str, params: dict, cfg: KEEPConfig) -> None:
             "pad_token_id": cfg.text.pad_token_id,
         },
     }
+
+
+def save_pretrained(model_dir: str, params: dict, cfg: KEEPConfig) -> None:
+    """Write ``config.json`` + ``pytorch_model.bin`` in the published layout
+    (loadable by both the reference's AutoModel wrapper and
+    ``KEEPModel.from_pretrained``)."""
+    import torch
+
+    os.makedirs(model_dir, exist_ok=True)
     with open(os.path.join(model_dir, "config.json"), "w") as f:
-        json.dump(config, f, indent=2)
+        json.dump(_config_dict(cfg), f, indent=2)
     # note: np.ascontiguousarray promotes 0-d scalars to 1-d — use copy()
     sd = {k: torch.from_numpy(np.asarray(v, np.float32).copy())
           for k, v in to_keep_state_dict(params, cfg).items()}
     torch.save(sd, os.path.join(model_dir, "pytorch_model.bin"))
+
+
+QUANTIZED_SUBDIR = "quantized"
+
+
+def save_quantized(model_dir: str, params: dict, cfg: KEEPConfig) -> None:
+    """Write the native int8 DEPLOY artifact: ``config.json`` + the
+    (already-quantized) params pytree under ``<model_dir>/quantized/``
+    (Orbax — dtype-preserving, so the int8 ``kernel_q`` tensors, fp32
+    scales, and any SmoothQuant ``pre_scale`` rows round-trip exactly).
+
+    Quantize ONCE offline — with SmoothQuant calibration data, which a
+    serving process doesn't have — then ``KEEPModel.from_pretrained``
+    auto-detects the artifact and ``keep_tpu.serve --int8`` serves it
+    without re-quantizing. The weight payload is ~half the fp32
+    ``pytorch_model.bin``. No torch-format counterpart exists by design:
+    the reference has no quantized inference path to interop with."""
+    from keep_tpu.quant import is_quantized
+    from keep_tpu.train import checkpoint as ckpt
+
+    if not is_quantized(params):
+        raise ValueError(
+            "save_quantized expects an already-quantized params tree "
+            "(KEEPModel.quantize(...).params) — got unquantized kernels")
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(_config_dict(cfg), f, indent=2)
+    ckpt.save(os.path.join(model_dir, QUANTIZED_SUBDIR), 0, params,
+              keep_previous=False)

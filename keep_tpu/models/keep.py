@@ -262,9 +262,14 @@ class KEEPModel:
         at the random init these numbers come from."""
         from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import (DEFAULT_TARGETS, MOE_TARGETS,
-                                    quantize_linear_weights, smooth_bert,
-                                    smooth_vit)
+                                    is_quantized, quantize_linear_weights,
+                                    smooth_bert, smooth_vit)
 
+        if is_quantized(self.params):
+            raise ValueError(
+                "params are already quantized (kernel_q present) — "
+                "double-quantizing int8 kernels would corrupt them; a "
+                "save_quantized artifact loads ready to serve")
         params = dict(self.params)
         if calib_text is not None:
             from keep_tpu.models import bert as _bert
@@ -321,6 +326,17 @@ class KEEPModel:
         from keep_tpu.compat.torch_loader import load_keep_checkpoint
 
         cfg = cfg or KEEPConfig.from_hf_json(os.path.join(model_dir, "config.json"))
+        # native int8 deploy artifact (compat.export.save_quantized):
+        # pre-calibrated quantized params, no torch weights needed
+        from keep_tpu.compat.export import QUANTIZED_SUBDIR
+
+        qdir = os.path.join(model_dir, QUANTIZED_SUBDIR)
+        if os.path.isdir(qdir):
+            from keep_tpu.train import checkpoint as ckpt
+
+            params = jax.tree.map(jnp.asarray, ckpt.restore(qdir)["params"])
+            return cls(params=params, cfg=cfg, dtype=dtype,
+                       use_flash=use_flash)
         for name in ("pytorch_model.bin", "model.safetensors"):
             weights = os.path.join(model_dir, name)
             if os.path.exists(weights):

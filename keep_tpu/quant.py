@@ -36,6 +36,26 @@ DEFAULT_TARGETS = ("qkv", "proj", "fc1", "fc2", "out", "patch_embed")
 MOE_TARGETS = DEFAULT_TARGETS + ("wi", "wo")
 
 
+def is_quantized(params) -> bool:
+    """True if any leaf-dict in the pytree carries a ``kernel_q`` (i.e. the
+    tree already went through `quantize_linear_weights`) — the dispatch
+    marker ``ops.nn.linear`` keys on, exposed so save/serve paths can fail
+    fast instead of double-quantizing int8 kernels."""
+    found = False
+
+    def walk(node):
+        nonlocal found
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                found = True
+                return
+            for v in node.values():
+                walk(v)
+
+    walk(params)
+    return found
+
+
 def quantize_kernel(kernel: Array) -> dict:
     """[..., K, N] fp kernel → int8 + per-output-channel scale [..., N].
 

@@ -482,6 +482,13 @@ def main(argv=None) -> int:
 
     model = KEEPModel.from_pretrained(args.model_dir, dtype=jnp.bfloat16)
     if args.lora:
+        from keep_tpu.quant import is_quantized as _is_q
+
+        if _is_q(model.params):
+            raise SystemExit(
+                "--lora cannot merge adapters into a quantized artifact "
+                "(int8 kernels); merge into the fp model first, then "
+                "quantize + save_quantized")
         # serve a fine-tuned cohort model straight from its adapter
         # checkpoint — no export step needed
         import dataclasses as _dc
@@ -522,7 +529,15 @@ def main(argv=None) -> int:
               f"(epoch {restored.get('epoch')}, scale {scale})",
               flush=True)
     if args.int8:
-        model = model.quantize()
+        from keep_tpu.quant import is_quantized
+
+        if is_quantized(model.params):
+            # pre-calibrated deploy artifact (compat.export.save_quantized)
+            # — already int8, nothing to do
+            print("model dir carries a quantized artifact; serving it as-is",
+                  flush=True)
+        else:
+            model = model.quantize()
     tokenizer = get_tokenizer("bert", args.model_dir)
     # the released config carries max_text_length=256 (keep_inference.py:99);
     # never exceed the tower's learned positions either way

@@ -212,6 +212,45 @@ def test_hf_export_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-6)
 
 
+def test_quantized_artifact_roundtrip(tmp_path, rng):
+    """save_quantized → from_pretrained serves the EXACT pre-calibrated int8
+    params: dtype-preserving round-trip (int8 kernel_q, fp32 scales,
+    SmoothQuant pre_scale), bit-identical features, and the guards fire
+    (save of unquantized params, double-quantize of the loaded artifact)."""
+    import jax
+
+    from keep_tpu.compat.export import save_quantized
+    from keep_tpu.models import keep
+    from keep_tpu.quant import is_quantized
+    from tests.test_keep_api import TINY
+
+    params = keep.init(jax.random.PRNGKey(3), TINY)
+    model = keep.KEEPModel(params=params, cfg=TINY)
+    with pytest.raises(ValueError, match="already-quantized"):
+        save_quantized(str(tmp_path / "m"), params, TINY)
+
+    calib = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    qmodel = model.quantize(calib_pixels=calib)  # smoothed → pre_scale rows
+    assert is_quantized(qmodel.params) and not is_quantized(params)
+    save_quantized(str(tmp_path / "m"), qmodel.params, TINY)
+
+    loaded = keep.KEEPModel.from_pretrained(str(tmp_path / "m"))
+    q_leaves = jax.tree.leaves(qmodel.params)
+    l_leaves = jax.tree.leaves(loaded.params)
+    assert [l.dtype for l in q_leaves] == [l.dtype for l in l_leaves]
+    assert any(l.dtype == jnp.int8 for l in l_leaves)
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(qmodel.encode_image(x)),
+                                  np.asarray(loaded.encode_image(x)))
+    ids = jnp.asarray(rng.integers(1, TINY.text.vocab_size, (2, 16)))
+    np.testing.assert_array_equal(np.asarray(qmodel.encode_text(ids)),
+                                  np.asarray(loaded.encode_text(ids)))
+
+    with pytest.raises(ValueError, match="already quantized"):
+        loaded.quantize()
+
+
 def test_export_loads_in_torch_reference_layout(tmp_path):
     """The exported state dict must slot into a torch KEEP module built like
     the published one (keep_inference.py:28-52) with strict=True."""
