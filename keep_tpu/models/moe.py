@@ -171,7 +171,17 @@ def moe_mlp_gather(
                         p["router"]["kernel"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
     if route is not None:
-        idx = route.astype(jnp.int32)[None]                # [1, T]
+        # a forced index outside [0, E) would clamp inside take_along_axis
+        # and silently zero the token's one-hot; fail loudly when concrete,
+        # clip under trace (contract: route values must be in [0, E))
+        route = jnp.asarray(route, jnp.int32)
+        if not isinstance(route, jax.core.Tracer):
+            lo, hi = int(route.min()), int(route.max())
+            if lo < 0 or hi >= e:
+                raise ValueError(
+                    f"forced route indices must be in [0, {e}); "
+                    f"got min={lo} max={hi}")
+        idx = jnp.clip(route, 0, e - 1)[None]              # [1, T]
         gate = jnp.take_along_axis(probs, idx[0][:, None], 1).T  # [1, T]
     elif top_k == 1:
         idx = jnp.argmax(probs, axis=-1)[None]             # [1, T]

@@ -23,9 +23,12 @@ our native towers:
 - ``roberta/xlm-roberta`` → ``models.hf_text`` (mean pooler + mlp proj)
 - ``coca_*``             → ``models.coca``
 
-Unsupported presets raise :class:`UnsupportedPresetError` naming the exact
-missing tower (EVA02 rope/SwiGLU trunk, timm relpos ViT, mT5 encoder) —
-the reference itself delegates these to external ``timm``/HF downloads.
+- EVA02 (rope/SwiGLU)    → ``models.eva``; relpos ViTs → ``models.vit_relpos``;
+  mT5 encoder → ``models.t5``
+
+All 62 entries build natively (``UNSUPPORTED`` is empty). The
+:class:`UnsupportedPresetError` machinery remains for forward compatibility:
+a future preset whose tower is missing fails fast naming it.
 """
 
 from __future__ import annotations

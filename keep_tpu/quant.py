@@ -51,6 +51,11 @@ def is_quantized(params) -> bool:
                 return
             for v in node.values():
                 walk(v)
+        elif isinstance(node, (list, tuple)):
+            # mirror quantize_linear_weights' visit: quantized linears can
+            # sit inside stacked-layer lists/tuples too
+            for v in node:
+                walk(v)
 
     walk(params)
     return found
