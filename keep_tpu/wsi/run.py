@@ -28,7 +28,7 @@ def build_ensemble(model, tokenizer, prompts, label_map, features, args):
         encode, tokenizer, prompts, label_map,
         add_normal=args.add_normal, batch_size=args.text_batch_size,
         max_length=args.max_length,
-        length_buckets=None if args.no_text_buckets else (32, 64, 128, 256),
+        length_buckets=None if args.no_text_buckets else "auto",
     )
     if args.prompt_screening:
         logging.info("screening %d prompt classifiers...", stack.shape[0])
@@ -174,7 +174,8 @@ def main(argv=None):
     parser.add_argument("--max-length", type=int, default=256)
     parser.add_argument("--no-text-buckets", action="store_true",
                         help="pad every prompt to --max-length instead of "
-                             "length-bucketed encoding (slower, bit-identical)")
+                             "the measured auto bucketed-vs-flat plan "
+                             "(bit-identical either way)")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--heatmap-out", metavar="PNG",
                         help="single-slide eval tasks: also save a heatmap "

@@ -77,13 +77,80 @@ def build_classifier(
     return jnp.stack(cols, axis=1)
 
 
+# Per-token text-tower throughput for the "auto" plan chooser's cost model
+# (seconds per token-position at the serving batch size; calibrated from
+# docs/PERF.md: int8 BERT-base 512x256 tokens in ~114 ms on one v5e). Only
+# RELATIVE accuracy matters — the decision boundary is measured per-dispatch
+# overhead vs padded-token compute savings.
+SEC_PER_TOKEN = {"tpu": 1.0e-6, "cpu": 4.0e-4}
+FEATURE_DIM_GUESS = 768  # fetch-size estimate for the cost model (KEEP D)
+
+
+def plan_length_buckets(
+    lengths: np.ndarray,
+    full: int,
+    batch_size: int,
+    buckets: Sequence[int] = (32, 64, 128, 256),
+    *,
+    rtt_s: float | None = None,
+    sec_per_token: float | None = None,
+) -> tuple[tuple[int, ...] | None, dict]:
+    """Pick bucketed vs flat encoding BY MEASUREMENT, not by faith.
+
+    Bucketing saves padded-token compute but pays one dispatch (+ feature
+    fetch) per extra batch; on a jittery relay the per-dispatch floor can
+    exceed the compute saved (round 4 measured the bucketed path LOSING
+    0.82× on a 28 ms-floor day after winning 1.69× on a 5 ms day —
+    BENCH_r03/r04, docs/PERF.md). Cost model per dispatch:
+    ``fixed + batch_size·width·sec_per_token`` where ``fixed`` = measured
+    null-dispatch RTT (utils.rtt) + feature-download time at the measured
+    tunnel bandwidth. Returns ``(bucket_tuple | None, info)`` — ``None``
+    means flat wins. Compile cost is out of scope (both plans amortize it
+    across runs via the persistent compile cache).
+    """
+    lengths = np.asarray(lengths)
+    n = int(lengths.size)
+    if sec_per_token is None:
+        import jax
+
+        backend = jax.default_backend()
+        sec_per_token = SEC_PER_TOKEN.get(backend, SEC_PER_TOKEN["cpu"])
+    if rtt_s is None:
+        from keep_tpu.utils import rtt as _rtt
+
+        meas = _rtt.measure_rtt()
+        bw = _rtt.measure_bandwidth()
+        fetch_mb = batch_size * FEATURE_DIM_GUESS * 4 / 2**20
+        rtt_s = meas["median_ms"] / 1e3 + fetch_mb / bw["download_mb_per_s"]
+    bks = sorted({min(int(b), full) for b in buckets if b > 0})
+    if not bks or bks[-1] < full:
+        bks.append(full)
+
+    def batches(rows: int) -> int:
+        return -(-rows // batch_size)
+
+    est_flat = batches(n) * (rtt_s + batch_size * full * sec_per_token)
+    est_bucketed, prev = 0.0, -1
+    for b in bks:
+        rows = int(((lengths > prev) & (lengths <= b)).sum())
+        prev = b
+        est_bucketed += batches(rows) * (rtt_s + batch_size * b * sec_per_token)
+    choice = tuple(bks) if est_bucketed < est_flat else None
+    return choice, {
+        "est_bucketed_s": est_bucketed,
+        "est_flat_s": est_flat,
+        "per_dispatch_fixed_s": rtt_s,
+        "sec_per_token": sec_per_token,
+    }
+
+
 def encode_texts_bucketed(
     encode_fn: Callable[[np.ndarray, np.ndarray], Array],
     ids: np.ndarray,
     mask: np.ndarray,
     *,
     batch_size: int = 256,
-    length_buckets: Sequence[int] | None = (32, 64, 128, 256),
+    length_buckets: Sequence[int] | str | None = "auto",
 ) -> np.ndarray:
     """Encode ``[N, L]`` padded token ids in per-length buckets → ``[N, D]``.
 
@@ -96,18 +163,26 @@ def encode_texts_bucketed(
     changing a single output bit beyond fp noise (parity-tested in
     tests/test_zeroshot.py). One compile per (batch_size, bucket) shape.
 
-    ``length_buckets=None`` disables bucketing (single full-width pass).
+    ``length_buckets=None`` disables bucketing (single full-width pass);
+    ``"auto"`` (the default) picks bucketed-vs-flat with the measured
+    cost model in :func:`plan_length_buckets` so the slower path never
+    ships on a high-RTT link.
     """
     ids = np.asarray(ids)
     mask = np.asarray(mask)
     n, full = ids.shape
+    lengths = mask.sum(axis=1)
+    if isinstance(length_buckets, str):
+        if length_buckets != "auto":
+            raise ValueError(f"length_buckets={length_buckets!r} "
+                             "(expected a tuple, None, or 'auto')")
+        length_buckets, _ = plan_length_buckets(lengths, full, batch_size)
     if length_buckets:
         buckets = sorted({min(int(b), full) for b in length_buckets if b > 0})
         if not buckets or buckets[-1] < full:
             buckets.append(full)
     else:
         buckets = [full]
-    lengths = mask.sum(axis=1)
 
     def dispatches():
         prev = -1  # first bucket takes length-0 rows too (all-pad masks)
@@ -158,7 +233,7 @@ def build_classifiers_batched(
     max_length: int = 256,
     batch_size: int = 256,
     first_template_only: bool = False,
-    length_buckets: Sequence[int] | None = (32, 64, 128, 256),
+    length_buckets: Sequence[int] | str | None = "auto",
 ) -> Array:
     """All prompts → [P, D, C] classifier stack with batched text encoding.
 

@@ -36,13 +36,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the big train-step compiles (5-10 min through
+# the relay) are the reason round 4's bench timed out; cached they replay
+# in seconds, and the driver's end-of-round run hits the warm cache
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/keep_tpu_jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
 from keep_tpu.models import keep
 from keep_tpu.train import optim, schedules
 from keep_tpu.train.trainer import LossConfig, make_train_step, tree_state
 
 CAPTION_NUM = 32  # groups per batch (keep_config.yml CAPTION_NUM)
-LOSS_STEPS = 24   # fixed-batch steps for the loss-curve check
+LOSS_STEPS = 24   # fixed-batch steps for the loss-curve check (--steps=N)
+
+PEAK_TFLOPS = 197e12  # v5e bf16
+
+
+def fwd_flops_per_sample(cfg) -> float:
+    """Forward FLOPs for one (image, text) sample through both towers.
+
+    ViT: 2 MACs/FLOP x params-touched per token x tokens, dominated by
+    24 blocks of 12*D^2 weight MACs over 197 tokens (~122.6 GFLOPs for
+    ViT-L/16 @224). BERT: same shape at 12 layers x 256 tokens plus the
+    two S*D attention contractions (~45.9 GFLOPs). Matches bench.py's
+    denominators so MFU here and sol_fraction there share physics."""
+    v = cfg.vision
+    tokens = (v.img_size // v.patch_size) ** 2 + 1
+    vit = 2 * tokens * v.depth * (12 * v.embed_dim**2
+                                  + 2 * tokens * v.embed_dim)
+    t = cfg.text
+    seq = min(cfg.max_text_length, t.max_position_embeddings)
+    bert = 2 * seq * t.num_hidden_layers * (12 * t.hidden_size**2
+                                            + 2 * seq * t.hidden_size)
+    return float(vit + bert)
 
 
 def make_batch(rng, batch_size, cfg):
@@ -78,11 +105,14 @@ def hbm_stats():
 
 def main():
     global CAPTION_NUM
+    global LOSS_STEPS
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     tiny = "--tiny" in sys.argv or jax.default_backend() != "tpu"
     for a in sys.argv[2:]:
         if a.startswith("--caption-num="):
             CAPTION_NUM = int(a.split("=")[1])
+        elif a.startswith("--steps="):
+            LOSS_STEPS = int(a.split("=")[1])
 
     if tiny:
         cfg = KEEPConfig(
@@ -136,8 +166,11 @@ def main():
         metric = "train_step_samples_per_s"
         # fp32-AdamW memory wall measured in scripts/train_lab.py: B=96/128
         # RESOURCE_EXHAUSTED in fresh processes; mu_dtype=bf16 fits B=96,
-        # Adafactor B=128 (docs/PERF.md)
+        # Adafactor B=128 (docs/PERF.md "Optimizer-memory knobs")
         extra["max_batch_that_fits"] = None if tiny else 64
+        if not tiny:
+            extra["max_batch_by_optimizer"] = {
+                "adamw_fp32": 64, "adamw_mu_bf16": 96, "adafactor": 128}
 
     state, m = step(state, batch)  # compile + warmup
     losses = [float(m["loss"])]
@@ -152,8 +185,19 @@ def main():
     for _ in range(LOSS_STEPS):
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
+    if LOSS_STEPS >= 50:  # long-run curve (--steps=200): subsampled trace
+        stride = max(1, len(losses) // 20)
+        extra["loss_curve"] = [round(v, 4) for v in losses[::stride]]
 
     n = len(losses)
+    # MFU convention: useful model FLOPs = 3x fwd (fwd + bwd), remat
+    # recompute excluded; HFU adds it back (full per-block remat re-runs
+    # the forward inside the backward -> 4x for full FT). LoRA's backward
+    # skips the frozen weight-grad matmuls (~1x fwd saved): useful ~2x,
+    # hardware ~3x.
+    fwd = fwd_flops_per_sample(cfg)
+    rate = batch_size / dt
+    useful, hardware = (2.0, 3.0) if mode == "lora" else (3.0, 4.0)
     rec = {
         "metric": metric,
         "value": round(batch_size / dt, 1),
@@ -161,6 +205,8 @@ def main():
         "vs_baseline": None,  # the reference publishes no training rate
         "ms_per_step": round(dt * 1e3, 1),
         "batch_size": batch_size,
+        "mfu": round(rate * useful * fwd / PEAK_TFLOPS, 4),
+        "hfu": round(rate * hardware * fwd / PEAK_TFLOPS, 4),
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "loss_decreased": bool(

@@ -285,3 +285,67 @@ def test_build_classifiers_batched_bucketed_matches_unbucketed(rng):
         fake_encode, VarTok(), prompts, label_map, batch_size=3,
         length_buckets=None))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_plan_length_buckets_cost_model():
+    """The auto chooser is measurement-driven (VERDICT r04 #4).
+
+    Fragmentation case: a 600-text corpus at batch 512 is 2 flat dispatches
+    but 4 bucketed ones (each padded to the full batch). At a high measured
+    per-dispatch floor the 2 extra dispatches cost more than the padded-token
+    savings -> flat; co-located the savings win -> bucketed.
+    """
+    from keep_tpu.zeroshot.classifier import plan_length_buckets
+
+    g = np.random.default_rng(0)
+    lengths = g.integers(1, 257, 600)  # fills all four buckets
+    kw = dict(full=256, batch_size=512, sec_per_token=1.0e-6)
+    fast, info_f = plan_length_buckets(lengths, rtt_s=0.001, **kw)
+    slow, info_s = plan_length_buckets(lengths, rtt_s=0.140, **kw)
+    assert fast == (32, 64, 128, 256)  # bucketed wins co-located
+    assert info_f["est_bucketed_s"] < info_f["est_flat_s"]
+    assert slow is None  # 2 extra 140 ms dispatches beat the savings
+    assert info_s["est_flat_s"] <= info_s["est_bucketed_s"]
+
+    # the reference-scale corpus (2,772 short prompts -> 7 bucketed vs 6
+    # flat dispatches) buckets at BOTH floors: the savings are ~8x of the
+    # compute and one extra dispatch can't eat that. Measured decomposition
+    # backing the model: scripts/rtt_lab.py round 5 — per-dispatch fixed
+    # cost == null RTT + feature-download time at every width.
+    ref_lengths = np.clip(g.normal(16, 5, 2772).astype(int), 6, 40)
+    for rtt_s in (0.001, 0.140):
+        choice, _ = plan_length_buckets(ref_lengths, rtt_s=rtt_s, **kw)
+        assert choice is not None
+
+
+def test_encode_texts_bucketed_auto_parity(rng):
+    """length_buckets='auto' returns the same features as both explicit
+    plans (whatever the chooser picks, outputs are padding-invariant)."""
+    from keep_tpu.zeroshot import encode_texts_bucketed
+
+    d = 8
+
+    def fake_encode(ids, mask):
+        g = np.random.default_rng(1)
+        table = g.standard_normal((1000, d)).astype(np.float32)
+        ids = np.asarray(ids)
+        m = np.asarray(mask).astype(np.float32)
+        tok = table[ids % 1000] * m[..., None]
+        return jnp.asarray(tok.sum(1) / np.maximum(m.sum(1, keepdims=True), 1))
+
+    n, full = 17, 64
+    ids = np.zeros((n, full), np.int32)
+    mask = np.zeros((n, full), np.int32)
+    for i in range(n):
+        ln = int(rng.integers(2, full + 1))
+        ids[i, :ln] = rng.integers(1, 1000, size=ln)
+        mask[i, :ln] = 1
+    ref = encode_texts_bucketed(fake_encode, ids, mask, batch_size=5,
+                                length_buckets=None)
+    auto = encode_texts_bucketed(fake_encode, ids, mask, batch_size=5,
+                                 length_buckets="auto")
+    np.testing.assert_allclose(auto, ref, atol=1e-6)
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        encode_texts_bucketed(fake_encode, ids, mask, length_buckets="bogus")

@@ -155,9 +155,79 @@ def check_visual_tower_vs_torch(model_dir: str, model, rng_seed: int = 0,
     return bool(ok)
 
 
+def run_golden_selfcheck() -> bool:
+    """Replay the frozen oracle bundles (tests/golden/*.npz) — the same
+    checks as tests/test_golden.py, usable without pytest, torch,
+    transformers, or /root/reference: the standalone parity self-check
+    (VERDICT r05 #8). Returns True when every bundle present passes."""
+    import jax.numpy as jnp
+
+    from keep_tpu.utils.golden import load_bundle
+
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden")
+    ok = True
+
+    bert_path = os.path.join(golden, "bert_small.npz")
+    if os.path.exists(bert_path):
+        from keep_tpu.configs import BertConfig
+        from keep_tpu.models import bert
+
+        b = load_bundle(bert_path)
+        cfg = BertConfig(**{k: int(v) for k, v in b["cfg"].items()})
+        out = bert.forward(b["params"], jnp.asarray(b["inputs"]["ids"]),
+                           jnp.asarray(b["inputs"]["mask"]), cfg=cfg)
+        err = float(np.abs(np.asarray(out["pooler_output"])
+                           - b["expected"]["pooler_output"]).max())
+        good = err < 2e-5 + 2e-5 * float(
+            np.abs(b["expected"]["pooler_output"]).max())
+        print(f"[{'ok' if good else 'FAIL'}] golden BERT pooler vs frozen "
+              f"transformers output (max abs err {err:.2e})")
+        ok &= good
+    else:
+        print("[warn] tests/golden/bert_small.npz missing "
+              "(scripts/make_golden.py)")
+
+    wsi_path = os.path.join(golden, "wsi_rules.npz")
+    if os.path.exists(wsi_path):
+        from keep_tpu.wsi.pipelines import (zero_shot_detection,
+                                            zero_shot_subtyping)
+
+        w = load_bundle(wsi_path)
+        good = True
+        for name, case in sorted(w["detection"].items()):
+            got = zero_shot_detection(
+                jnp.asarray(case["cls"]), jnp.asarray(case["feats"]),
+                case["coords"], patch_size=int(case["ps"]),
+                overlap=bool(case["overlap"]))
+            good &= abs(got - float(case["ref_tumor_prob"])) < 1e-6
+        for name, case in sorted(w["subtyping"].items()):
+            label, fr = zero_shot_subtyping(
+                jnp.asarray(case["cls"]), jnp.asarray(case["feats"]),
+                case["coords"], patch_size=int(case["ps"]),
+                overlap=bool(case["overlap"]))
+            good &= (label == int(case["ref_label"])
+                     and np.allclose(fr, case["ref_fractions"], atol=1e-6))
+        print(f"[{'ok' if good else 'FAIL'}] golden WSI decision rules vs "
+              f"frozen reference outputs "
+              f"({len(w['detection'])} detection + "
+              f"{len(w['subtyping'])} subtyping cases)")
+        ok &= good
+    else:
+        print("[warn] tests/golden/wsi_rules.npz missing "
+              "(scripts/make_golden.py)")
+    return ok
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--model-dir",
+                    help="released-checkpoint dir (required unless --golden)")
+    ap.add_argument("--golden", action="store_true",
+                    help="replay the frozen golden-vector bundles "
+                         "(tests/golden/) — no weights, torch, or reference "
+                         "needed; combine with --model-dir to also run the "
+                         "release checks")
     ap.add_argument("--image",
                     default="/root/reference/quick_start/example.tif")
     ap.add_argument("--expected",
@@ -169,6 +239,14 @@ def main(argv=None):
     ap.add_argument("--fp32", action="store_true",
                     help="run towers in fp32 (tightest parity)")
     args = ap.parse_args(argv)
+
+    golden_ok = True
+    if args.golden:
+        golden_ok = run_golden_selfcheck()
+        if not args.model_dir:
+            return 0 if golden_ok else 1
+    elif not args.model_dir:
+        ap.error("--model-dir is required (or pass --golden)")
 
     import jax.numpy as jnp
 
@@ -249,6 +327,7 @@ def main(argv=None):
               f"probs {probs.shape} finite, rows sum to 1; "
               f"tumor fraction (thr 0.5) {frac:.4f}")
 
+    ok &= golden_ok
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
