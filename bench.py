@@ -595,11 +595,14 @@ def main():
             ("text_tower", bench_text_tower,
              (kparams, kcfg, rng, on_tpu, on_tpu), 300),
             ("wsi_configs", bench_wsi_configs, (rng,), 90),
+            # train before extract: on a slow-relay day the budget should
+            # sacrifice the extract sweep (ceiling documented in PERF.md)
+            # before the train/LoRA numbers the round record needs
             ("train_steps", bench_train_steps, (on_tpu,), 500),
         ]
         if on_tpu:  # host-in-loop sweep needs the int8/flash path
-            benches.insert(3, ("extract_sweep", bench_extract_sweep,
-                               (kparams, kcfg, pps), 240))
+            benches.append(("extract_sweep", bench_extract_sweep,
+                            (kparams, kcfg, pps), 240))
         for name, fn, args, est in benches:
             if _remaining() < est:
                 _emit({"metric": f"{name}_skipped", "value": 0,

@@ -23,13 +23,19 @@ def extract_features(
     preprocess_cfg: PreprocessConfig = PreprocessConfig(),
     resize: bool = False,
     mesh=None,
+    pipeline_depth: int = 2,
 ) -> np.ndarray:
     """uint8 tiles [N, S, S, 3] (or an iterable of such chunks) → [N, D]
     features. One compiled shape serves all batches (tail padded).
 
     ``mesh``: shard the tile axis over the mesh's 'dp' axis (params
     replicated) — the pod-scale path for the 20K-patches/s north-star
-    workload itself; batch_size is rounded up to a multiple of the mesh."""
+    workload itself; batch_size is rounded up to a multiple of the mesh.
+
+    ``pipeline_depth``: batches kept in flight before fetching (1 = the
+    round-3 double buffer). Measured on the relay (round 5): depth 2-3 is
+    +2-4% over depth 1 on an upload-bound link; each level holds one more
+    [bs, S, S, 3] uint8 batch + [bs, D] features in HBM (~37 MB at 256)."""
     import jax.numpy as jnp
 
     from keep_tpu.ops.preprocess import normalize_only, preprocess
@@ -82,11 +88,13 @@ def extract_features(
     # eager per-chunk np.asarray serialized upload → compute → download.
     from collections import deque
 
+    if pipeline_depth < 1:
+        raise ValueError(f"pipeline_depth must be >= 1, got {pipeline_depth}")
     pending: deque = deque()
     outs: list[np.ndarray] = []
     for c in chunks:
         pending.append(dispatch_chunk(c))
-        if len(pending) > 1:
+        if len(pending) > pipeline_depth:
             feats, n = pending.popleft()
             outs.append(np.asarray(feats)[:n])
     while pending:

@@ -257,6 +257,15 @@ def test_extract_features_roundtrip(rng, tmp_path):
     # tail padding must not alter real rows
     feats_b16 = extract_features(model, tiles, batch_size=16)
     np.testing.assert_allclose(feats, feats_b16, atol=1e-5)
+    # pipeline depth reorders fetches only, never values (round-5 knob)
+    for depth in (1, 3, 7):
+        feats_d = extract_features(model, tiles, batch_size=4,
+                                   pipeline_depth=depth)
+        np.testing.assert_allclose(feats, feats_d, atol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pipeline_depth"):
+        extract_features(model, tiles, batch_size=4, pipeline_depth=0)
 
     coords = np.array([(i * 256, 0) for i in range(11)], np.int64)
     path = str(tmp_path / "slide.h5")
