@@ -357,11 +357,18 @@ def bench_single_tile(params, cfg, rng, use_flash, on_tpu):
         # link floor dominates, int8 co-located — the shipped latency is
         # the chosen one, so int8's B=1 jitter penalty can't ship blind
         chosen = "bf16" if rtt_dominated(measure_rtt()) else "int8"
+        winner = min(results, key=results.get)
         _emit({
             "metric": "e2e_single_tile_policy",
             "value": round(results[chosen] * 1e3, 2), "unit": "ms",
-            "vs_baseline": None, "chosen_precision": chosen, **_RTT,
-            "policy": "serve --precision-policy auto (utils.rtt)",
+            "vs_baseline": None, "chosen_precision": chosen,
+            "measured_winner": winner,
+            "winner_ms": round(results[winner] * 1e3, 2),
+            "policy_regret_ms": round(
+                (results[chosen] - results[winner]) * 1e3, 2), **_RTT,
+            "policy": "serve --precision-policy auto (utils.rtt); at B=1 "
+                      "the bf16/int8 gap is jitter-level on a relay link "
+                      "(PERF.md relay-floor decomposition)",
         })
 
 
