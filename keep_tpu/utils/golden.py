@@ -46,6 +46,27 @@ def unflatten_tree(flat: dict) -> dict:
     return out
 
 
+def pack_strings(strings: list[str]) -> dict:
+    """List of str → {"bytes": uint8, "offsets": int64} arrays.
+
+    numpy 'U' arrays silently truncate at NUL characters; the tokenizer
+    golden cases deliberately include control bytes, so strings ride as
+    raw UTF-8 with an offsets index instead."""
+    blobs = [s.encode("utf-8") for s in strings]
+    offsets = np.cumsum([0] + [len(b) for b in blobs]).astype(np.int64)
+    buf = np.frombuffer(b"".join(blobs), np.uint8).copy() if blobs else \
+        np.zeros(0, np.uint8)
+    return {"bytes": buf, "offsets": offsets}
+
+
+def unpack_strings(packed: dict) -> list[str]:
+    """Inverse of :func:`pack_strings`."""
+    buf = packed["bytes"].tobytes()
+    off = packed["offsets"]
+    return [buf[off[i]:off[i + 1]].decode("utf-8")
+            for i in range(len(off) - 1)]
+
+
 def save_bundle(path: str, tree: dict) -> None:
     """Write a nested dict of arrays as one compressed npz."""
     np.savez_compressed(path, **flatten_tree(tree))

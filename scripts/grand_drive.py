@@ -361,6 +361,23 @@ def drive_train_lora(d):
     print(f"       adapter ckpt merged + encoded: feats {feats.shape}")
 
 
+@step("golden self-check: frozen oracle bundles replay (verify_release --golden)")
+def drive_golden():
+    import runpy
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    saved = sys.argv
+    sys.argv = ["verify_release.py", "--golden"]
+    try:
+        runpy.run_path(os.path.join(root, "verify_release.py"),
+                       run_name="__main__")
+    except SystemExit as e:
+        if e.code not in (0, None):
+            raise AssertionError(f"golden self-check failed (exit {e.code})")
+    finally:
+        sys.argv = saved
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default=None,
@@ -393,6 +410,7 @@ def main():
         drive_serve(d, cfg)
         drive_train(d)
         drive_train_lora(d)
+    drive_golden()
 
     print(f"\n=== grand drive: {len(RESULTS)} steps, "
           f"{sum(1 for *_, s in RESULTS if s == 'ok')} ok, "

@@ -75,6 +75,64 @@ def make_bert_bundle(path: str) -> None:
     print(f"wrote {path}")
 
 
+TOK_VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] "
+    "an h e image of breast invasive carcinoma normal tissue lung adeno "
+    "##carcinoma ##oma ##den ##o ##ma a the . , - & ; ( ) "
+    "melan cutaneous skin cancer malignant tumor cell grade "
+    "##s ##ous ##al ##ic renal clear kidney papillary chromophobe "
+    "un ##k ##n ##own xyz 1 2 3 ##1 ##2"
+).split()
+
+TOK_TEXTS = [
+    "an H&E image of breast invasive carcinoma.",
+    "an H&E image of normal tissue.",
+    "an H&E image of lung adenocarcinoma.",
+    "Malignant melanoma (skin cancer), grade 3; unknown",
+    "  weird   spacing\tand\ncontrol\x00chars� here ",
+    "café naïve — em-dash and accents",
+    "中文 mixed with english",
+    "",
+    "a" * 250,
+    "xyz123 un-k-nown",
+]
+
+
+def make_tokenizer_bundle(path: str) -> None:
+    """WordPiece contract (do_lower_case, max_length=256 padding —
+    quick_start/keep_inference.py:87,99) frozen from the real
+    ``transformers.BertTokenizer`` on the synthetic vocab the parity
+    tests use, plus random ASCII fuzz strings."""
+    import tempfile
+
+    from transformers import BertTokenizer
+
+    from keep_tpu.utils.golden import pack_strings
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdefu nko##.x,y z123-&;()\t")
+    fuzz = ["".join(rng.choice(alphabet, rng.integers(1, 60)))
+            for _ in range(24)]
+    texts = TOK_TEXTS + fuzz
+
+    with tempfile.TemporaryDirectory() as td:
+        vf = os.path.join(td, "vocab.txt")
+        with open(vf, "w") as f:
+            f.write("\n".join(TOK_VOCAB) + "\n")
+        hf = BertTokenizer(vf, do_lower_case=True)
+        tokens = ["\x1f".join(hf.tokenize(t)) for t in texts]
+        enc = hf(texts, max_length=256, padding="max_length",
+                 truncation=True, return_tensors="np")
+    save_bundle(path, {
+        "vocab": pack_strings(TOK_VOCAB),
+        "texts": pack_strings(texts),
+        "tokens_joined": pack_strings(tokens),
+        "enc": {"input_ids": enc["input_ids"].astype(np.int32),
+                "attention_mask": enc["attention_mask"].astype(np.int32)},
+    })
+    print(f"wrote {path}")
+
+
 def _import_reference():
     """Reference WSI modules with their flat-layout imports satisfied
     (mirrors tests/test_wsi_reference_oracle.py's fixture)."""
@@ -183,6 +241,7 @@ def main():
         "tests", "golden")
     os.makedirs(outdir, exist_ok=True)
     make_bert_bundle(os.path.join(outdir, "bert_small.npz"))
+    make_tokenizer_bundle(os.path.join(outdir, "tokenizer.npz"))
     if os.path.isdir(REF):
         make_wsi_bundle(os.path.join(outdir, "wsi_rules.npz"))
     else:

@@ -124,3 +124,36 @@ def test_bundle_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["d"], tree["d"])
     with pytest.raises(ValueError, match="separator"):
         flatten_tree({"x/y": np.zeros(1)})
+
+
+def test_tokenizer_matches_frozen_hf(tmp_path):
+    """WordPiece tokenize + the max_length=256 encode contract vs frozen
+    transformers.BertTokenizer outputs (incl. control-char, unicode, and
+    fuzz cases) — no transformers import."""
+    from keep_tpu.text.tokenizer import WordPieceTokenizer
+    from keep_tpu.utils.golden import unpack_strings
+
+    b = _bundle("tokenizer.npz")
+    vocab = unpack_strings(b["vocab"])
+    texts = unpack_strings(b["texts"])
+    expected = [t.split("\x1f") if t else [] for t in
+                unpack_strings(b["tokens_joined"])]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n")
+    tok = WordPieceTokenizer(str(vf), lower_case=True)
+    for text, want in zip(texts, expected):
+        assert tok.tokenize(text) == want, repr(text)
+    enc = tok(texts, max_length=256)
+    np.testing.assert_array_equal(np.asarray(enc["input_ids"], np.int32),
+                                  b["enc"]["input_ids"])
+    np.testing.assert_array_equal(
+        np.asarray(enc["attention_mask"], np.int32),
+        b["enc"]["attention_mask"])
+
+
+def test_pack_strings_roundtrip():
+    from keep_tpu.utils.golden import pack_strings, unpack_strings
+
+    cases = ["", "plain", "nul\x00byte", "中文", "a" * 300]
+    assert unpack_strings(pack_strings(cases)) == cases
+    assert unpack_strings(pack_strings([])) == []
