@@ -277,9 +277,13 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
 
     auto_plan, _ = plan_length_buckets(lens, 256, bs)
     winner = "bucketed" if t_bkt <= t_flat else "flat"
+    # 'value' is the throughput of the path the library DEFAULT actually
+    # ships (the auto plan) — reporting min() would overstate the default
+    # on a day the cost model mispredicts (auto_matches_measured flags it)
+    shipped_s = t_bkt if auto_plan else t_flat
     _emit({
         "metric": "classifier_build_corpus_encode",
-        "value": round(n_corpus / min(t_bkt, t_flat), 1), "unit": "texts/s",
+        "value": round(n_corpus / shipped_s, 1), "unit": "texts/s",
         "bucketed_s": round(t_bkt, 3), "flat_256pad_s": round(t_flat, 3),
         "speedup_vs_flat": round(t_flat / t_bkt, 2),
         "measured_winner": winner,
@@ -434,7 +438,10 @@ def bench_extract_sweep(kparams, kcfg, pps_headline):
     # isolates the pipeline's own overhead from decode/disk
     from keep_tpu.utils.rtt import measure_bandwidth
 
-    bw = measure_bandwidth()
+    # refresh: the memoized run-start measurement can be ~20 min stale by
+    # now and the link drifts faster than that (PERF.md relay notes) —
+    # the ceiling must be contemporaneous with the sweep it bounds
+    bw = measure_bandwidth(refresh=True)
     tile_mb = 224 * 224 * 3 / 2**20
     ceiling = bw["upload_mb_per_s"] / tile_mb
     dev_s = n / pps_headline  # device-resident time for the same tiles
@@ -453,9 +460,10 @@ def bench_extract_sweep(kparams, kcfg, pps_headline):
         "upload_ceiling_tiles_per_s": round(ceiling, 1),
         "measured_ceiling_fraction": round((n / t_ram) / ceiling, 3),
         "note": "1-CPU box + axon relay: uint8 upload bandwidth bounds the "
-                "host-in-loop rate (ceiling above is measured same-run); "
-                "JPEG decode costs the disk legs the rest; co-located+"
-                "multicore runs at the device rate (docs/PERF.md)",
+                "host-in-loop rate (ceiling measured immediately after the "
+                "sweep; the link drifts, so fractions near/over 1.0 mean "
+                "upload-bound); JPEG decode costs the disk legs the rest; "
+                "co-located+multicore runs at the device rate (docs/PERF.md)",
     })
 
 

@@ -572,6 +572,10 @@ def main(argv=None) -> int:
                     print(f"precision policy: RTT median "
                           f"{r['median_ms']:.2f} ms (co-located) — int8 at "
                           f"every bucket", flush=True)
+            if alt_model is None:
+                # the policy didn't select the bf16 weights: drop the last
+                # reference so XLA frees ~0.9 GB of HBM before warmup
+                del bf16_model
     tokenizer = get_tokenizer("bert", args.model_dir)
     # the released config carries max_text_length=256 (keep_inference.py:99);
     # never exceed the tower's learned positions either way

@@ -43,24 +43,16 @@ def main():
     emit({"measure": "relay_rtt_ms", **{k: round(v, 3) if isinstance(v, float) else v
                                         for k, v in rtt.items()}})
 
-    # -- bandwidth: 16 MB each way, 5 reps
-    up_mb = 16.0
-    host = np.ones(int(up_mb * 2**20 // 4), np.float32)
-    dev = jnp.asarray(host)  # warm allocator
-    float(dev[0])
-    ups, downs = [], []
-    for _ in range(5):
-        t0 = time.time()
-        d = jnp.asarray(host)
-        float(d[0])  # force completion
-        ups.append(time.time() - t0)
-        t0 = time.time()
-        np.asarray(d)
-        downs.append(time.time() - t0)
-    emit({"measure": "tunnel_bandwidth", "upload_mb_per_s": round(up_mb / min(ups), 1),
-          "download_mb_per_s": round(up_mb / min(downs), 1),
-          "upload_s_median": round(sorted(ups)[2], 3),
-          "download_s_median": round(sorted(downs)[2], 3), "mb": up_mb})
+    # -- bandwidth: the shared fresh-content measurement (utils.rtt) — an
+    # earlier inline version here re-uploaded one constant buffer, which
+    # the relay DEDUPS, measuring its cache instead of the link
+    from keep_tpu.utils.rtt import measure_bandwidth
+
+    bw = measure_bandwidth(mb=16.0, reps=5, refresh=True)
+    emit({"measure": "tunnel_bandwidth",
+          "upload_mb_per_s": round(bw["upload_mb_per_s"], 1),
+          "download_mb_per_s": round(bw["download_mb_per_s"], 1),
+          "mb": bw["mb"]})
 
     if "--skip-model" in sys.argv:
         return

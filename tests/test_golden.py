@@ -157,3 +157,18 @@ def test_pack_strings_roundtrip():
     cases = ["", "plain", "nul\x00byte", "中文", "a" * 300]
     assert unpack_strings(pack_strings(cases)) == cases
     assert unpack_strings(pack_strings([])) == []
+
+
+def test_selfcheck_replays_all_bundles_and_fails_on_missing(
+        monkeypatch, tmp_path, capsys):
+    import verify_release
+
+    assert verify_release.run_golden_selfcheck() is True
+    out = capsys.readouterr().out
+    assert "BERT pooler" in out and "refine" in out and "WordPiece" in out
+
+    # absence is a FAILURE, not a vacuous pass (the bundles ship in git)
+    monkeypatch.setattr(verify_release, "__file__",
+                        str(tmp_path / "verify_release.py"))
+    assert verify_release.run_golden_selfcheck() is False
+    assert "missing" in capsys.readouterr().out

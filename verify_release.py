@@ -156,24 +156,37 @@ def check_visual_tower_vs_torch(model_dir: str, model, rng_seed: int = 0,
 
 
 def run_golden_selfcheck() -> bool:
-    """Replay the frozen oracle bundles (tests/golden/*.npz) — the same
+    """Replay ALL frozen oracle bundles (tests/golden/*.npz) — the same
     checks as tests/test_golden.py, usable without pytest, torch,
     transformers, or /root/reference: the standalone parity self-check
-    (VERDICT r05 #8). Returns True when every bundle present passes."""
+    (VERDICT r05 #8). Every expected bundle is REQUIRED — a missing file
+    fails (the bundles ship in git; absence means a packaging error, and
+    a vacuous pass here would defeat the self-check's purpose)."""
+    import tempfile
+
     import jax.numpy as jnp
 
-    from keep_tpu.utils.golden import load_bundle
+    from keep_tpu.utils.golden import load_bundle, unpack_strings
 
     golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tests", "golden")
     ok = True
 
-    bert_path = os.path.join(golden, "bert_small.npz")
-    if os.path.exists(bert_path):
+    def require(name):
+        nonlocal ok
+        path = os.path.join(golden, name)
+        if not os.path.exists(path):
+            print(f"[FAIL] tests/golden/{name} missing "
+                  f"(regenerate: scripts/make_golden.py)")
+            ok = False
+            return None
+        return load_bundle(path)
+
+    b = require("bert_small.npz")
+    if b is not None:
         from keep_tpu.configs import BertConfig
         from keep_tpu.models import bert
 
-        b = load_bundle(bert_path)
         cfg = BertConfig(**{k: int(v) for k, v in b["cfg"].items()})
         out = bert.forward(b["params"], jnp.asarray(b["inputs"]["ids"]),
                            jnp.asarray(b["inputs"]["mask"]), cfg=cfg)
@@ -184,16 +197,14 @@ def run_golden_selfcheck() -> bool:
         print(f"[{'ok' if good else 'FAIL'}] golden BERT pooler vs frozen "
               f"transformers output (max abs err {err:.2e})")
         ok &= good
-    else:
-        print("[warn] tests/golden/bert_small.npz missing "
-              "(scripts/make_golden.py)")
 
-    wsi_path = os.path.join(golden, "wsi_rules.npz")
-    if os.path.exists(wsi_path):
-        from keep_tpu.wsi.pipelines import (zero_shot_detection,
+    w = require("wsi_rules.npz")
+    if w is not None:
+        from keep_tpu.wsi.grid import CoordGrid
+        from keep_tpu.wsi.pipelines import (refined_tumor_probs,
+                                            zero_shot_detection,
                                             zero_shot_subtyping)
 
-        w = load_bundle(wsi_path)
         good = True
         for name, case in sorted(w["detection"].items()):
             got = zero_shot_detection(
@@ -201,6 +212,17 @@ def run_golden_selfcheck() -> bool:
                 case["coords"], patch_size=int(case["ps"]),
                 overlap=bool(case["overlap"]))
             good &= abs(got - float(case["ref_tumor_prob"])) < 1e-6
+        for name, case in sorted(w["segment_refine"].items()):
+            grid = CoordGrid.from_coords(case["coords"], int(case["ps"]))
+            got = np.asarray(refined_tumor_probs(
+                jnp.asarray(case["cls"]), jnp.asarray(case["feats"]), grid,
+                overlap=bool(case["overlap"])))
+            ref = {tuple(xy): v for xy, v in
+                   zip(case["ref_coords"], case["ref_probs"])}
+            kept = grid.kept_coords(case["coords"])
+            good &= len(got) == len(ref) and all(
+                abs(v - ref[(x, y)]) < 1e-5
+                for (x, y), v in zip(kept, got))
         for name, case in sorted(w["subtyping"].items()):
             label, fr = zero_shot_subtyping(
                 jnp.asarray(case["cls"]), jnp.asarray(case["feats"]),
@@ -211,11 +233,35 @@ def run_golden_selfcheck() -> bool:
         print(f"[{'ok' if good else 'FAIL'}] golden WSI decision rules vs "
               f"frozen reference outputs "
               f"({len(w['detection'])} detection + "
+              f"{len(w['segment_refine'])} refine + "
               f"{len(w['subtyping'])} subtyping cases)")
         ok &= good
-    else:
-        print("[warn] tests/golden/wsi_rules.npz missing "
-              "(scripts/make_golden.py)")
+
+    t = require("tokenizer.npz")
+    if t is not None:
+        from keep_tpu.text.tokenizer import WordPieceTokenizer
+
+        texts = unpack_strings(t["texts"])
+        expected = [s.split("\x1f") if s else []
+                    for s in unpack_strings(t["tokens_joined"])]
+        with tempfile.TemporaryDirectory() as td:
+            vf = os.path.join(td, "vocab.txt")
+            with open(vf, "w") as f:
+                f.write("\n".join(unpack_strings(t["vocab"])) + "\n")
+            tok = WordPieceTokenizer(vf, lower_case=True)
+            good = all(tok.tokenize(s) == want
+                       for s, want in zip(texts, expected))
+            enc = tok(texts, max_length=256)
+            good &= bool(
+                np.array_equal(np.asarray(enc["input_ids"], np.int32),
+                               t["enc"]["input_ids"])
+                and np.array_equal(
+                    np.asarray(enc["attention_mask"], np.int32),
+                    t["enc"]["attention_mask"]))
+        print(f"[{'ok' if good else 'FAIL'}] golden WordPiece tokenize + "
+              f"256-pad encode vs frozen transformers outputs "
+              f"({len(texts)} texts)")
+        ok &= good
     return ok
 
 
