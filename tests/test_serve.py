@@ -395,3 +395,61 @@ def test_alt_buckets_unknown_tower_rejected():
         serve.InferenceServer(object(), object(), buckets=(2, 4),
                               alt_model=object(),
                               alt_buckets={"txt": (2,)})
+
+
+@pytest.mark.parametrize("rtt_ms,expect_alt", [(28.0, True), (0.4, False)])
+def test_serve_main_precision_policy_auto(tmp_path, monkeypatch, core,
+                                          rtt_ms, expect_alt):
+    """`--int8` + the default `--precision-policy auto`: a relay-dominated
+    measured RTT serves image bucket 1 on the bf16 alt model; co-located
+    serves int8 everywhere (alt_model None). RTT is faked via utils.rtt's
+    memo so no device timing enters the test."""
+    from keep_tpu.compat.export import save_pretrained
+    from keep_tpu.quant import is_quantized
+    from keep_tpu.utils import rtt as rtt_mod
+
+    cfg = core.model.cfg
+    model_dir = tmp_path / "model"
+    save_pretrained(str(model_dir), core.model.params, cfg)
+    (model_dir / "vocab.txt").write_text("\n".join(VOCAB))
+
+    monkeypatch.setattr(rtt_mod, "_memo",
+                        {"median_ms": rtt_ms, "p95_ms": rtt_ms,
+                         "min_ms": rtt_ms, "n": 1})
+    captured = {}
+
+    class StubServer:
+        def __init__(self, model, tokenizer, **kw):
+            captured["model"] = model
+            captured["alt_model"] = kw.get("alt_model")
+            captured["alt_buckets"] = kw.get("alt_buckets")
+
+        def warmup(self):
+            pass
+
+        def stop(self):
+            pass
+
+    class StubHTTPD:
+        server_address = ("127.0.0.1", 0)
+
+        def serve_forever(self):
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(serve, "InferenceServer", StubServer)
+    monkeypatch.setattr(serve, "make_http_server", lambda *a, **k: StubHTTPD())
+
+    serve.main(["--model-dir", str(model_dir), "--int8"])
+    assert is_quantized(captured["model"].params)
+    if expect_alt:
+        assert captured["alt_buckets"] == {"image": (1,)}
+        assert captured["alt_model"] is not None
+        assert not is_quantized(captured["alt_model"].params)
+    else:
+        assert captured["alt_model"] is None
+        assert captured["alt_buckets"] is None
+
+    # all-int8 forces the old behavior regardless of the measured link
+    serve.main(["--model-dir", str(model_dir), "--int8",
+                "--precision-policy", "all-int8"])
+    assert captured["alt_model"] is None
