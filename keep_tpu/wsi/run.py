@@ -204,6 +204,15 @@ def main(argv=None):
     parser.add_argument("--out", help="extract: output h5 path (features+coords)")
     parser.add_argument("--tissue-fraction", type=float, default=0.25)
     parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--cascade-margin", type=float, default=None,
+                        metavar="M",
+                        help="detection --image: coarse-to-fine cascade — "
+                             "refine only coarse tiles within M of the "
+                             "decision threshold (0.5 = exact full sweep, "
+                             "0 = trust the coarse pass; wsi/cascade.py)")
+    parser.add_argument("--coarse-downsample", type=int, default=4,
+                        help="cascade: target pyramid downsample for the "
+                             "coarse pass (d^2 fewer tiles)")
     parser.add_argument("--mesh-dp", action="store_true",
                         help="extract: shard the tile axis over a 'dp' device "
                              "mesh (params replicated) — the pod-scale "
@@ -286,6 +295,45 @@ def main(argv=None):
     with open(args.prompts) as f:
         prompts = json.load(f)
     model, tokenizer = load_model(args)
+
+    if args.task == "detection" and args.image:
+        # coarse-to-fine cascade straight off the pyramid (wsi/cascade.py):
+        # no precomputed h5 needed; prompt screening runs on the coarse
+        # pass's features (the cascade re-encodes them internally — the
+        # coarse pass is ~downsample^-2 of the full cost either way)
+        if args.cascade_margin is None:
+            parser.error("detection --image runs the cascade sweep; pass "
+                         "--cascade-margin (0.5 = exact full sweep) or "
+                         "extract features first (task 'extract') and use "
+                         "--h5")
+        from keep_tpu.io.tiles import iter_wsi_tiles
+        from keep_tpu.io.wsi import open_slide
+        from keep_tpu.wsi.cascade import cascade_detect
+        from keep_tpu.wsi.extract import extract_features
+
+        with open_slide(args.image) as reader:
+            level = reader.best_level_for_downsample(args.coarse_downsample)
+            coarse = np.concatenate([t for t, _ in iter_wsi_tiles(
+                reader, patch_size=args.patch_size,
+                tissue_fraction=args.tissue_fraction,
+                chunk=args.batch_size, level=level)])
+        screen_feats = extract_features(model, coarse, resize=True,
+                                        batch_size=args.batch_size)
+        classifier = build_ensemble(model, tokenizer, prompts, label_map,
+                                    screen_feats, args)
+        res = cascade_detect(
+            model, args.image, np.asarray(classifier),
+            patch_size=args.patch_size,
+            coarse_downsample=args.coarse_downsample,
+            margin=args.cascade_margin, threshold=args.threshold,
+            tissue_fraction=args.tissue_fraction,
+            batch_size=args.batch_size, resize=True)
+        print(f"Tumor probability: {res.tumor_prob:.4f}")
+        print(f"cascade: {res.n_coarse} coarse + {res.n_fine_encoded} fine "
+              f"encodes for {res.n_fine_total} tiles "
+              f"(encode fraction {res.encode_fraction:.3f}, "
+              f"downsample {res.downsample}, margin {args.cascade_margin})")
+        return
 
     if args.h5:
         features, coords = read_h5_slide(args.h5)

@@ -388,3 +388,45 @@ def test_wsi_cli_segmentation_requires_mask(model_dir):
             "--h5", str(model_dir / "slide.h5"),
             "--text-batch-size", "8", "--max-length", "32", "--topn", "3",
         ])
+
+
+def test_wsi_cli_cascade_detection(model_dir, tmp_path, capsys):
+    """detection --image runs the coarse-to-fine cascade straight off the
+    pyramid; --patch-size 64 != the 32px tower exercises the resize leg."""
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.wsi.run import main
+
+    g = np.random.default_rng(1)
+    side = 512
+    base = np.broadcast_to(np.array([210.0, 140.0, 180.0]), (side, side, 3))
+    img = np.clip(base + g.normal(0, 12, (side, side, 3)), 0,
+                  255).astype(np.uint8)
+    p = tmp_path / "slide.tif"
+    write_pyramid(str(p), img, tile=128, compression="none", min_size=64)
+    main([
+        "detection", "--model", str(model_dir / "model"),
+        "--prompts", str(model_dir / "prompts.json"),
+        "--image", str(p), "--cascade-margin", "0.2",
+        "--patch-size", "64", "--coarse-downsample", "4",
+        "--text-batch-size", "8", "--max-length", "32", "--topn", "3",
+        "--batch-size", "16",
+    ])
+    out = capsys.readouterr().out
+    assert "Tumor probability:" in out
+    assert "cascade:" in out and "downsample 4" in out
+
+
+def test_wsi_cli_cascade_requires_margin(model_dir, tmp_path):
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.wsi.run import main
+
+    p = tmp_path / "slide.tif"
+    write_pyramid(str(p), np.full((256, 256, 3), 200, np.uint8),
+                  tile=128, compression="none", min_size=64)
+    with pytest.raises(SystemExit):
+        main([
+            "detection", "--model", str(model_dir / "model"),
+            "--prompts", str(model_dir / "prompts.json"),
+            "--image", str(p),
+            "--text-batch-size", "8", "--max-length", "32",
+        ])
