@@ -1,3 +1,4 @@
+from keep_tpu.wsi.cascade import CascadeResult, cascade_detect  # noqa: F401
 from keep_tpu.wsi.grid import CoordGrid, heatmap_image, refine_grid  # noqa: F401
 from keep_tpu.wsi.pipelines import (  # noqa: F401
     score_tiles,
