@@ -296,7 +296,7 @@ def main(argv=None):
         prompts = json.load(f)
     model, tokenizer = load_model(args)
 
-    if args.task == "detection" and args.image:
+    if args.task == "detection" and args.image and not args.h5:
         # coarse-to-fine cascade straight off the pyramid (wsi/cascade.py):
         # no precomputed h5 needed; prompt screening runs on the coarse
         # pass's features (the cascade re-encodes them internally — the

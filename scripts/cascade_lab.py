@@ -47,12 +47,15 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args()
 
+    from bench import enable_compile_cache
     from keep_tpu.configs import BertConfig, KEEPConfig, ViTConfig
     from keep_tpu.io.tiles import iter_wsi_tiles
     from keep_tpu.models import keep
     from keep_tpu.wsi.cascade import cascade_detect
     from keep_tpu.wsi.extract import extract_features
     from keep_tpu.wsi.pipelines import score_tiles
+
+    enable_compile_cache()
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -106,12 +109,20 @@ def main():
     print(f"calibrated softmax scale: {scale:.1f} "
           f"(median cos gap {np.median(gap):.2e})", flush=True)
 
-    # plain full sweep, streamed from disk (the baseline the cascade beats)
+    # plain full sweep, STREAMED from disk (decode of chunk N+1 overlaps
+    # the device exactly as the cascade's passes do — a pre-decoded list()
+    # would hand the cascade an unfair serial-decode baseline)
     def full_sweep():
-        parts = list(iter_wsi_tiles(slide, patch_size=ps,
-                                    tissue_fraction=0.25, chunk=bs))
-        coords = np.concatenate([c for _, c in parts])
-        feats = extract_features(model, (t for t, _ in parts), batch_size=bs)
+        coords_acc = []
+
+        def gen():
+            for t, c in iter_wsi_tiles(slide, patch_size=ps,
+                                       tissue_fraction=0.25, chunk=bs):
+                coords_acc.append(c)
+                yield t
+
+        feats = extract_features(model, gen(), batch_size=bs)
+        coords = np.concatenate(coords_acc)
         probs = np.asarray(score_tiles(jnp.asarray(classifier),
                                        jnp.asarray(feats), scale=scale))
         return probs, coords

@@ -136,3 +136,23 @@ def test_error_legs(model, classifier, tmp_path):
                        coarse_downsample=4)
     with pytest.raises(ValueError, match="margin"):
         cascade_detect(model, p, classifier, patch_size=PS, margin=-0.1)
+
+
+def test_resize_parity_with_full_sweep(model, slide_path, classifier):
+    """resize=True at patch_size != img_size: the full-refine limit still
+    equals a plain sweep that routes through the same resize path (the CLI
+    contract: 64px tiles on the 32px tower)."""
+    ps2 = 64
+    res = cascade_detect(model, slide_path, classifier, patch_size=ps2,
+                         coarse_downsample=4, margin=0.5, batch_size=16,
+                         resize=True)
+    parts = list(iter_wsi_tiles(slide_path, patch_size=ps2,
+                                tissue_fraction=0.25, chunk=16))
+    tiles = np.concatenate([t for t, _ in parts])
+    coords = np.concatenate([c for _, c in parts])
+    feats = extract_features(model, tiles, batch_size=16, resize=True)
+    probs = np.asarray(score_tiles(jnp.asarray(classifier),
+                                   jnp.asarray(feats)))
+    np.testing.assert_array_equal(res.coords, coords)
+    assert res.refined.all()
+    np.testing.assert_allclose(res.probs, probs, atol=1e-5)
