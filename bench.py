@@ -270,16 +270,18 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
     encode_texts_bucketed(enc_fn, cids, cmask, batch_size=bs,
                           length_buckets=None)
     t_flat = time.time() - t0
-    # the library default is length_buckets='auto' (the measured cost
-    # model, classifier.plan_length_buckets); report what it picks and the
-    # measured winner — the shipped path (value) is the faster of the two
-    from keep_tpu.zeroshot.classifier import plan_length_buckets
+    # the library default is length_buckets='auto': the measured PROBE in
+    # classifier.choose_bucket_plan (two blocking real-row dispatches per
+    # width; r04's analytic cost model mispredicted on high-RTT days) —
+    # report what it picks and the independently measured winner
+    from keep_tpu.zeroshot.classifier import choose_bucket_plan
 
-    auto_plan, _ = plan_length_buckets(lens, 256, bs)
+    auto_plan, plan_info = choose_bucket_plan(
+        enc_fn, cids, cmask, batch_size=bs)
     winner = "bucketed" if t_bkt <= t_flat else "flat"
     # 'value' is the throughput of the path the library DEFAULT actually
     # ships (the auto plan) — reporting min() would overstate the default
-    # on a day the cost model mispredicts (auto_matches_measured flags it)
+    # on a day the probe mispredicts (auto_matches_measured flags it)
     shipped_s = t_bkt if auto_plan else t_flat
     _emit({
         "metric": "classifier_build_corpus_encode",
@@ -289,6 +291,9 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
         "measured_winner": winner,
         "auto_plan": "bucketed" if auto_plan else "flat",
         "auto_matches_measured": (winner == "bucketed") == bool(auto_plan),
+        "auto_method": plan_info.get("method"),
+        "probe_ms_per_width": plan_info.get("probe_ms_per_width"),
+        "probe_ms_full": plan_info.get("probe_ms_full"),
         "precision": precision, "vs_baseline": None, **_RTT,
     })
 
@@ -351,16 +356,19 @@ def bench_single_tile(params, cfg, rng, use_flash, on_tpu):
     if use_flash:  # int8 megakernels need the TPU
         from keep_tpu.models.vit import fold_layerscale
         from keep_tpu.quant import quantize_linear_weights
-        from keep_tpu.utils.rtt import measure_rtt, rtt_dominated
+        from keep_tpu.utils.rtt import PROBE_MARGIN, pick_from_medians
 
         qp = dict(params)
         qp["visual"] = fold_layerscale(params["visual"])
         qp = quantize_linear_weights(qp)
         run_config(qp, True, "int8")
-        # serve.py's auto policy at this workload: bf16 at B=1 when the
-        # link floor dominates, int8 co-located — the shipped latency is
-        # the chosen one, so int8's B=1 jitter penalty can't ship blind
-        chosen = "bf16" if rtt_dominated(measure_rtt()) else "int8"
+        # serve.py's auto policy at this workload: the same measured-probe
+        # rule (pick_from_medians) applied to the fetch-each medians above
+        # — int8 keeps its seat unless bf16 beats it by >PROBE_MARGIN, so
+        # regret is bounded at ~10% by construction and neither precision's
+        # B=1 jitter penalty can ship blind (VERDICT r04 weak #8)
+        meds = {k: v * 1e3 for k, v in results.items()}
+        chosen = pick_from_medians(meds, default="int8")
         winner = min(results, key=results.get)
         _emit({
             "metric": "e2e_single_tile_policy",
@@ -370,9 +378,11 @@ def bench_single_tile(params, cfg, rng, use_flash, on_tpu):
             "winner_ms": round(results[winner] * 1e3, 2),
             "policy_regret_ms": round(
                 (results[chosen] - results[winner]) * 1e3, 2), **_RTT,
-            "policy": "serve --precision-policy auto (utils.rtt); at B=1 "
-                      "the bf16/int8 gap is jitter-level on a relay link "
-                      "(PERF.md relay-floor decomposition)",
+            "policy": "serve --precision-policy auto = measured B=1 probe "
+                      f"(utils.rtt.pick_by_probe, margin {PROBE_MARGIN}); "
+                      "this record applies the same rule to the fetch-each "
+                      "medians above, so regret <= the margin by "
+                      "construction",
         })
 
 

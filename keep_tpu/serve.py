@@ -464,11 +464,13 @@ def main(argv=None) -> int:
     ap.add_argument("--precision-policy", choices=("auto", "all-int8"),
                     default="auto",
                     help="with --int8: 'auto' measures the relay RTT at "
-                         "startup and keeps image bucket 1 on bf16 when the "
-                         "link floor dominates (the measured per-bucket A/B "
-                         "in docs/PERF.md: int8's B=1 image dispatch is "
-                         "jitter-bound and loses on high-RTT links; it wins "
-                         "co-located). 'all-int8' forces int8 everywhere.")
+                         "startup; co-located it serves int8 everywhere "
+                         "(measured per-bucket A/B, docs/PERF.md), on a "
+                         "relay link it times one B=1 image dispatch per "
+                         "precision and keeps image bucket 1 on bf16 only "
+                         "when bf16 measures >10%% faster (the winner flips "
+                         "with the day's jitter). 'all-int8' forces int8 "
+                         "everywhere.")
     ap.add_argument("--lora", default="",
                     help="LoRA adapter checkpoint dir (the training CLI's "
                          "checkpoints/ with solver.lora_rank > 0) — merged "
@@ -551,22 +553,42 @@ def main(argv=None) -> int:
             model = model.quantize()
             if args.precision_policy == "auto" and not args.mesh_dp:
                 # decide the B=1 image precision BY MEASUREMENT (VERDICT r04
-                # weak #8): int8's quantize overhead at batch 1 only pays
-                # for itself co-located; on a relay-dominated link the bf16
-                # dispatch is flatter under jitter (docs/PERF.md per-bucket
-                # A/B). Costs one bf16 bucket-1 warmup compile + ~0.9 GB of
-                # resident bf16 params.
-                from keep_tpu.utils.rtt import (RTT_COLOCATED_MS,
-                                                measure_rtt, rtt_dominated)
+                # weak #8): co-located, int8 wins at every bucket (measured
+                # per-bucket A/B, docs/PERF.md) — no probe needed. On a
+                # relay-dominated link the bf16/int8 winner at batch 1 flips
+                # with the day's jitter (r04: bf16 by 40%; r05 dress
+                # rehearsal: int8 by 9%), so time the two real dispatches
+                # and keep int8 unless bf16 beats it by >10% (frees ~0.9 GB
+                # of bf16 params from HBM whenever they don't pay rent).
+                from keep_tpu.utils.rtt import (measure_rtt, pick_by_probe,
+                                                rtt_dominated)
 
                 r = measure_rtt()
                 if rtt_dominated(r):
-                    alt_model = bf16_model
-                    alt_buckets = {"image": (1,)}
+                    import numpy as _np
+
+                    from keep_tpu.configs import PreprocessConfig
+                    from keep_tpu.ops.preprocess import normalize_only
+
+                    _pcfg = PreprocessConfig(size=model.cfg.vision.img_size)
+                    _px = jnp.asarray(_np.zeros(
+                        (1, _pcfg.size, _pcfg.size, 3), _np.uint8))
+
+                    def _b1(m):
+                        return lambda: _np.asarray(
+                            m.encode_image(normalize_only(_px, _pcfg)))
+
+                    choice, meds = pick_by_probe(
+                        {"int8": _b1(model), "bf16": _b1(bf16_model)},
+                        default="int8")
+                    if choice == "bf16":
+                        alt_model = bf16_model
+                        alt_buckets = {"image": (1,)}
                     print(f"precision policy: relay RTT median "
-                          f"{r['median_ms']:.1f} ms > {RTT_COLOCATED_MS} ms "
-                          f"floor — image bucket 1 served bf16, everything "
-                          f"else int8 (--precision-policy all-int8 to "
+                          f"{r['median_ms']:.1f} ms — B=1 image probe "
+                          f"int8 {meds['int8']:.1f} / bf16 "
+                          f"{meds['bf16']:.1f} ms → image bucket 1 served "
+                          f"{choice} (--precision-policy all-int8 to "
                           f"override)", flush=True)
                 else:
                     print(f"precision policy: RTT median "

@@ -70,6 +70,57 @@ def rtt_dominated(rtt: dict | None = None) -> bool:
     return rtt["median_ms"] > RTT_COLOCATED_MS
 
 
+# Challenger-must-win margin for measured A/B policies: on a jittery link
+# two same-cost paths trade places run to run, so the default keeps its
+# seat unless a challenger beats it by >10% — bounding policy regret at
+# ~10% by construction instead of betting on which side of the jitter
+# today's sample landed (round-5 dress rehearsal: the RTT-threshold rule
+# picked bf16 at B=1 while int8 measured 9% faster).
+PROBE_MARGIN = 1.10
+
+
+def pick_from_medians(medians_ms: dict, default: str,
+                      margin: float = PROBE_MARGIN) -> str:
+    """The shared decision rule: keep ``default`` unless some candidate's
+    median beats it by more than ``margin``. Used by ``pick_by_probe`` and
+    by bench.py's policy record so the bench reports the exact choice the
+    serving policy would make from the same measurements."""
+    best = min(medians_ms, key=medians_ms.get)
+    if best != default and medians_ms[best] * margin < medians_ms[default]:
+        return best
+    return default
+
+
+def pick_by_probe(candidates: dict, *, n: int = 5, default: str | None = None,
+                  margin: float = PROBE_MARGIN) -> tuple[str, dict]:
+    """Measure zero-arg blocking callables and pick one BY DATA.
+
+    Each candidate runs once unmeasured (compile/warm) then ``n`` timed
+    blocking calls → median ms. With ``default`` the choice applies
+    :func:`pick_from_medians` (challenger needs a >``margin`` win); without
+    it the plain minimum wins. Returns ``(choice, medians_ms)``.
+
+    This is the B=1 serving-precision decider (serve.py ``--precision-policy
+    auto`` on relay links): which precision wins at batch 1 flips with the
+    day's link jitter (r04: bf16 by 40%; r05 dress rehearsal: int8 by 9%),
+    so no threshold rule on RTT alone can ship the right path — only timing
+    the two real dispatches can.
+    """
+    meds = {}
+    for name, fn in candidates.items():
+        fn()  # compile + warm, untimed
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        ts.sort()
+        meds[name] = ts[n // 2] * 1e3
+    if default is None:
+        return min(meds, key=meds.get), meds
+    return pick_from_medians(meds, default, margin), meds
+
+
 _bw_memo: dict | None = None
 
 

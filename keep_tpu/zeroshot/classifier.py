@@ -144,6 +144,134 @@ def plan_length_buckets(
     }
 
 
+# The measured probe's decision margin: ship bucketed only when its measured
+# per-dispatch estimate beats flat by >15% — the probe's blocking timings
+# slightly overstate pipelined totals for the overhead-heavy path, so ties
+# and near-ties go to flat (the reference behavior).
+PROBE_MARGIN = 1.15
+# Below this many flat batches the probe's extra dispatches rival the job
+# itself; ship flat unless bucketing adds no dispatches (the dominated case).
+PROBE_MIN_FLAT_BATCHES = 3
+
+
+def _width_rows(lengths: np.ndarray, bks: Sequence[int]) -> list:
+    """Row indices per bucket width (ascending widths, empty widths dropped).
+    The first bucket also takes length-0 rows (all-pad masks)."""
+    prev, out = -1, []
+    for j, b in enumerate(bks):
+        lo = -1 if j == 0 else prev
+        rows = np.flatnonzero((lengths > lo) & (lengths <= b))
+        prev = b
+        if rows.size:
+            out.append((int(b), rows))
+    return out
+
+
+def _pad_chunk(ids, mask, chunk, width, batch_size):
+    bid = ids[chunk][:, :width]
+    bmask = mask[chunk][:, :width]
+    if bid.shape[0] < batch_size:  # pad tail: one compiled shape per width
+        pad = batch_size - bid.shape[0]
+        bid = np.pad(bid, ((0, pad), (0, 0)))
+        bmask = np.pad(bmask, ((0, pad), (0, 0)))
+    return bid, bmask
+
+
+def choose_bucket_plan(
+    encode_fn: Callable[[np.ndarray, np.ndarray], Array],
+    ids: np.ndarray,
+    mask: np.ndarray,
+    *,
+    batch_size: int = 256,
+    buckets: Sequence[int] = (32, 64, 128, 256),
+    collect: list | None = None,
+) -> tuple[tuple[int, ...] | None, dict]:
+    """Bucketed-vs-flat, decided by a probe that MEASURES the real tower.
+
+    Round 4/5 on-chip data killed the purely analytic model: with only ONE
+    extra dispatch (7 bucketed vs 6 flat at the reference corpus) bucketing
+    lost 0.92× on a 26 ms-RTT day — the real per-dispatch cost through the
+    relay (~117 ms) is far above the null-RTT + feature-download estimate
+    (~66 ms), for reasons the host can't see (BENCH_r04/r05, docs/PERF.md).
+    So the chooser trusts measurements, in three tiers:
+
+    1. analytic :func:`plan_length_buckets` says flat → flat (its failure
+       mode was only ever over-favoring bucketed);
+    2. bucketing adds NO dispatches (every bucket packs into the flat batch
+       count) → bucketed without probing: same dispatch count at strictly
+       smaller widths cannot lose;
+    3. otherwise probe: two blocking dispatches per used width (warm +
+       timed) **on real corpus rows** — the outputs are valid features
+       (padding-invariance is the bucketing premise, parity-tested) and are
+       handed back via ``collect`` for reuse, so the probe wastes at most
+       ~2 dispatches of suboptimal width. Bucketed ships only when its
+       measured total beats flat by :data:`PROBE_MARGIN`.
+
+    Returns ``(bucket_tuple | None, info)``; ``info["method"]`` names the
+    tier and the probe tier carries the per-width timings and estimates.
+    ``collect``, when given, receives ``(features, row_indices)`` pairs.
+    """
+    import time
+
+    ids = np.asarray(ids)
+    mask = np.asarray(mask)
+    lengths = mask.sum(axis=1)
+    n, full = ids.shape
+    plan, info = plan_length_buckets(lengths, full, batch_size, buckets)
+    if plan is None:
+        return None, {"method": "analytic_flat", **info}
+
+    wr = _width_rows(lengths, plan)
+    flat_batches = -(-n // batch_size)
+    per_width_batches = {w: -(-rows.size // batch_size) for w, rows in wr}
+    bucket_batches = sum(per_width_batches.values())
+    if bucket_batches <= flat_batches:
+        return plan, {"method": "dominated", "flat_batches": flat_batches,
+                      "bucket_batches": bucket_batches, **info}
+    if flat_batches < PROBE_MIN_FLAT_BATCHES:
+        return None, {"method": "small_job_flat",
+                      "flat_batches": flat_batches,
+                      "bucket_batches": bucket_batches, **info}
+
+    def probe(width, rows):
+        # warm (compiles the shape) then timed, each a blocking fetch on
+        # real rows; both outputs are valid features → collect
+        chunks = [rows[i: i + batch_size]
+                  for i in range(0, rows.size, batch_size)][:2]
+        seen = set()
+        t = None
+        for chunk in chunks if len(chunks) > 1 else chunks * 2:
+            bid, bmask = _pad_chunk(ids, mask, chunk, width, batch_size)
+            t0 = time.time()
+            feats = np.asarray(encode_fn(bid, bmask))
+            t = time.time() - t0
+            key = int(chunk[0])
+            if collect is not None and key not in seen:
+                collect.append((feats[: chunk.size], chunk))
+                seen.add(key)
+        return t
+
+    t_w = {w: probe(w, rows) for w, rows in wr}
+    # full-width sample from the END of the corpus: rows that must be
+    # encoded anyway, and (being bucket rows too) they shrink the bucketed
+    # remainder instead of duplicating the probe's own work
+    t_full = probe(full, np.arange(n)[-min(2 * batch_size, n):])
+    est_flat = flat_batches * t_full
+    est_bucketed = sum(per_width_batches[w] * t_w[w] for w in t_w)
+    choice = plan if est_bucketed * PROBE_MARGIN < est_flat else None
+    return choice, {
+        "method": "probe",
+        "flat_batches": flat_batches,
+        "bucket_batches": bucket_batches,
+        "probe_ms_per_width": {w: round(t * 1e3, 2) for w, t in t_w.items()},
+        "probe_ms_full": round(t_full * 1e3, 2),
+        "est_flat_s": round(est_flat, 4),
+        "est_bucketed_s": round(est_bucketed, 4),
+        "margin": PROBE_MARGIN,
+        "analytic": info,
+    }
+
+
 def encode_texts_bucketed(
     encode_fn: Callable[[np.ndarray, np.ndarray], Array],
     ids: np.ndarray,
@@ -164,19 +292,29 @@ def encode_texts_bucketed(
     tests/test_zeroshot.py). One compile per (batch_size, bucket) shape.
 
     ``length_buckets=None`` disables bucketing (single full-width pass);
-    ``"auto"`` (the default) picks bucketed-vs-flat with the measured
-    cost model in :func:`plan_length_buckets` so the slower path never
-    ships on a high-RTT link.
+    ``"auto"`` (the default) picks bucketed-vs-flat with the measured probe
+    in :func:`choose_bucket_plan` — the probe's dispatches do real rows and
+    their features are reused here, so the slower path never ships and the
+    probe itself costs at most ~2 extra dispatches.
     """
     ids = np.asarray(ids)
     mask = np.asarray(mask)
     n, full = ids.shape
     lengths = mask.sum(axis=1)
+    done = np.zeros(n, bool)
+    out = None
     if isinstance(length_buckets, str):
         if length_buckets != "auto":
             raise ValueError(f"length_buckets={length_buckets!r} "
                              "(expected a tuple, None, or 'auto')")
-        length_buckets, _ = plan_length_buckets(lengths, full, batch_size)
+        probed: list = []
+        length_buckets, _ = choose_bucket_plan(
+            encode_fn, ids, mask, batch_size=batch_size, collect=probed)
+        for feats, chunk in probed:  # probe outputs ARE the job's outputs
+            if out is None:
+                out = np.empty((n, feats.shape[1]), feats.dtype)
+            out[chunk] = feats
+            done[chunk] = True
     if length_buckets:
         buckets = sorted({min(int(b), full) for b in length_buckets if b > 0})
         if not buckets or buckets[-1] < full:
@@ -187,7 +325,7 @@ def encode_texts_bucketed(
     def dispatches():
         prev = -1  # first bucket takes length-0 rows too (all-pad masks)
         for b in buckets:
-            rows = np.flatnonzero((lengths > prev) & (lengths <= b))
+            rows = np.flatnonzero((lengths > prev) & (lengths <= b) & ~done)
             prev = b
             for i in range(0, rows.size, batch_size):
                 chunk = rows[i : i + batch_size]
@@ -202,7 +340,6 @@ def encode_texts_bucketed(
     # double-buffered fetch: batch N's download overlaps batch N+1's compute
     from collections import deque
 
-    out = None
     pending: deque = deque()
 
     def drain():

@@ -156,3 +156,42 @@ def test_checkpoint_delete_previous_via_max_to_keep(tmp_path):
         w2.save(e, {"w": np.zeros((2,))}, step=e)
     w2.close()
     assert ckpt.list_epochs(d2) == [0, 1]
+
+
+def test_pick_from_medians_margin_rule():
+    """The shared B=1 policy rule: the default keeps its seat unless a
+    challenger beats it by more than the margin (bounded regret)."""
+    from keep_tpu.utils.rtt import pick_from_medians
+
+    # challenger wins big (the r04 day: bf16 48 vs int8 69 ms) -> switch
+    assert pick_from_medians({"int8": 69.0, "bf16": 48.0}, "int8") == "bf16"
+    # challenger wins small (r05 dress day, roles reversed) -> default holds
+    assert pick_from_medians({"int8": 49.1, "bf16": 53.7}, "int8") == "int8"
+    assert pick_from_medians({"int8": 50.0, "bf16": 47.0}, "int8") == "int8"
+    # default itself the winner -> default
+    assert pick_from_medians({"int8": 40.0, "bf16": 80.0}, "int8") == "int8"
+
+
+def test_pick_by_probe_times_and_warms():
+    """pick_by_probe: one warm call + n timed per candidate; returns the
+    measured choice and the medians it decided from."""
+    from keep_tpu.utils.rtt import pick_by_probe
+
+    calls = {"fast": 0, "slow": 0}
+
+    def mk(name, s):
+        def f():
+            calls[name] += 1
+            time.sleep(s)
+        return f
+
+    choice, meds = pick_by_probe(
+        {"slow": mk("slow", 0.02), "fast": mk("fast", 0.002)},
+        n=3, default="slow")
+    assert choice == "fast"  # 10x faster clears any margin
+    assert calls == {"fast": 4, "slow": 4}  # 1 warm + 3 timed each
+    assert meds["fast"] < meds["slow"]
+    # without a default the plain minimum wins
+    choice, _ = pick_by_probe(
+        {"a": mk("fast", 0.002), "b": mk("fast", 0.002)}, n=1)
+    assert choice in ("a", "b")

@@ -397,13 +397,21 @@ def test_alt_buckets_unknown_tower_rejected():
                               alt_buckets={"txt": (2,)})
 
 
-@pytest.mark.parametrize("rtt_ms,expect_alt", [(28.0, True), (0.4, False)])
+@pytest.mark.parametrize("rtt_ms,probe_meds,expect_alt", [
+    # relay link + bf16 measures >10% faster at B=1 -> bf16 alt at bucket 1
+    (28.0, {"int8": 69.0, "bf16": 48.0}, True),
+    # relay link but int8 holds its seat (winner within the probe margin)
+    (28.0, {"int8": 49.1, "bf16": 53.7}, False),
+    # co-located: int8 everywhere, and the probe must never run
+    (0.4, None, False),
+])
 def test_serve_main_precision_policy_auto(tmp_path, monkeypatch, core,
-                                          rtt_ms, expect_alt):
-    """`--int8` + the default `--precision-policy auto`: a relay-dominated
-    measured RTT serves image bucket 1 on the bf16 alt model; co-located
-    serves int8 everywhere (alt_model None). RTT is faked via utils.rtt's
-    memo so no device timing enters the test."""
+                                          rtt_ms, probe_meds, expect_alt):
+    """`--int8` + the default `--precision-policy auto`: co-located serves
+    int8 everywhere without probing; on a relay link a measured B=1 probe
+    decides, with int8 keeping its seat inside the margin. RTT is faked via
+    utils.rtt's memo and the probe via its medians so no device timing
+    enters the test."""
     from keep_tpu.compat.export import save_pretrained
     from keep_tpu.quant import is_quantized
     from keep_tpu.utils import rtt as rtt_mod
@@ -416,6 +424,16 @@ def test_serve_main_precision_policy_auto(tmp_path, monkeypatch, core,
     monkeypatch.setattr(rtt_mod, "_memo",
                         {"median_ms": rtt_ms, "p95_ms": rtt_ms,
                          "min_ms": rtt_ms, "n": 1})
+    probe_calls = []
+
+    def fake_probe(candidates, *, n=5, default=None,
+                   margin=rtt_mod.PROBE_MARGIN):
+        probe_calls.append(sorted(candidates))
+        assert sorted(candidates) == ["bf16", "int8"]
+        return rtt_mod.pick_from_medians(probe_meds, default, margin), \
+            probe_meds
+
+    monkeypatch.setattr(rtt_mod, "pick_by_probe", fake_probe)
     captured = {}
 
     class StubServer:
@@ -441,6 +459,7 @@ def test_serve_main_precision_policy_auto(tmp_path, monkeypatch, core,
 
     serve.main(["--model-dir", str(model_dir), "--int8"])
     assert is_quantized(captured["model"].params)
+    assert len(probe_calls) == (1 if probe_meds else 0)
     if expect_alt:
         assert captured["alt_buckets"] == {"image": (1,)}
         assert captured["alt_model"] is not None

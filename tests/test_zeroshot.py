@@ -308,14 +308,116 @@ def test_plan_length_buckets_cost_model():
     assert info_s["est_flat_s"] <= info_s["est_bucketed_s"]
 
     # the reference-scale corpus (2,772 short prompts -> 7 bucketed vs 6
-    # flat dispatches) buckets at BOTH floors: the savings are ~8x of the
-    # compute and one extra dispatch can't eat that. Measured decomposition
-    # backing the model: scripts/rtt_lab.py round 5 — per-dispatch fixed
-    # cost == null RTT + feature-download time at every width.
+    # flat dispatches) passes the analytic pre-filter at BOTH floors — but
+    # on-chip round-5 data measured it LOSING 0.92x on a 26 ms-RTT day, so
+    # the analytic plan is only tier 1 of choose_bucket_plan: when bucketing
+    # adds dispatches, a measured probe makes the final call.
     ref_lengths = np.clip(g.normal(16, 5, 2772).astype(int), 6, 40)
     for rtt_s in (0.001, 0.140):
         choice, _ = plan_length_buckets(ref_lengths, rtt_s=rtt_s, **kw)
         assert choice is not None
+
+
+def _probe_corpus(rng, n=24, full=64, short=8, n_long=4):
+    """n texts, mostly <= `short` tokens with `n_long` near-full ones —
+    at batch 8 that is 3 flat dispatches vs 4 bucketed (probe territory)."""
+    ids = np.zeros((n, full), np.int32)
+    mask = np.zeros((n, full), np.int32)
+    for i in range(n):
+        ln = int(rng.integers(full - 8, full)) if i < n_long \
+            else int(rng.integers(2, short + 1))
+        ids[i, :ln] = rng.integers(1, 1000, size=ln)
+        mask[i, :ln] = 1
+    return ids, mask
+
+
+def _sleepy_encode(d=8, per_width_s=0.0, fixed_s=0.0, calls=None):
+    """Padding-invariant fake tower with a controllable time profile:
+    ``fixed_s + width * per_width_s`` per call. ``calls`` (a list) logs the
+    dispatched widths."""
+    import time as _time
+
+    g = np.random.default_rng(1)
+    table = g.standard_normal((1000, d)).astype(np.float32)
+
+    def encode(ids, mask):
+        ids = np.asarray(ids)
+        m = np.asarray(mask).astype(np.float32)
+        if calls is not None:
+            calls.append(ids.shape[1])
+        _time.sleep(fixed_s + ids.shape[1] * per_width_s)
+        tok = table[ids % 1000] * m[..., None]
+        return jnp.asarray(
+            tok.sum(1) / np.maximum(m.sum(1, keepdims=True), 1))
+
+    return encode
+
+
+def test_choose_bucket_plan_dominated_skips_probe(rng):
+    """Tier 2: when every bucket packs into the flat batch count, bucketed
+    wins by construction — no probe dispatches at all."""
+    from keep_tpu.zeroshot.classifier import choose_bucket_plan
+
+    n, full = 10, 64  # one batch either way
+    ids = np.zeros((n, full), np.int32)
+    mask = np.zeros((n, full), np.int32)
+    for i in range(n):
+        ln = int(rng.integers(2, 8))
+        ids[i, :ln] = rng.integers(1, 1000, size=ln)
+        mask[i, :ln] = 1
+    calls: list = []
+    plan, info = choose_bucket_plan(
+        _sleepy_encode(calls=calls), ids, mask, batch_size=16,
+        buckets=(8, 16, 32, 64))
+    assert plan is not None
+    assert info["method"] == "dominated"
+    assert calls == []  # decided without touching the tower
+
+
+def test_choose_bucket_plan_probe_decides_both_ways(rng):
+    """Tier 3: the probe ships whichever path MEASURES faster — a
+    dispatch-floor-dominated link picks flat (the r04/r05 regression this
+    chooser exists to prevent), a compute-dominated one picks bucketed."""
+    from keep_tpu.zeroshot.classifier import choose_bucket_plan
+
+    ids, mask = _probe_corpus(rng)
+
+    # constant per-dispatch cost regardless of width == pure dispatch floor:
+    # bucketed needs 4 dispatches vs flat's 3 -> flat must ship
+    plan, info = choose_bucket_plan(
+        _sleepy_encode(fixed_s=0.02), ids, mask, batch_size=8,
+        buckets=(8, 16, 32, 64))
+    assert info["method"] == "probe"
+    assert plan is None
+
+    # cost proportional to width == compute-dominated: bucketed's 3 narrow
+    # + 1 wide dispatches beat 3 full-width ones by far more than the margin
+    plan, info = choose_bucket_plan(
+        _sleepy_encode(per_width_s=0.0005), ids, mask, batch_size=8,
+        buckets=(8, 16, 32, 64))
+    assert info["method"] == "probe"
+    assert plan is not None
+    assert info["est_bucketed_s"] * info["margin"] < info["est_flat_s"]
+
+
+def test_encode_texts_bucketed_auto_reuses_probe_work(rng):
+    """'auto' parity with flat AND probe-dispatch reuse: the probe's
+    real-row outputs are scattered into the result, so the total dispatch
+    count stays near the pure plan's, not probe + full job."""
+    from keep_tpu.zeroshot import encode_texts_bucketed
+
+    ids, mask = _probe_corpus(rng)
+    ref = encode_texts_bucketed(
+        _sleepy_encode(), ids, mask, batch_size=8, length_buckets=None)
+
+    calls: list = []
+    auto = encode_texts_bucketed(
+        _sleepy_encode(per_width_s=0.0005, calls=calls), ids, mask,
+        batch_size=8, length_buckets="auto")
+    np.testing.assert_allclose(auto, ref, atol=1e-6)
+    # probe <= 6 dispatches (2 per width x {8, 64, full}), all on real rows;
+    # the remainder must NOT re-encode them: naive probe+job would be 6 + 4
+    assert len(calls) <= 8
 
 
 def test_encode_texts_bucketed_auto_parity(rng):
