@@ -276,12 +276,17 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
     # report what it picks and the independently measured winner
     from keep_tpu.zeroshot.classifier import choose_bucket_plan
 
+    t0 = time.time()
     auto_plan, plan_info = choose_bucket_plan(
         enc_fn, cids, cmask, batch_size=bs)
+    t_probe = time.time() - t0
     winner = "bucketed" if t_bkt <= t_flat else "flat"
-    # 'value' is the throughput of the path the library DEFAULT actually
-    # ships (the auto plan) — reporting min() would overstate the default
-    # on a day the probe mispredicts (auto_matches_measured flags it)
+    # 'value' is the steady-state throughput of the path the library
+    # DEFAULT ships (the auto plan) — reporting min() would overstate the
+    # default on a day the probe mispredicts (auto_matches_measured flags
+    # it). The FIRST auto build additionally pays auto_probe_s once (its
+    # real-row outputs are reused, so most of that is work the build needed
+    # anyway; probe-free rebuilds pass the plan explicitly).
     shipped_s = t_bkt if auto_plan else t_flat
     _emit({
         "metric": "classifier_build_corpus_encode",
@@ -292,6 +297,7 @@ def bench_text_tower(params, cfg, rng, use_flash, on_tpu):
         "auto_plan": "bucketed" if auto_plan else "flat",
         "auto_matches_measured": (winner == "bucketed") == bool(auto_plan),
         "auto_method": plan_info.get("method"),
+        "auto_probe_s": round(t_probe, 3),
         "probe_ms_per_width": plan_info.get("probe_ms_per_width"),
         "probe_ms_full": plan_info.get("probe_ms_full"),
         "precision": precision, "vs_baseline": None, **_RTT,

@@ -465,12 +465,14 @@ def main(argv=None) -> int:
                     default="auto",
                     help="with --int8: 'auto' measures the relay RTT at "
                          "startup; co-located it serves int8 everywhere "
-                         "(measured per-bucket A/B, docs/PERF.md), on a "
-                         "relay link it times one B=1 image dispatch per "
-                         "precision and keeps image bucket 1 on bf16 only "
-                         "when bf16 measures >10%% faster (the winner flips "
-                         "with the day's jitter). 'all-int8' forces int8 "
-                         "everywhere.")
+                         "(measured per-bucket A/B, docs/PERF.md). On a "
+                         "relay link it probes B=1 image latency per "
+                         "precision (1 warm + 5 timed blocking dispatches "
+                         "each, median decides; also compiles the bf16 "
+                         "bucket-1 shape) and keeps image bucket 1 on bf16 "
+                         "only when bf16 measures >10%% faster — the winner "
+                         "flips with the day's jitter. 'all-int8' skips the "
+                         "probe and forces int8 everywhere.")
     ap.add_argument("--lora", default="",
                     help="LoRA adapter checkpoint dir (the training CLI's "
                          "checkpoints/ with solver.lora_rank > 0) — merged "

@@ -147,8 +147,10 @@ def plan_length_buckets(
 # The measured probe's decision margin: ship bucketed only when its measured
 # per-dispatch estimate beats flat by >15% — the probe's blocking timings
 # slightly overstate pipelined totals for the overhead-heavy path, so ties
-# and near-ties go to flat (the reference behavior).
-PROBE_MARGIN = 1.15
+# and near-ties go to flat (the reference behavior). Distinct from
+# utils.rtt.PROBE_MARGIN (the B=1 serving-precision rule's 1.10): the two
+# policies tolerate different noise, so the constants are named apart.
+BUCKET_PROBE_MARGIN = 1.15
 # Below this many flat batches the probe's extra dispatches rival the job
 # itself; ship flat unless bucketing adds no dispatches (the dominated case).
 PROBE_MIN_FLAT_BATCHES = 3
@@ -200,12 +202,14 @@ def choose_bucket_plan(
     2. bucketing adds NO dispatches (every bucket packs into the flat batch
        count) → bucketed without probing: same dispatch count at strictly
        smaller widths cannot lose;
-    3. otherwise probe: two blocking dispatches per used width (warm +
-       timed) **on real corpus rows** — the outputs are valid features
-       (padding-invariance is the bucketing premise, parity-tested) and are
-       handed back via ``collect`` for reuse, so the probe wastes at most
-       ~2 dispatches of suboptimal width. Bucketed ships only when its
-       measured total beats flat by :data:`PROBE_MARGIN`.
+    3. otherwise probe: two blocking dispatches per used width, both timed
+       (min-of-2 — a compile inflates the first sample and a jitter spike
+       either, so min is the robust per-dispatch estimate) **on real corpus
+       rows** — the outputs are valid features (padding-invariance is the
+       bucketing premise, parity-tested) and are handed back via ``collect``
+       for reuse, so the probe wastes at most ~2 dispatches of suboptimal
+       width. Bucketed ships only when its measured total beats flat by
+       :data:`BUCKET_PROBE_MARGIN`.
 
     Returns ``(bucket_tuple | None, info)``; ``info["method"]`` names the
     tier and the probe tier carries the per-width timings and estimates.
@@ -229,27 +233,37 @@ def choose_bucket_plan(
         return plan, {"method": "dominated", "flat_batches": flat_batches,
                       "bucket_batches": bucket_batches, **info}
     if flat_batches < PROBE_MIN_FLAT_BATCHES:
-        return None, {"method": "small_job_flat",
-                      "flat_batches": flat_batches,
-                      "bucket_batches": bucket_batches, **info}
+        # the probe's extra dispatches would rival the job itself. On a
+        # relay link ship flat (the observed failure mode was bucketed
+        # losing there); co-located, dispatches are sub-ms and the analytic
+        # plan was never wrong — keep its bucketed choice
+        from keep_tpu.utils.rtt import rtt_dominated
+
+        small_choice = None if rtt_dominated() else plan
+        return small_choice, {
+            "method": "small_job_" + ("flat" if small_choice is None
+                                      else "bucketed"),
+            "flat_batches": flat_batches,
+            "bucket_batches": bucket_batches, **info}
 
     def probe(width, rows):
-        # warm (compiles the shape) then timed, each a blocking fetch on
-        # real rows; both outputs are valid features → collect
+        # two blocking dispatches on real rows, min-of-2 as the estimate:
+        # a cold compile inflates only the first sample, a jitter spike
+        # either — min discards both. Outputs are valid features → collect
         chunks = [rows[i: i + batch_size]
                   for i in range(0, rows.size, batch_size)][:2]
         seen = set()
-        t = None
+        ts = []
         for chunk in chunks if len(chunks) > 1 else chunks * 2:
             bid, bmask = _pad_chunk(ids, mask, chunk, width, batch_size)
             t0 = time.time()
             feats = np.asarray(encode_fn(bid, bmask))
-            t = time.time() - t0
+            ts.append(time.time() - t0)
             key = int(chunk[0])
             if collect is not None and key not in seen:
                 collect.append((feats[: chunk.size], chunk))
                 seen.add(key)
-        return t
+        return min(ts)
 
     t_w = {w: probe(w, rows) for w, rows in wr}
     # full-width sample from the END of the corpus: rows that must be
@@ -258,7 +272,7 @@ def choose_bucket_plan(
     t_full = probe(full, np.arange(n)[-min(2 * batch_size, n):])
     est_flat = flat_batches * t_full
     est_bucketed = sum(per_width_batches[w] * t_w[w] for w in t_w)
-    choice = plan if est_bucketed * PROBE_MARGIN < est_flat else None
+    choice = plan if est_bucketed * BUCKET_PROBE_MARGIN < est_flat else None
     return choice, {
         "method": "probe",
         "flat_batches": flat_batches,
@@ -267,7 +281,7 @@ def choose_bucket_plan(
         "probe_ms_full": round(t_full * 1e3, 2),
         "est_flat_s": round(est_flat, 4),
         "est_bucketed_s": round(est_bucketed, 4),
-        "margin": PROBE_MARGIN,
+        "margin": BUCKET_PROBE_MARGIN,
         "analytic": info,
     }
 
@@ -329,12 +343,9 @@ def encode_texts_bucketed(
             prev = b
             for i in range(0, rows.size, batch_size):
                 chunk = rows[i : i + batch_size]
-                bid = ids[chunk][:, :b]
-                bmask = mask[chunk][:, :b]
-                if bid.shape[0] < batch_size:  # pad tail: one compiled shape
-                    pad = batch_size - bid.shape[0]
-                    bid = np.pad(bid, ((0, pad), (0, 0)))
-                    bmask = np.pad(bmask, ((0, pad), (0, 0)))
+                # same _pad_chunk as the probe: shapes must match or each
+                # width compiles twice
+                bid, bmask = _pad_chunk(ids, mask, chunk, b, batch_size)
                 yield encode_fn(bid, bmask), chunk  # async dispatch
 
     # double-buffered fetch: batch N's download overlaps batch N+1's compute

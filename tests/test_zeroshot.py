@@ -400,6 +400,37 @@ def test_choose_bucket_plan_probe_decides_both_ways(rng):
     assert info["est_bucketed_s"] * info["margin"] < info["est_flat_s"]
 
 
+def test_choose_bucket_plan_small_job_follows_link(rng, monkeypatch):
+    """Tier 2.5: under 3 flat batches the probe would rival the job, so the
+    link decides — flat on a relay (the observed failure regime), the
+    analytic bucketed plan co-located (never wrong there, sub-ms
+    dispatches). No probe dispatches either way."""
+    from keep_tpu.utils import rtt as rtt_mod
+    from keep_tpu.zeroshot.classifier import choose_bucket_plan
+
+    # 12 texts over THREE widths (5@<=8, 3@<=16, 4@~60) at batch 8: 2 flat
+    # batches vs 3 bucketed -> extra dispatches, but under the probe floor
+    n, full = 12, 64
+    ids = np.zeros((n, full), np.int32)
+    mask = np.zeros((n, full), np.int32)
+    for i in range(n):
+        ln = 4 if i < 5 else (12 if i < 8 else 60)
+        ids[i, :ln] = rng.integers(1, 1000, size=ln)
+        mask[i, :ln] = 1
+    calls: list = []
+    enc = _sleepy_encode(calls=calls)
+
+    for rtt_ms, expect_plan in ((28.0, False), (0.4, True)):
+        monkeypatch.setattr(rtt_mod, "_memo",
+                            {"median_ms": rtt_ms, "p95_ms": rtt_ms,
+                             "min_ms": rtt_ms, "n": 1})
+        plan, info = choose_bucket_plan(enc, ids, mask, batch_size=8,
+                                        buckets=(8, 16, 32, 64))
+        assert info["method"].startswith("small_job")
+        assert (plan is not None) == expect_plan
+    assert calls == []
+
+
 def test_encode_texts_bucketed_auto_reuses_probe_work(rng):
     """'auto' parity with flat AND probe-dispatch reuse: the probe's
     real-row outputs are scattered into the result, so the total dispatch
