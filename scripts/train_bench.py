@@ -108,11 +108,17 @@ def main():
     global LOSS_STEPS
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     tiny = "--tiny" in sys.argv or jax.default_backend() != "tpu"
+    base_lr = 1e-4
     for a in sys.argv[2:]:
         if a.startswith("--caption-num="):
             CAPTION_NUM = int(a.split("=")[1])
         elif a.startswith("--steps="):
             LOSS_STEPS = int(a.split("=")[1])
+        elif a.startswith("--lr="):
+            # LoRA adapters train the low-rank residual only and want ~10x
+            # the full-FT rate (the 200-step curve at 1e-4 plateaus at 4.83
+            # while full FT memorizes to 0; docs/PERF.md round 5)
+            base_lr = float(a.split("=")[1])
 
     if tiny:
         cfg = KEEPConfig(
@@ -134,7 +140,7 @@ def main():
                           caption_num=min(CAPTION_NUM, batch_size))
     # short warmup then constant: the loss-curve leg needs live updates from
     # step 0 and a rate that visibly learns the fixed batch
-    lr = schedules.cosine_lr(1e-4, warmup_length=2, steps=100000)
+    lr = schedules.cosine_lr(base_lr, warmup_length=2, steps=100000)
     tx = optim.adamw(lr, weight_decay=0.2, grad_clip_norm=1.0)
 
     rng = np.random.default_rng(0)
@@ -181,10 +187,18 @@ def main():
     dt = (time.time() - t0) / iters
 
     # loss curve: keep stepping the SAME batch; a working end-to-end step
-    # (loss -> grads -> AdamW -> params) must memorize it
-    for _ in range(LOSS_STEPS):
+    # (loss -> grads -> AdamW -> params) must memorize it. Losses are
+    # collected as device scalars and fetched at the end — a blocking
+    # float() per step pays the relay RTT 200-1000x over (live states stay
+    # ~2 deep regardless of dispatch runahead: each step consumes its
+    # predecessor's buffers); a sync every 20 steps bounds client queueing
+    curve = []
+    for i in range(LOSS_STEPS):
         state, m = step(state, batch)
-        losses.append(float(m["loss"]))
+        curve.append(m["loss"])
+        if i % 20 == 19:
+            float(curve[-1])
+    losses.extend(float(v) for v in curve)
     if LOSS_STEPS >= 50:  # long-run curve (--steps=200): subsampled trace
         stride = max(1, len(losses) // 20)
         extra["loss_curve"] = [round(v, 4) for v in losses[::stride]]
