@@ -521,9 +521,42 @@ def bench_train_steps(on_tpu):
                    "unit": "error", "vs_baseline": None, "error": str(e)})
 
 
+def backend_alive(timeout_s: float = 180.0) -> bool:
+    """One trivial device op under a deadline, in a daemon thread.
+
+    The axon relay can wedge (accepts TCP, never answers — observed round
+    5 after a SIGKILL'd long run): every jax op then blocks forever and
+    the bench would die as an empty rc=124 record. The watchdog turns that
+    into an explicit ``backend_unresponsive`` record instead — the round
+    record says WHY there is no number."""
+    import threading
+
+    ok: list = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        ok.append(float(jnp.ones(()) + 1))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     enable_compile_cache()
     import jax
+
+    if not backend_alive():
+        # jax.default_backend() itself inits the (wedged) client — don't
+        # touch it here; the config string is safe
+        _emit({"metric": "backend_unresponsive", "value": 0, "unit": "error",
+               "vs_baseline": None,
+               "platforms": str(jax.config.jax_platforms),
+               "note": "first device op did not answer within 180 s — "
+                       "relay/tunnel wedged; no metrics are measurable"})
+        return
     import jax.numpy as jnp
 
     from keep_tpu.configs import KEEPConfig, ViTConfig
