@@ -430,3 +430,42 @@ def test_wsi_cli_cascade_requires_margin(model_dir, tmp_path):
             "--image", str(p),
             "--text-batch-size", "8", "--max-length", "32",
         ])
+
+
+def test_wsi_cli_extract_int8_calibrated(model_dir, tmp_path, capsys):
+    """extract --int8 --int8-calib: SmoothQuant calibrates on the slide's
+    own first tiles through BOTH source legs of _slide_calib — the
+    streaming pyramid path and the flat-image path (wsi/run.py:105-129)."""
+    from keep_tpu.io.wsi import write_pyramid
+    from keep_tpu.wsi.run import main as run_main
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = np.full((200, 200, 3), 250, np.uint8)
+    img[40:160, 40:160] = rng.integers(80, 200, (120, 120, 3)).astype(np.uint8)
+    write_pyramid(str(tmp_path / "slide.tif"), img, tile=32, min_size=64)
+    Image.fromarray(img).save(tmp_path / "slide.png")
+
+    for src in ("slide.tif", "slide.png"):
+        out_h5 = tmp_path / f"{src}.h5"
+        run_main([
+            "extract", "--model", str(model_dir / "model"),
+            "--image", str(tmp_path / src), "--out", str(out_h5),
+            "--patch-size", "32", "--batch-size", "8",
+            "--int8", "--int8-calib", "4",
+        ])
+        assert "wrote" in capsys.readouterr().out
+        with h5py.File(out_h5) as f:
+            assert f["features"].shape[0] > 0
+
+    # all-background slide -> no tissue tiles -> calibration returns None
+    # (falls back to weight-only scales) and extract reports zero tiles
+    from keep_tpu.wsi import run as run_mod
+
+    blank = np.full((200, 200, 3), 255, np.uint8)
+    Image.fromarray(blank).save(tmp_path / "blank.png")
+    import argparse
+
+    args = argparse.Namespace(int8=True, int8_calib=4, patch_size=32,
+                              tissue_fraction=0.25, wsi_level=0)
+    assert run_mod._slide_calib(args, str(tmp_path / "blank.png")) is None
