@@ -195,3 +195,55 @@ def test_pick_by_probe_times_and_warms():
     choice, _ = pick_by_probe(
         {"a": mk("fast", 0.002), "b": mk("fast", 0.002)}, n=1)
     assert choice in ("a", "b")
+
+
+def test_metric_writer_tensorboard_and_failed_wandb(tmp_path, caplog):
+    """The TB leg (torch.utils.tensorboard ships in-image) writes event
+    files; an explicitly requested wandb project that cannot init warns and
+    degrades to JSONL+TB instead of crashing the run."""
+    import json as _json
+    import logging as _logging
+
+    from keep_tpu.utils.writers import MetricWriter
+
+    with caplog.at_level(_logging.WARNING):
+        w = MetricWriter(str(tmp_path), wandb_project="definitely-absent")
+    w.write(0, {"loss": 1.5, "label": "skipme"})
+    w.write(1, {"loss": 1.25})
+    w.close()
+    lines = [
+        _json.loads(l) for l in
+        open(tmp_path / "metrics.jsonl").read().splitlines()
+    ]
+    assert [l["loss"] for l in lines] == [1.5, 1.25]
+    if w._tb is not None:  # torch's SummaryWriter was importable
+        import os as _os
+
+        tb_dir = tmp_path / "tensorboard"
+        assert any(tb_dir.iterdir())
+        assert w._wandb is None
+        assert any("wandb" in r.message for r in caplog.records)
+
+
+def test_wsi_dataset_pt_leg_and_iter(tmp_path):
+    """WSIDataset use_h5=False reads CLAM .pt feature files (torch tensors,
+    zero coords) and __iter__ yields every slide in df order."""
+    import pandas as pd
+    import torch
+
+    from keep_tpu.io.h5 import WSIDataset
+
+    d = tmp_path / "src"
+    (d / "pt_files").mkdir(parents=True)
+    feats = {"s1": torch.randn(5, 8), "s2": torch.randn(3, 8)}
+    for sid, t in feats.items():
+        torch.save(t, d / "pt_files" / f"{sid}.pt")
+    df = pd.DataFrame({"slide_id": ["s1", "s2"],
+                       "Diagnosis": ["Tumor", "Normal"]})
+    ds = WSIDataset(df, str(d), label_map={"Normal": 0, "Tumor": 1},
+                    use_h5=False)
+    items = list(ds)
+    assert [it["slide_id"] for it in items] == ["s1", "s2"]
+    assert items[0]["features"].shape == (5, 8)
+    np.testing.assert_array_equal(items[0]["coords"], 0)
+    assert [it["label"] for it in items] == [1, 0]
