@@ -247,3 +247,42 @@ def test_wsi_dataset_pt_leg_and_iter(tmp_path):
     assert items[0]["features"].shape == (5, 8)
     np.testing.assert_array_equal(items[0]["coords"], 0)
     assert [it["label"] for it in items] == [1, 0]
+
+
+def test_remote_sync_error_and_loop_legs(tmp_path, caplog, monkeypatch):
+    """remote_sync returns False (logged, not raised) when the backend
+    throws; the _loop body logs per-iteration outcomes (it normally runs
+    only in the detached child process, so cover it inline)."""
+    import logging as _logging
+
+    from keep_tpu.train import sync as sync_mod
+
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "a.txt").write_text("x")
+
+    def boom(*a, **k):
+        raise OSError("backend down")
+
+    monkeypatch.setattr(sync_mod, "sync_local", boom)
+    with caplog.at_level(_logging.ERROR):
+        ok = sync_mod.remote_sync(str(src), str(tmp_path / "dst"), "local")
+    assert ok is False
+    assert any("remote sync failed" in r.message for r in caplog.records)
+
+    # one _loop iteration: patch sleep to run once then stop the loop
+    calls = []
+
+    def fake_sleep(_):
+        if calls:
+            raise KeyboardInterrupt
+        calls.append(1)
+
+    monkeypatch.setattr(sync_mod.time, "sleep", fake_sleep)
+    monkeypatch.setattr(sync_mod, "remote_sync", lambda *a: True)
+    with caplog.at_level(_logging.INFO):
+        try:
+            sync_mod._loop(1, str(src), str(tmp_path / "dst2"), "local")
+        except KeyboardInterrupt:
+            pass
+    assert any("remote sync ok" in r.message for r in caplog.records)
