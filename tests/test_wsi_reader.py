@@ -380,3 +380,27 @@ def test_closed_reader_raises_clearly(pyramid_path):
     if s.backend == "native":
         with pytest.raises(ValueError, match="closed"):
             s.read_region((0, 0), 0, (4, 4))
+
+
+def test_reader_and_writer_error_branches(tmp_path):
+    """Fail-fast legs: native open on a non-TIFF raises OSError, bad input
+    shapes to the writers raise ValueError, and appending into an
+    unwritable path surfaces the native rc."""
+    import pytest
+
+    from keep_tpu.io.wsi import WSIReader, append_stripped_page, write_pyramid
+
+    junk = tmp_path / "junk.tif"
+    junk.write_bytes(b"this is not a tiff at all")
+    with pytest.raises(OSError, match="native libtiff cannot open"):
+        WSIReader(str(junk), backend="native")
+
+    gray = np.zeros((32, 32), np.uint8)
+    with pytest.raises(ValueError, match=r"\[H, W, 3\]"):
+        append_stripped_page(str(tmp_path / "x.tif"), gray)
+    with pytest.raises(ValueError):
+        write_pyramid(str(tmp_path / "y.tif"), gray, tile=16)
+
+    rgb = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(OSError):
+        append_stripped_page(str(tmp_path / "no_dir" / "z.tif"), rgb)
