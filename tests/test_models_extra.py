@@ -461,3 +461,29 @@ def test_quick_gelu_parity(rng):
     inferred = infer_clip_config(sd)
     assert inferred.vision.act == "quick_gelu"
     assert inferred.text.act == "quick_gelu"
+
+
+def test_openai_loader_path_legs(tmp_path):
+    """File-path loading: a plain torch.save state dict goes through the
+    weights_only fast path; a TorchScript archive (every ORIGINAL OpenAI
+    CLIP release) falls through to torch.jit.load; an RN-tower dict
+    without an explicit config is routed to the dedicated error."""
+    import pytest
+    import torch
+
+    from keep_tpu.compat.openai import load_openai_clip
+
+    plain = tmp_path / "plain.pt"
+    torch.save({"token_embedding.weight": torch.zeros(4, 8)}, plain)
+    with pytest.raises(ValueError, match="RN-tower"):
+        load_openai_clip(str(plain))
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("weight", torch.zeros(2))
+
+    scripted = tmp_path / "scripted.pt"
+    torch.jit.save(torch.jit.script(M()), str(scripted))
+    with pytest.raises(ValueError, match="RN-tower"):
+        load_openai_clip(str(scripted))
