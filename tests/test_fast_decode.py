@@ -169,3 +169,34 @@ def test_16bit_png_falls_back_to_pil(tmp_path):
         decode_image(str(p)),
         np.asarray(Image.open(p).convert("RGB")),
     )
+
+
+def test_decode_files_fallback_legs(tmp_path, monkeypatch):
+    """Native-unavailable → whole batch through the threaded PIL pool (and
+    the cached-failure RuntimeError); formats the native probe declines
+    (GIF) land in the per-image PIL fallback; garbage bytes → None."""
+    import pytest
+    from PIL import Image
+
+    from keep_tpu.io import fast_decode as fd
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 20, 3)).astype(np.uint8)
+    jpg = tmp_path / "a.jpg"
+    gif = tmp_path / "b.gif"
+    Image.fromarray(img).save(jpg, quality=95)
+    Image.fromarray(img).save(gif)
+
+    outs = fd.decode_files([str(jpg), str(gif)], workers=2)
+    assert outs[0].shape == (16, 20, 3) and outs[1].shape == (16, 20, 3)
+
+    assert fd.decode_bytes(b"not an image") is None
+
+    # simulate a missing/broken native toolchain: the cached-failure flag
+    # raises immediately and decode_files degrades to the PIL pool
+    monkeypatch.setattr(fd, "_lib", None)
+    monkeypatch.setattr(fd, "_lib_failed", True)
+    with pytest.raises(RuntimeError, match="cached failure"):
+        fd._load_lib()
+    outs = fd.decode_files([str(jpg), str(gif)], workers=2)
+    assert outs[0].shape == (16, 20, 3) and outs[1].shape == (16, 20, 3)
