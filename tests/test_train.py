@@ -401,3 +401,21 @@ def test_bn_running_stats_never_updated():
     np.testing.assert_allclose(np.asarray(updates["bn1"]["scale"]),
                                np.asarray(updates_ref["bn1"]["scale"]),
                                rtol=1e-6)
+
+
+def test_freeze_scheduler_knowledge_and_head_exclusion():
+    """The third (knowledge) tower freezes on its own schedule, empty paths
+    are never frozen, and keep_text_head_open leaves mlp_embed trainable
+    inside a frozen text tower (reference freeze_scheduler.py:6-56)."""
+    from keep_tpu.train.freeze import FreezeSchedule
+
+    fs = FreezeSchedule(freeze_visual_epochs=1, freeze_text_epochs=2,
+                        freeze_knowledge_epochs=3, keep_text_head_open=True)
+    assert fs.frozen_towers(0) == {"visual", "text", "knowledge"}
+    assert fs.frozen_towers(2) == {"knowledge"}
+    assert fs.frozen_towers(3) == frozenset()
+    fn = fs.frozen_fn(0)
+    assert fn(("knowledge", "blocks")) is True
+    assert fn(()) is False
+    assert fn(("text", "mlp_embed", "kernel")) is False
+    assert fn(("text", "pooler", "kernel")) is True
