@@ -94,3 +94,24 @@ def test_cls_pooler_and_linear_proj(rng):
     out = hf_text.forward(params, jnp.asarray(_batch(rng)), cfg)
     assert out.shape == (3, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_context_length_legs_and_unknown_pooler(rng):
+    """context_length: mt5 has no hard max (0), roberta reserves
+    pad_id+1 leading slots, bert-style uses the raw position count; an
+    unknown pooler fails fast."""
+    import dataclasses
+
+    import pytest
+
+    assert CFG.context_length == TRUNK.max_position_embeddings - \
+        TRUNK.pad_token_id - 1
+    bertish = dataclasses.replace(CFG, arch="bert")
+    assert bertish.context_length == TRUNK.max_position_embeddings
+    mt5ish = dataclasses.replace(CFG, arch="mt5")
+    assert mt5ish.context_length == 0
+
+    bad = dataclasses.replace(CFG, pooler="max")
+    params = hf_text.init(jax.random.PRNGKey(2), CFG)
+    with pytest.raises(ValueError, match="unknown pooler"):
+        hf_text.forward(params, jnp.asarray(_batch(rng)), bad)
