@@ -129,3 +129,43 @@ def test_safetensors_roundtrip(tmp_path):
     m = keep.KEEPModel.from_pretrained(str(d))
     out = m.encode_image(np.zeros((1, 16, 16, 3), np.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_download_cache_hit_and_sha_sniffing(tmp_path, monkeypatch):
+    """Zero-egress legs of download_pretrained_from_url: the expected sha
+    is sniffed from openaipublic/mlfoundations URL forms and a cached file
+    matching it returns WITHOUT any network; a directory squatting on the
+    target fails fast; resolve_to_path dispatches '://' to the downloader."""
+    import hashlib
+
+    import pytest
+
+    from keep_tpu.compat import registry as reg
+
+    monkeypatch.setenv("KEEP_TPU_HOME", str(tmp_path))
+    cache = tmp_path / "downloads"
+    cache.mkdir(parents=True)
+
+    blob = b"weights-bytes"
+    sha = hashlib.sha256(blob).hexdigest()
+
+    # mlfoundations form: sha rides the filename suffix
+    mlf = f"model-{sha[:8]}.pt"
+    (cache / mlf).write_bytes(blob)
+    url = f"https://huggingface.co/mlfoundations/x/resolve/{mlf}"
+    assert reg.download_pretrained_from_url(url, cache_dir=str(cache)) == \
+        str(cache / mlf)
+
+    # openaipublic form: sha is the parent path segment
+    (cache / "RN50.pt").write_bytes(blob)
+    url2 = f"https://openaipublic.azureedge.net/clip/{sha}/RN50.pt"
+    assert reg.download_pretrained_from_url(url2, cache_dir=str(cache)) == \
+        str(cache / "RN50.pt")
+    # and fetch() routes the URL form through the same (env-pinned) cache
+    assert reg.fetch(url2) == str(cache / "RN50.pt")
+
+    # a directory where the file should be is an explicit error
+    (cache / "dir.pt").mkdir()
+    with pytest.raises(RuntimeError, match="not a regular file"):
+        reg.download_pretrained_from_url(
+            "https://example.com/no-sha/dir.pt", cache_dir=str(cache))
