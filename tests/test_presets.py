@@ -170,3 +170,21 @@ def test_swin_and_eva01_towers_shrunken(rng):
     ep = vit.init(jax.random.PRNGKey(1), ecfg)
     xi = jnp.asarray(rng.standard_normal((1, 28, 28, 3), dtype=np.float32))
     assert vit.forward(ep, xi, ecfg).shape == (1, 32)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,img", [
+    ("swin_base_patch4_window7_224", 224),   # swin windowed trunk
+    ("EVA02-B-16", 224),                     # rope/SwiGLU trunk
+    ("vit_relpos_medium_patch16_cls_224", 224),  # relpos-bias trunk
+])
+def test_create_preset_forward_alt_kinds(name, img, rng):
+    """The remaining vision-kind dispatch legs of create_preset build and
+    encode end-to-end (swin / eva02 / vit_relpos)."""
+    params, model = presets.create_preset(name)
+    x = jnp.asarray(rng.standard_normal((1, img, img, 3), dtype=np.float32))
+    feats = model.encode_image(params, x, normalize=True)
+    assert feats.ndim == 2 and feats.shape[0] == 1
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(feats, np.float32), axis=-1), 1.0,
+        atol=1e-3)
